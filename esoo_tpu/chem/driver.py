@@ -1,0 +1,131 @@
+"""Molecular problem driver: geometry + basis -> MO-basis integral tensors.
+
+Native replacement for the reference's ingestion chain
+(qiskit_nature.second_q.drivers.PySCFDriver -> ElectronicStructureProblem,
+consumed at /root/reference/base_opt_orb_solver.py:87-91).  The resulting
+`ElectronicStructureProblem` exposes the dense spin-orbital one/two-body
+tensors in exactly the convention the reference's energy functional expects:
+
+  E = sum_pq  h[p,q]    <a+_p a_q>
+    + sum_pqrs g[p,q,r,s] <a+_p a+_q a_s a_r>
+
+with g[p,q,r,s] = 1/2 <pq|rs> (physicist-notation antisymmetrized-free
+two-electron integral, spin-orbital basis).  This matches the tensor the
+reference builds as ``-1 * to_physicist_ordering(coeffs["++--"])``
+(base_opt_orb_solver.py:90) — verified numerically against the published
+H2 FCI energies (README.md:94-96 of the reference).
+
+Spin-orbital ordering is block: alpha spatial orbitals 0..n-1, then beta
+n..2n-1 (qiskit-nature convention, required by the spin-conservation pruning
+logic mirrored from base_opt_orb_solver.py:172-245).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .basis import ATOMIC_NUMBERS, build_shells
+from .integrals import IntegralEngine
+from .scf import SCFResult, rhf
+
+
+@dataclasses.dataclass
+class ElectronicStructureProblem:
+    """Container for the electronic-structure problem in the MO basis."""
+
+    num_particles: Tuple[int, int]          # (n_alpha, n_beta)
+    num_spatial_orbitals: int
+    nuclear_repulsion_energy: float
+    hcore_mo: np.ndarray                    # (n, n) spatial MO one-body
+    eri_mo: np.ndarray                      # (n, n, n, n) chemist (pq|rs) MO
+    scf: Optional[SCFResult] = None
+    atom: str = ""
+    basis: str = ""
+
+    @property
+    def num_spin_orbitals(self) -> int:
+        return 2 * self.num_spatial_orbitals
+
+    def one_body_tensor(self) -> np.ndarray:
+        """Spin-orbital one-body tensor h[p,q] (block spin ordering)."""
+        n = self.num_spatial_orbitals
+        h = np.zeros((2 * n, 2 * n))
+        h[:n, :n] = self.hcore_mo
+        h[n:, n:] = self.hcore_mo
+        return h
+
+    def two_body_tensor(self) -> np.ndarray:
+        """Spin-orbital two-body tensor g[p,q,r,s] = 1/2 <pq|rs>.
+
+        <pq|rs> = (pr|qs)_chemist * delta(sigma_p,sigma_r) * delta(sigma_q,sigma_s).
+        """
+        n = self.num_spatial_orbitals
+        g = np.zeros((2 * n,) * 4)
+        # physicist <pq|rs> from chemist (pr|qs)
+        phys = self.eri_mo.transpose(0, 2, 1, 3)  # phys[p,q,r,s] = (pr|qs)
+        for sp in (0, 1):          # spin of p (= spin of r)
+            for sq in (0, 1):      # spin of q (= spin of s)
+                sl_p = slice(sp * n, sp * n + n)
+                sl_q = slice(sq * n, sq * n + n)
+                g[sl_p, sl_q, sl_p, sl_q] += 0.5 * phys
+        return g
+
+    def integral_tensors(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(one_body, two_body) spin-orbital tensors, reference convention."""
+        return self.one_body_tensor(), self.two_body_tensor()
+
+
+class MoleculeDriver:
+    """Compute integrals + RHF for a molecule and emit the problem object.
+
+    Example:
+        problem = MoleculeDriver(atom="H 0 0 0; H 0 0 0.735",
+                                 basis="6-31g").run()
+    """
+
+    def __init__(self, atom: str, basis: str = "sto-3g", charge: int = 0,
+                 spin: int = 0, custom_basis: Optional[dict] = None):
+        if spin != 0:
+            raise NotImplementedError(
+                "only closed-shell RHF references are supported currently")
+        self.atom = atom
+        self.basis = basis
+        self.charge = charge
+        self.custom_basis = custom_basis
+
+    def run(self) -> ElectronicStructureProblem:
+        shells, symbols, coords = build_shells(
+            self.atom, self.basis, self.custom_basis)
+        charges = np.array([ATOMIC_NUMBERS[s] for s in symbols], dtype=np.float64)
+        n_electrons = int(charges.sum()) - self.charge
+
+        engine = IntegralEngine(shells, charges, coords)
+        S, T, V = engine.one_electron()
+        eri = engine.eri()
+        hcore = T + V
+
+        scf = rhf(S, hcore, eri, n_electrons, charges, coords)
+
+        C = scf.mo_coeff
+        h_mo = C.T @ hcore @ C
+        # AO->MO quarter transforms, chemist order (pq|rs)
+        tmp = np.einsum("pqrs,pi->iqrs", eri, C, optimize=True)
+        tmp = np.einsum("iqrs,qj->ijrs", tmp, C, optimize=True)
+        tmp = np.einsum("ijrs,rk->ijks", tmp, C, optimize=True)
+        eri_mo = np.einsum("ijks,sl->ijkl", tmp, C, optimize=True)
+
+        n_mo = C.shape[1]
+        n_a = n_electrons // 2
+        return ElectronicStructureProblem(
+            num_particles=(n_a, n_electrons - n_a),
+            num_spatial_orbitals=n_mo,
+            nuclear_repulsion_energy=scf.nuclear_repulsion,
+            hcore_mo=h_mo,
+            eri_mo=eri_mo,
+            scf=scf,
+            atom=self.atom,
+            basis=self.basis,
+        )
