@@ -1,0 +1,12 @@
+from .fermion import FermionicOp
+from .hamiltonian import ActiveSpaceHamiltonianBuilder, hamiltonian_matrix
+from .jw import JordanWignerMapper
+from .pauli import SparsePauliOp
+
+__all__ = [
+    "FermionicOp",
+    "ActiveSpaceHamiltonianBuilder",
+    "hamiltonian_matrix",
+    "JordanWignerMapper",
+    "SparsePauliOp",
+]
