@@ -1,0 +1,193 @@
+"""Ansatz circuit library.
+
+Native replacements for the qiskit / qiskit-nature circuit library pieces the
+reference relies on (README.md:52-59, tests):
+  - HartreeFock initial state
+  - UCCSD / UCC (excitation-based chemistry ansatz; generators mapped by JW
+    and implemented as exact products of commuting Pauli rotations)
+  - RealAmplitudes / EfficientSU2 / TwoLocal hardware-efficient circuits
+
+UCCSD exactness note: the JW image of a single anti-Hermitian excitation
+generator T - T^dagger is i * sum_k w_k P_k with all P_k mutually commuting,
+so exp(theta (T - T+)) equals the *product* of the individual Pauli
+rotations — no Trotter error within one excitation (same construction qiskit
+uses).  Ordering between excitations matches the enumeration order below.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.fermion import FermionicOp
+from ..ops.jw import JordanWignerMapper
+from .circuit import QuantumCircuit
+
+
+def hartree_fock_bitmask(num_spatial_orbitals: int,
+                         num_particles: Tuple[int, int]) -> int:
+    """Occupation bitmask: alpha 0..na-1, beta n..n+nb-1 (block ordering)."""
+    n = num_spatial_orbitals
+    na, nb = num_particles
+    mask = 0
+    for i in range(na):
+        mask |= 1 << i
+    for i in range(nb):
+        mask |= 1 << (n + i)
+    return mask
+
+
+def HartreeFock(num_spatial_orbitals: int, num_particles: Tuple[int, int],
+                qubit_mapper=None) -> QuantumCircuit:
+    """X-gate preparation of the HF determinant (cf. qiskit-nature HartreeFock)."""
+    nq = 2 * num_spatial_orbitals
+    qc = QuantumCircuit(nq)
+    mask = hartree_fock_bitmask(num_spatial_orbitals, num_particles)
+    for q in range(nq):
+        if (mask >> q) & 1:
+            qc.x(q)
+    return qc
+
+
+def generate_excitations(num_spatial_orbitals: int,
+                         num_particles: Tuple[int, int],
+                         excitations: str = "sd",
+                         generalized: bool = False):
+    """Spin-conserving excitation list.
+
+    Returns list of (occ_tuple, virt_tuple) in spin-orbital indices
+    (alpha block first).  Mirrors qiskit-nature's default UCC behavior:
+    singles preserve spin; doubles preserve total Sz.
+    """
+    n = num_spatial_orbitals
+    na, nb = num_particles
+    occ_a = list(range(na))
+    vir_a = list(range(na, n))
+    occ_b = [n + i for i in range(nb)]
+    vir_b = [n + i for i in range(nb, n)]
+    if generalized:
+        occ_a = vir_a = list(range(n))
+        occ_b = vir_b = [n + i for i in range(n)]
+
+    singles = [
+        ((i,), (a,)) for i, a in itertools.product(occ_a, vir_a)
+    ] + [
+        ((i,), (a,)) for i, a in itertools.product(occ_b, vir_b)
+    ]
+
+    occ_all = occ_a + occ_b
+    vir_all = vir_a + vir_b
+
+    def spin(so):
+        return 0 if so < n else 1
+
+    doubles = []
+    for i, j in itertools.combinations(occ_all, 2):
+        for a, b in itertools.combinations(vir_all, 2):
+            if spin(i) + spin(j) == spin(a) + spin(b):
+                doubles.append(((i, j), (a, b)))
+
+    out = []
+    if "s" in excitations:
+        out += singles
+    if "d" in excitations:
+        out += doubles
+    return out
+
+
+def UCC(num_spatial_orbitals: int,
+        num_particles: Tuple[int, int],
+        excitations: str = "sd",
+        qubit_mapper: Optional[JordanWignerMapper] = None,
+        initial_state: Optional[QuantumCircuit] = None,
+        reps: int = 1,
+        generalized: bool = False) -> QuantumCircuit:
+    """Unitary coupled-cluster ansatz: prod_k exp(theta_k (T_k - T_k+))."""
+    nq = 2 * num_spatial_orbitals
+    mapper = qubit_mapper if isinstance(qubit_mapper, JordanWignerMapper) \
+        else JordanWignerMapper()
+    qc = QuantumCircuit(nq)
+    if initial_state is not None:
+        qc = initial_state.copy()
+        if qc.num_parameters:
+            raise ValueError("initial_state must be parameter free")
+
+    excs = generate_excitations(num_spatial_orbitals, num_particles,
+                                excitations, generalized)
+    for _ in range(reps):
+        for occ, vir in excs:
+            theta = qc.parameter()
+            # T = a+_{a1} (a+_{a2}) ... a_{i2} a_{i1}
+            ops = " ".join(f"+_{a}" for a in vir) + " " + \
+                  " ".join(f"-_{i}" for i in reversed(occ))
+            T = FermionicOp({ops: 1.0}, nq)
+            gen = T - T.adjoint()          # anti-Hermitian generator
+            pauli = mapper.map(gen)        # = i * sum_k w_k P_k, w real
+            for x, z, c in zip(pauli.xs, pauli.zs, pauli.coeffs):
+                w = c.imag                 # c = i * w
+                if abs(w) < 1e-14:
+                    continue
+                # exp(i theta w P) == exp(-i (-2 w theta)/2 P)
+                qc.pauli_rot(theta * (-2.0 * w), x, z)
+    return qc
+
+
+def UCCSD(num_spatial_orbitals: int,
+          num_particles: Tuple[int, int],
+          qubit_mapper=None,
+          initial_state: Optional[QuantumCircuit] = None,
+          reps: int = 1,
+          generalized: bool = False) -> QuantumCircuit:
+    return UCC(num_spatial_orbitals, num_particles, "sd", qubit_mapper,
+               initial_state, reps, generalized)
+
+
+def _entangler_pairs(num_qubits: int, entanglement: str):
+    if entanglement == "linear":
+        return [(i, i + 1) for i in range(num_qubits - 1)]
+    if entanglement == "reverse_linear":
+        return [(i, i + 1) for i in range(num_qubits - 2, -1, -1)]
+    if entanglement == "circular":
+        pairs = [(num_qubits - 1, 0)] if num_qubits > 2 else []
+        return pairs + [(i, i + 1) for i in range(num_qubits - 1)]
+    if entanglement == "full":
+        return list(itertools.combinations(range(num_qubits), 2))
+    raise ValueError(f"unknown entanglement {entanglement!r}")
+
+
+def TwoLocal(num_qubits: int,
+             rotation_blocks="ry",
+             entanglement_blocks="cx",
+             entanglement: str = "full",
+             reps: int = 3,
+             skip_final_rotation_layer: bool = False) -> QuantumCircuit:
+    """Layered rotation + entanglement circuit (cf. qiskit TwoLocal)."""
+    if isinstance(rotation_blocks, str):
+        rotation_blocks = [rotation_blocks]
+    qc = QuantumCircuit(num_qubits)
+
+    def rotation_layer():
+        for name in rotation_blocks:
+            for q in range(num_qubits):
+                getattr(qc, name)(qc.parameter(), q)
+
+    pairs = _entangler_pairs(num_qubits, entanglement)
+    for _ in range(reps):
+        rotation_layer()
+        for (a, b) in pairs:
+            getattr(qc, entanglement_blocks)(a, b)
+    if not skip_final_rotation_layer:
+        rotation_layer()
+    return qc
+
+
+def RealAmplitudes(num_qubits: int, reps: int = 3,
+                   entanglement: str = "reverse_linear") -> QuantumCircuit:
+    return TwoLocal(num_qubits, "ry", "cx", entanglement, reps)
+
+
+def EfficientSU2(num_qubits: int, reps: int = 3,
+                 entanglement: str = "reverse_linear") -> QuantumCircuit:
+    return TwoLocal(num_qubits, ["ry", "rz"], "cx", entanglement, reps)
