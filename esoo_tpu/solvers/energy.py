@@ -1,0 +1,119 @@
+"""Jit-compiled energy / gradient evaluators shared by the eigensolvers.
+
+The hot path: theta -> statevector -> RDM-contraction energy, as a single
+XLA executable with (h, g) as runtime arguments so that outer-loop
+Hamiltonian rebuilds (new rotated integrals every iteration,
+opt_orb_minimum_eigensolver.py:237 in the reference) do NOT trigger
+recompilation — the circuit structure is the only compile-time key.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pauli import SparsePauliOp
+from ..sim.circuit import QuantumCircuit
+from ..sim.rdm import rdm_energy
+from ..sim.statevector import CompiledCircuit, compile_circuit
+
+_FERMI_CACHE: Dict[tuple, tuple] = {}
+
+
+def fermionic_evaluators(compiled: CompiledCircuit, fingerprint) -> tuple:
+    """(energy, value_and_grad) jitted functions of (theta, h, g)."""
+    key = (fingerprint, compiled.is_real)
+    hit = _FERMI_CACHE.get(key)
+    if hit is not None:
+        return hit
+    state_fn = compiled.state_fn
+
+    def energy(theta, h, g):
+        return rdm_energy(state_fn(theta), h, g)
+
+    e_jit = jax.jit(energy)
+    vag_jit = jax.jit(jax.value_and_grad(energy))
+    _FERMI_CACHE[key] = (e_jit, vag_jit)
+    return e_jit, vag_jit
+
+
+def pauli_evaluators(compiled: CompiledCircuit, op: SparsePauliOp) -> tuple:
+    """(energy, value_and_grad) jitted for a fixed Hermitian Pauli sum."""
+    xs, zs, ys, coeffs = op.mask_arrays()
+    state_fn = compiled.state_fn
+    if compiled.is_real:
+        # real states: only even-Y strings contribute; weights are real
+        keep = ys % 2 == 0
+        xs, zs, ys = xs[keep], zs[keep], ys[keep]
+        w = np.real(coeffs[keep] * np.power(1j, ys % 4))
+        xs_j, zs_j = jnp.asarray(xs), jnp.asarray(zs)
+        w_j = jnp.asarray(w)
+
+        def energy(theta):
+            s = state_fn(theta)
+            idx = jnp.arange(s.shape[0])
+
+            def one(x, z):
+                perm = idx ^ x
+                par = jax.lax.population_count(perm & z) & 1
+                sign = (1 - 2 * par).astype(s.dtype)
+                return jnp.sum(s * sign * s[perm])
+
+            q = jax.vmap(one)(xs_j, zs_j)
+            return jnp.sum(w_j * q)
+
+    else:
+        phases = np.power(1j, ys % 4)
+        c_j = jnp.asarray(coeffs * phases)
+        xs_j, zs_j = jnp.asarray(xs), jnp.asarray(zs)
+
+        def energy(theta):
+            s = state_fn(theta)
+            idx = jnp.arange(s.shape[0])
+
+            def one(x, z):
+                perm = idx ^ x
+                par = jax.lax.population_count(perm & z) & 1
+                sign = (1 - 2 * par).astype(s.dtype)
+                return jnp.sum(jnp.conj(s) * sign * s[perm])
+
+            q = jax.vmap(one)(xs_j, zs_j)
+            return jnp.real(jnp.sum(c_j * q))
+
+    return jax.jit(energy), jax.jit(jax.value_and_grad(energy))
+
+
+def make_evaluators(circuit: QuantumCircuit, operator: SparsePauliOp):
+    """Dispatch to the fermionic fast path when the operator carries (h, g).
+
+    Returns (energy_fn(theta) -> float, vag_fn(theta) -> (float, grad)).
+    """
+    compiled = compile_circuit(circuit)
+    if getattr(operator, "fermionic", None) is not None:
+        h, g = operator.fermionic
+        h_j = jnp.asarray(h)
+        g_j = jnp.asarray(g)
+        e_jit, vag_jit = fermionic_evaluators(compiled, circuit.fingerprint())
+
+        def energy(theta):
+            return float(e_jit(jnp.asarray(theta), h_j, g_j))
+
+        def vag(theta):
+            v, gr = vag_jit(jnp.asarray(theta), h_j, g_j)
+            return float(v), np.asarray(gr)
+
+        return energy, vag
+
+    e_jit, vag_jit = pauli_evaluators(compiled, operator)
+
+    def energy(theta):
+        return float(e_jit(jnp.asarray(theta)))
+
+    def vag(theta):
+        v, gr = vag_jit(jnp.asarray(theta))
+        return float(v), np.asarray(gr)
+
+    return energy, vag
