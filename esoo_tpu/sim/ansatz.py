@@ -116,22 +116,40 @@ def UCC(num_spatial_orbitals: int,
 
     excs = generate_excitations(num_spatial_orbitals, num_particles,
                                 excitations, generalized)
+    pool = []          # rotation groups, one per (rep, excitation)
     for _ in range(reps):
         for occ, vir in excs:
             theta = qc.parameter()
-            # T = a+_{a1} (a+_{a2}) ... a_{i2} a_{i1}
-            ops = " ".join(f"+_{a}" for a in vir) + " " + \
-                  " ".join(f"-_{i}" for i in reversed(occ))
-            T = FermionicOp({ops: 1.0}, nq)
-            gen = T - T.adjoint()          # anti-Hermitian generator
-            pauli = mapper.map(gen)        # = i * sum_k w_k P_k, w real
-            for x, z, c in zip(pauli.xs, pauli.zs, pauli.coeffs):
-                w = c.imag                 # c = i * w
-                if abs(w) < 1e-14:
-                    continue
+            group = excitation_rotation_group(occ, vir, nq, mapper)
+            pool.append(group)
+            for x, z, w in group:
                 # exp(i theta w P) == exp(-i (-2 w theta)/2 P)
                 qc.pauli_rot(theta * (-2.0 * w), x, z)
+    # metadata consumed by AdaptVQE (operator pool + excitation labels)
+    qc._ucc_pool = pool
+    qc._ucc_excitations = excs * reps
+    qc._ucc_initial_state = initial_state
     return qc
+
+
+def excitation_rotation_group(occ, vir, num_qubits: int,
+                              mapper: Optional[JordanWignerMapper] = None):
+    """JW image of T - T+ for one excitation as [(x, z, w), ...], w real.
+
+    exp(theta (T - T+)) = prod_k exp(i theta w_k P_k) exactly (commuting set).
+    """
+    mapper = mapper or JordanWignerMapper()
+    ops = " ".join(f"+_{a}" for a in vir) + " " + \
+          " ".join(f"-_{i}" for i in reversed(occ))
+    T = FermionicOp({ops: 1.0}, num_qubits)
+    gen = T - T.adjoint()
+    pauli = mapper.map(gen)      # = i * sum_k w_k P_k with real w_k
+    group = []
+    for x, z, c in zip(pauli.xs, pauli.zs, pauli.coeffs):
+        w = c.imag
+        if abs(w) > 1e-14:
+            group.append((x, z, w))
+    return group
 
 
 def UCCSD(num_spatial_orbitals: int,

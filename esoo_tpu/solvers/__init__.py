@@ -1,0 +1,29 @@
+from .adapt_vqe import AdaptVQE, AdaptVQEResult, TerminationCriterion
+from .mcvqe import MCVQE, MCVQEResult
+from .optimizers import (
+    ADAM,
+    CG,
+    COBYLA,
+    L_BFGS_B,
+    NELDER_MEAD,
+    POWELL,
+    SLSQP,
+    SPSA,
+    GradientDescent,
+    Minimizer,
+    Optimizer,
+    OptimizerResult,
+)
+from .ssvqe import SSVQE, SSVQEResult
+from .vqd import VQD, VQDResult
+from .vqe import VQE, AlgorithmError, NumPyMinimumEigensolver, VQEResult
+
+__all__ = [
+    "AdaptVQE", "AdaptVQEResult", "TerminationCriterion",
+    "MCVQE", "MCVQEResult",
+    "ADAM", "CG", "COBYLA", "L_BFGS_B", "NELDER_MEAD", "POWELL", "SLSQP",
+    "SPSA", "GradientDescent", "Minimizer", "Optimizer", "OptimizerResult",
+    "SSVQE", "SSVQEResult",
+    "VQD", "VQDResult",
+    "VQE", "AlgorithmError", "NumPyMinimumEigensolver", "VQEResult",
+]

@@ -1,0 +1,153 @@
+"""ADAPT-VQE: adaptive derivative-assembled ansatz growth.
+
+The reference imports AdaptVQE from qiskit_algorithms (the only eigensolver
+it does not implement itself; used by OptOrbAdaptVQE, opt_orb_adapt_vqe.py).
+This is a from-scratch implementation.
+
+Pool-gradient screening is done with a single jitted value_and_grad: ALL
+candidate excitation rotations are appended to the current ansatz at
+theta = 0, where dE/dtheta_k = <psi| [H, A_k] |psi> independently of the
+append order — one backward pass scores the whole pool (instead of one
+commutator estimation per pool element).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.pauli import SparsePauliOp
+from ..sim.circuit import QuantumCircuit
+from .energy import make_evaluators
+from .vqe import VQE, VQEResult, AlgorithmError
+
+
+class TerminationCriterion(enum.Enum):
+    CONVERGED = "converged"
+    CYCLICITY = "aborted due to a cyclic selection of evolution operators"
+    MAXIMUM = "maximum number of iterations reached"
+
+
+class AdaptVQEResult(VQEResult):
+    def __init__(self):
+        super().__init__()
+        self.num_iterations: int = 0
+        self.final_maximum_gradient: float = 0.0
+        self.termination_criterion: Optional[TerminationCriterion] = None
+        self.eigenvalue_history: List[float] = []
+
+
+def _append_group(circuit: QuantumCircuit, group) -> QuantumCircuit:
+    """Append one excitation rotation group with a fresh parameter."""
+    theta = circuit.parameter()
+    for x, z, w in group:
+        circuit.pauli_rot(theta * (-2.0 * w), x, z)
+    return circuit
+
+
+class AdaptVQE:
+    """Iteratively grows a UCC-style ansatz from an operator pool.
+
+    Args:
+        solver: a VQE whose `ansatz` was built by sim.ansatz.UCC/UCCSD —
+            the excitation pool and initial state are taken from it.
+        gradient_threshold: stop when max |pool gradient| falls below this.
+        eigenvalue_threshold: stop when the energy improvement of the last
+            growth step falls below this.
+        max_iterations: cap on growth steps (None = pool size).
+    """
+
+    def __init__(self, solver: VQE, *,
+                 gradient_threshold: float = 1e-5,
+                 eigenvalue_threshold: float = 1e-5,
+                 max_iterations: Optional[int] = None):
+        self.solver = solver
+        self.gradient_threshold = gradient_threshold
+        self.eigenvalue_threshold = eigenvalue_threshold
+        self.max_iterations = max_iterations
+
+    def compute_minimum_eigenvalue(self, operator: SparsePauliOp,
+                                   aux_operators=None) -> AdaptVQEResult:
+        template = self.solver.ansatz
+        pool = getattr(template, "_ucc_pool", None)
+        if pool is None:
+            raise AlgorithmError(
+                "AdaptVQE requires an ansatz built by sim.ansatz.UCC/UCCSD "
+                "(carrying its excitation pool)")
+        initial = getattr(template, "_ucc_initial_state", None)
+        nq = operator.num_qubits
+
+        base = initial.copy() if initial is not None else QuantumCircuit(nq)
+        if base.num_parameters:
+            raise AlgorithmError("AdaptVQE initial state must be parameter-free")
+
+        max_iter = self.max_iterations or len(pool)
+        theta: List[float] = []
+        selected: List[int] = []
+        history: List[float] = []
+        result = AdaptVQEResult()
+        criterion = TerminationCriterion.MAXIMUM
+        max_grad_val = 0.0
+        prev_energy = None
+        current = base.copy()
+        last_vqe: Optional[VQEResult] = None
+
+        for it in range(1, max_iter + 1):
+            # --- pool screening: append every candidate at theta=0 ----------
+            probe = current.copy()
+            for group in pool:
+                _append_group(probe, group)
+            _, vag = make_evaluators(probe, operator)
+            probe_theta = np.concatenate([np.asarray(theta),
+                                          np.zeros(len(pool))])
+            _, grad = vag(probe_theta)
+            pool_grads = np.abs(grad[len(theta):])
+            best = int(np.argmax(pool_grads))
+            max_grad_val = float(pool_grads[best])
+            if max_grad_val < self.gradient_threshold:
+                criterion = TerminationCriterion.CONVERGED
+                break
+            if len(selected) >= 2 and selected[-1] == best and selected[-2] == best:
+                criterion = TerminationCriterion.CYCLICITY
+                break
+
+            # --- grow and re-optimize ---------------------------------------
+            selected.append(best)
+            current = _append_group(current, pool[best])
+            vqe = VQE(estimator=self.solver.estimator, ansatz=current,
+                      optimizer=self.solver.optimizer,
+                      initial_point=np.concatenate([np.asarray(theta), [0.0]]),
+                      callback=self.solver.callback)
+            last_vqe = vqe.compute_minimum_eigenvalue(operator)
+            theta = list(np.asarray(last_vqe.optimal_point))
+            history.append(float(last_vqe.eigenvalue))
+            if prev_energy is not None and \
+                    abs(history[-1] - prev_energy) < self.eigenvalue_threshold:
+                criterion = TerminationCriterion.CONVERGED
+                break
+            prev_energy = history[-1]
+
+        if last_vqe is None:
+            # pool converged immediately: evaluate the bare reference state
+            efn, _ = make_evaluators(
+                current if current.gates else base, operator)
+            result.eigenvalue = float(efn(np.zeros(0)))
+            result.optimal_point = np.zeros(0)
+            result.optimal_parameters = np.zeros(0)
+            result.optimal_value = result.eigenvalue
+            result.optimal_circuit = current
+        else:
+            result.eigenvalue = last_vqe.eigenvalue
+            result.optimal_point = last_vqe.optimal_point
+            result.optimal_parameters = last_vqe.optimal_parameters
+            result.optimal_value = last_vqe.optimal_value
+            result.optimal_circuit = current
+            result.cost_function_evals = last_vqe.cost_function_evals
+            result.optimizer_time = last_vqe.optimizer_time
+        result.num_iterations = it
+        result.final_maximum_gradient = max_grad_val
+        result.termination_criterion = criterion
+        result.eigenvalue_history = history
+        return result
