@@ -1,0 +1,423 @@
+"""Shared machinery of the OptOrb solver family.
+
+Native re-design of the reference's BaseOptOrbSolver
+(base_opt_orb_solver.py:19-657): integral ingestion, initial partial
+unitary, rotated-Hamiltonian rebuild, RDM measurement, and the energy
+functional closures handed to the Stiefel optimizer.
+
+Key architectural departures (all TPU-motivated):
+
+  * **Spatial fast path.**  Chemistry tensors are validated once for the
+    RHF spin-block structure, then ALL heavy math runs on spatial m = M/2
+    tensors (see kernels.py) — 16x cheaper than the reference's
+    spin-orbital einsums.
+  * **Direct RDM extraction.**  By default the one/two-RDMs are computed
+    from the simulator statevector with two GEMMs (sim/rdm.py) instead of
+    the reference's O(N^4) sequential per-Pauli estimator calls
+    (opt_orb_minimum_eigensolver.py:187-202).  The per-Pauli path —
+    `construct_pauli_op_dict` + `get_one/two_RDM_tensor`
+    (base_opt_orb_solver.py:247-360, :362-532) — is retained under
+    `rdm_measurement='pauli'` for semantics parity and cross-checking.
+  * **Hamiltonian rebuild** reuses the precomputed Jordan-Wigner structure
+    (ops/hamiltonian.py): two sparse matvecs per outer iteration instead
+    of O(N^4) symbolic mapper calls (ref base_opt_orb_solver.py:584-612).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fermion import FermionicOp
+from ..ops.hamiltonian import ActiveSpaceHamiltonianBuilder
+from ..ops.jw import JordanWignerMapper
+from ..ops.pauli import SparsePauliOp, masks_to_label
+from ..sim.estimator import Estimator
+from ..sim.rdm import one_rdm, two_rdm
+from ..sim.statevector import compile_circuit, expectation_pauli
+from .kernels import (
+    expand_spin_tensors,
+    rotated_energy_so,
+    rotated_energy_spatial,
+    rotated_integrals_spatial,
+    spatial_blocks,
+    spin_blocks_consistent,
+    spin_reduce_rdms,
+)
+from .stiefel import PartialUnitaryProjectionOptimizer, orth
+
+
+# --- module-level jittable objectives (stable identities => the Stiefel ---
+# --- optimizer compiles each exactly once per shape signature)          ---
+
+def _spatial_objective(U, gamma_s, Gamma_s, h_sp, g_sp):
+    return rotated_energy_spatial(U, gamma_s, Gamma_s, h_sp, g_sp)
+
+
+def _so_objective(U, gamma, Gamma, h_so, g_so):
+    return rotated_energy_so(U, gamma, Gamma, h_so, g_so)
+
+
+_hamiltonian_builder_cache: Dict[int, ActiveSpaceHamiltonianBuilder] = {}
+
+
+def _get_builder(num_spin_orbitals: int) -> ActiveSpaceHamiltonianBuilder:
+    b = _hamiltonian_builder_cache.get(num_spin_orbitals)
+    if b is None:
+        b = ActiveSpaceHamiltonianBuilder(num_spin_orbitals)
+        _hamiltonian_builder_cache[num_spin_orbitals] = b
+    return b
+
+
+class BaseOptOrbResult:
+    """Result fields shared by all OptOrb solvers (ref :628-653)."""
+
+    def __init__(self) -> None:
+        self.optimal_partial_unitary: Optional[np.ndarray] = None
+        self.num_vqe_evaluations: int = 0
+        self.energy_convergence_list: List[float] = []
+        self.orbital_rotation_iterations: List[int] = []
+        self.metrics: Dict[str, list] = {}
+
+
+class BaseOptOrbSolver:
+    """Shared OptOrb machinery (constructor parity with the reference,
+    base_opt_orb_solver.py:19-33 — including the historically misspelled
+    ``wavefuntion_real`` keyword the shipped examples rely on)."""
+
+    def __init__(self,
+                 num_spin_orbitals: int,
+                 mapper: Optional[JordanWignerMapper] = None,
+                 estimator: Optional[Estimator] = None,
+                 partial_unitary_optimizer: Optional[PartialUnitaryProjectionOptimizer] = None,
+                 problem=None,
+                 integral_tensors: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                 initial_partial_unitary: Optional[np.ndarray] = None,
+                 maxiter: int = 10,
+                 stopping_tolerance: float = 1e-5,
+                 spin_conserving: bool = False,
+                 wavefuntion_real: bool = False,
+                 outer_loop_callback: Optional[Callable] = None,
+                 partial_unitary_random_perturbation: Optional[float] = None,
+                 RDM_ops_batchsize: Optional[int] = 100,
+                 rdm_measurement: str = "direct",
+                 checkpoint_dir: Optional[str] = None,
+                 seed: Optional[int] = None):
+        """
+        Args (reference-parity unless noted):
+            num_spin_orbitals: active-space size N.
+            mapper: fermion->qubit mapper for RDM ops (default JW).
+            estimator: expectation-value primitive (used by the per-Pauli
+                RDM path; the direct path reads the statevector).
+            partial_unitary_optimizer: the Stiefel/BB inner optimizer.
+            problem: an ElectronicStructureProblem (chem.driver) supplying
+                spin-orbital integral tensors.
+            integral_tensors: explicit (h, g) dense spin-orbital tensors in
+                the reference convention (physicist two-body with the -1
+                sign folded, i.e. E2 = sum g * <a+ a+ a a>).
+            initial_partial_unitary: spatial (M/2, N/2) initial U; defaults
+                to the HF permutation matrix.
+            maxiter / stopping_tolerance: outer-loop control.
+            spin_conserving / wavefuntion_real: RDM symmetry flags
+                (consumed by the per-Pauli parity path; the direct path is
+                exact regardless).
+            outer_loop_callback: callback(iteration, solver_result,
+                optorb_result) per outer iteration.
+            partial_unitary_random_perturbation: stddev of the N(0, s)
+                noise added to U (then re-orthonormalized) before each
+                inner optimization.
+            RDM_ops_batchsize: batch size for the per-Pauli path (parity
+                knob; the estimator is stateless here).
+            rdm_measurement: 'direct' (statevector GEMM path, default) or
+                'pauli' (reference-semantics per-operator estimation).
+            checkpoint_dir: if set, write a resumable checkpoint after
+                every outer iteration (new capability; reference only
+                offered the callback seam, base_opt_orb_solver.py:60-62).
+            seed: RNG seed for perturbations.
+        """
+        self.mapper = mapper or JordanWignerMapper()
+        self.estimator = estimator or Estimator()
+        self.partial_unitary_optimizer = (
+            partial_unitary_optimizer or PartialUnitaryProjectionOptimizer())
+
+        if integral_tensors is not None:
+            h_so = np.asarray(integral_tensors[0], dtype=np.float64)
+            g_so = np.asarray(integral_tensors[1], dtype=np.float64)
+        elif problem is not None:
+            h_so, g_so = problem.integral_tensors()
+        else:
+            raise ValueError("either `problem` or `integral_tensors` required")
+
+        self.one_body_integrals = h_so
+        self.two_body_integrals = g_so
+        self.num_original_spin_orbitals = h_so.shape[0]
+        self.num_spin_orbitals = num_spin_orbitals
+
+        # spatial fast path eligibility (verified once, host-side)
+        self._spatial_path = spin_blocks_consistent(h_so, g_so)
+        if self._spatial_path:
+            h_sp, g_sp = spatial_blocks(h_so, g_so)
+            self._h_sp = jnp.asarray(h_sp)
+            self._g_sp = jnp.asarray(g_sp)
+        else:
+            self._h_sp = self._g_sp = None
+        self._h_so = jnp.asarray(h_so)
+        self._g_so = jnp.asarray(g_so)
+
+        m = self.num_original_spin_orbitals // 2
+        n = num_spin_orbitals // 2
+        if initial_partial_unitary is None:
+            U0 = np.zeros((m, n))
+            U0[np.arange(n), np.arange(n)] = 1.0  # HF permutation (ref :93-103)
+        else:
+            U0 = np.asarray(initial_partial_unitary, dtype=np.float64)
+            if U0.shape != (m, n):
+                raise ValueError(
+                    f"initial_partial_unitary must be spatial ({m}, {n}), "
+                    f"got {U0.shape}")
+        self.initial_partial_unitary = U0
+        self._current_partial_unitary = U0
+
+        self.maxiter = maxiter
+        self.stopping_tolerance = stopping_tolerance
+        self.spin_conserving = spin_conserving
+        self.wavefunction_real = wavefuntion_real
+        self.outer_loop_callback = outer_loop_callback
+        self.partial_unitary_random_perturbation = partial_unitary_random_perturbation
+        self.RDM_ops_batchsize = RDM_ops_batchsize
+        if rdm_measurement not in ("direct", "pauli"):
+            raise ValueError("rdm_measurement must be 'direct' or 'pauli'")
+        self.rdm_measurement = rdm_measurement
+        self.checkpoint_dir = checkpoint_dir
+        self._rng = np.random.default_rng(seed)
+
+        self._hamiltonian: Optional[SparsePauliOp] = None
+        self._pauli_op_dict: Optional[Dict[str, SparsePauliOp]] = None
+        self._energy_convergence_list: List[float] = []
+
+        # per-iteration copies, mirroring the reference's lifecycle
+        # (base_opt_orb_solver.py:75) — our optimizer is stateless apart
+        # from its compile cache, which the copies share.
+        self._partial_unitary_optimizer_list = [
+            copy.copy(self.partial_unitary_optimizer)
+            for _ in range(int(maxiter) + 1)
+        ]
+
+    # -- properties (parity surface) --------------------------------------
+    @property
+    def energy_convergence_list(self) -> List[float]:
+        return self._energy_convergence_list
+
+    @property
+    def current_partial_unitary(self) -> np.ndarray:
+        return np.asarray(self._current_partial_unitary)
+
+    # -- Stiefel projection ------------------------------------------------
+    @staticmethod
+    def orth(V) -> np.ndarray:
+        """Polar-factor projection onto the Stiefel manifold (ref :614-626)."""
+        return np.asarray(orth(jnp.asarray(V)))
+
+    # -- energy functionals ------------------------------------------------
+    def compute_rotated_energy(self, partial_unitary, oneRDM, twoRDM,
+                               one_body_integrals, two_body_integrals):
+        """E(U) with explicit spin-orbital RDMs/integrals — reference-parity
+        signature (base_opt_orb_solver.py:534-582); jax-traceable."""
+        return _so_objective(partial_unitary, oneRDM, twoRDM,
+                             one_body_integrals, two_body_integrals)
+
+    def _inner_objective_and_data(self, gammas, Gammas,
+                                  weights: Optional[Sequence[float]] = None):
+        """(objective_fn, data tuple) for the Stiefel optimizer.
+
+        The weighted multi-state sum  sum_i w_i E(U; RDM_i)  is linear in
+        the RDMs, so it collapses to ONE energy evaluation with
+        weight-combined RDMs — k-fold cheaper than the reference's
+        per-state loop (opt_orb_eigensolver.py:149-169).
+        """
+        if weights is None:
+            weights = [1.0] * len(gammas)
+        w = np.asarray(weights, dtype=np.float64)
+        gamma = sum(wi * np.real(np.asarray(gi)) for wi, gi in zip(w, gammas))
+        Gamma = sum(wi * np.real(np.asarray(Gi)) for wi, Gi in zip(w, Gammas))
+        if self._spatial_path:
+            gamma_s, Gamma_s = spin_reduce_rdms(jnp.asarray(gamma),
+                                                jnp.asarray(Gamma))
+            return _spatial_objective, (gamma_s, Gamma_s,
+                                        self._h_sp, self._g_sp)
+        return _so_objective, (jnp.asarray(gamma), jnp.asarray(Gamma),
+                               self._h_so, self._g_so)
+
+    # -- Hamiltonian rebuild -----------------------------------------------
+    def get_rotated_hamiltonian(self, partial_unitary) -> SparsePauliOp:
+        """Qubit Hamiltonian of the active space after rotating by U
+        (ref :584-612)."""
+        u = jnp.asarray(partial_unitary)
+        if self._spatial_path:
+            h_act, g_act = rotated_integrals_spatial(u, self._h_sp, self._g_sp)
+            h_so, g_so = expand_spin_tensors(h_act, g_act)
+        else:
+            from .kernels import expand_spin, rotate_one_body, rotate_two_body
+            U = expand_spin(u)
+            h_so = rotate_one_body(self._h_so, U)
+            g_so = rotate_two_body(self._g_so, U)
+        return _get_builder(self.num_spin_orbitals).build(
+            np.asarray(h_so), np.asarray(g_so))
+
+    # -- RDM measurement: direct statevector path --------------------------
+    def measure_rdms_direct(self, state_vector) -> Tuple[np.ndarray, np.ndarray]:
+        """(gamma, Gamma) from a statevector via the GEMM contraction path."""
+        N = self.num_spin_orbitals
+        sv = jnp.asarray(state_vector)
+        return np.asarray(one_rdm(sv, N)), np.asarray(two_rdm(sv, N))
+
+    # -- RDM measurement: per-Pauli parity path ----------------------------
+    def _rdm_fermionic_terms(self):
+        """Yields (kind, indices, FermionicOp) for every RDM element operator,
+        with the reference's pruning (p==q / r==s zero, spin conservation)."""
+        N = self.num_spin_orbitals
+        n = N // 2
+
+        def spin(p):
+            return 0 if p < n else 1
+
+        for p in range(N):
+            for q in range(N):
+                if self.spin_conserving and spin(p) != spin(q):
+                    continue
+                yield ("one", (p, q),
+                       FermionicOp({f"+_{p} -_{q}": 1.0}, N))
+        for p in range(N):
+            for q in range(N):
+                if p == q:
+                    continue
+                for r in range(N):
+                    for s in range(N):
+                        if r == s:
+                            continue
+                        if self.spin_conserving and \
+                                spin(p) + spin(q) != spin(r) + spin(s):
+                            continue
+                        yield ("two", (p, q, r, s),
+                               FermionicOp({f"+_{p} +_{q} -_{s} -_{r}": 1.0}, N))
+
+    def construct_pauli_op_dict(self, mapper=None) -> Dict[str, SparsePauliOp]:
+        """Label -> single-Pauli SparsePauliOp for every Pauli string needed
+        by any RDM element (ref base_opt_orb_solver.py:247-360).
+
+        Deduplication is global across elements (each distinct Pauli string
+        is measured exactly once), subsuming the reference's
+        Hermitian-vs-split bookkeeping.
+        """
+        mapper = mapper or self.mapper
+        N = self.num_spin_orbitals
+        pauli_dict: Dict[str, SparsePauliOp] = {}
+        decomps: Dict[tuple, list] = {}
+        for kind, idx, fop in self._rdm_fermionic_terms():
+            op = mapper.map(fop)
+            terms = []
+            for x, z, c in zip(op.xs, op.zs, op.coeffs):
+                label = masks_to_label(x, z, N)
+                if label not in pauli_dict:
+                    pauli_dict[label] = SparsePauliOp(
+                        ([x], [z]), [1.0], num_qubits=N)
+                terms.append((label, complex(c)))
+            decomps[(kind,) + idx] = terms
+        self._rdm_decompositions = decomps
+        self._pauli_op_dict = pauli_dict
+        return pauli_dict
+
+    def measure_pauli_dict(self, state_circuit, params=None,
+                           estimator: Optional[Estimator] = None
+                           ) -> Dict[str, float]:
+        """Expectation value of every dict Pauli w.r.t. the given state.
+
+        Reference semantics (one estimator call per op,
+        opt_orb_minimum_eigensolver.py:187-202) collapsed into one batched
+        device evaluation over the whole dict.
+        """
+        if self._pauli_op_dict is None:
+            self.construct_pauli_op_dict(self.mapper)
+        compiled = compile_circuit(state_circuit)
+        if params is None:
+            params = np.zeros(compiled.num_parameters)
+        state = compiled.state(jnp.asarray(params))
+        labels = list(self._pauli_op_dict.keys())
+        xs = np.array([self._pauli_op_dict[lb].xs[0] for lb in labels])
+        zs = np.array([self._pauli_op_dict[lb].zs[0] for lb in labels])
+        ys = np.array([bin(x & z).count("1") for x, z in zip(xs, zs)])
+        vals = []
+        bs = self.RDM_ops_batchsize or len(labels)
+        for lo in range(0, len(labels), bs):
+            sl = slice(lo, lo + bs)
+            from ..sim.statevector import pauli_quadforms
+            q = np.asarray(pauli_quadforms(state, jnp.asarray(xs[sl]),
+                                           jnp.asarray(zs[sl])))
+            vals.append(q * np.power(1j, ys[sl] % 4))
+        flat = np.concatenate(vals)
+        return dict(zip(labels, flat))
+
+    def get_one_RDM_tensor(self, expectval_dict: Dict[str, complex],
+                           mapper=None) -> np.ndarray:
+        """Assemble gamma from Pauli expectation values (ref :455-532)."""
+        N = self.num_spin_orbitals
+        dtype = np.float64 if self.wavefunction_real else np.complex128
+        gamma = np.zeros((N, N), dtype=dtype)
+        for key, terms in self._rdm_decompositions.items():
+            if key[0] != "one":
+                continue
+            _, p, q = key
+            val = sum(c * expectval_dict[lb] for lb, c in terms)
+            gamma[p, q] = val.real if self.wavefunction_real else val
+        return gamma
+
+    def get_two_RDM_tensor(self, expectval_dict: Dict[str, complex],
+                           mapper=None) -> np.ndarray:
+        """Assemble Gamma from Pauli expectation values (ref :362-453)."""
+        N = self.num_spin_orbitals
+        dtype = np.float64 if self.wavefunction_real else np.complex128
+        Gamma = np.zeros((N, N, N, N), dtype=dtype)
+        for key, terms in self._rdm_decompositions.items():
+            if key[0] != "two":
+                continue
+            _, p, q, r, s = key
+            val = sum(c * expectval_dict[lb] for lb, c in terms)
+            Gamma[p, q, r, s] = val.real if self.wavefunction_real else val
+        return Gamma
+
+    # -- shared outer-loop helpers ----------------------------------------
+    def _maybe_perturb_unitary(self, U: np.ndarray) -> np.ndarray:
+        scale = self.partial_unitary_random_perturbation
+        if scale:
+            noise = self._rng.normal(0.0, scale, size=U.shape)
+            return self.orth(U + noise)
+        return U
+
+    def _rdms_for_states(self, state_vectors) -> Tuple[list, list]:
+        """(gammas, Gammas) for each state, on the configured path."""
+        gammas, Gammas = [], []
+        for sv in state_vectors:
+            g1, g2 = self.measure_rdms_direct(sv)
+            gammas.append(g1)
+            Gammas.append(g2)
+        return gammas, Gammas
+
+    def _rdms_via_pauli(self, circuits_and_params) -> Tuple[list, list]:
+        gammas, Gammas = [], []
+        for circ, params in circuits_and_params:
+            vals = self.measure_pauli_dict(circ, params)
+            gammas.append(self.get_one_RDM_tensor(vals))
+            Gammas.append(self.get_two_RDM_tensor(vals))
+        return gammas, Gammas
+
+    def stopping_condition(self, iteration: int) -> bool:
+        """ref opt_orb_minimum_eigensolver.py:125-138."""
+        lst = self._energy_convergence_list
+        if len(lst) >= 2:
+            return (iteration == self.maxiter
+                    or abs(lst[-1] - lst[-2]) < self.stopping_tolerance)
+        return False

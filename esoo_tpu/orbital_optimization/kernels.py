@@ -1,0 +1,208 @@
+"""Integral-rotation and energy-functional kernels.
+
+The OptOrb hot path: rotating the one/two-electron integral tensors of the
+M-spin-orbital starting basis into the N-spin-orbital active basis by a
+partial unitary U, and evaluating
+
+    E(U) = sum_pq  h[p,q]      (U gamma U^T)[p,q]
+         + sum_pqrs g[p,q,r,s] (U (x) U (x) U (x) U  Gamma)[p,q,r,s]
+
+(reference: base_opt_orb_solver.py:534-582, the torch einsum chain at
+:554-563 and the Hamiltonian-rebuild transform at :599-604).
+
+TPU-first redesign (instead of translating the 6-operand spin-orbital
+einsum):
+
+  * **Spatial-basis factorization.**  U = blockdiag(u, u) is spin-diagonal
+    and chemistry integral tensors are spin-block structured
+    (g[p sig, q tau, r sig, s tau] = b[p,q,r,s] for all four (sig, tau)
+    patterns, everything else zero).  The M-scale two-electron transform
+    therefore reduces to ONE spatial m = M/2 transform — 16x fewer FLOPs
+    and 16x less HBM traffic than the spin-orbital contraction, and the
+    expensive tensors never leave spatial form.
+  * **Staged GEMMs.**  The 4-index transform runs as four successive
+    matrix contractions (m^4 n + m^3 n^2 + m^2 n^3 + m n^4 FLOPs), each a
+    reshape + dot that XLA tiles directly onto the MXU, instead of a naive
+    m^4 n^4 einsum.
+  * The active-space RDM spin reduction (gamma_s, Gamma_s) happens once
+    per inner optimization; the per-iterate energy is pure GEMM work in
+    the spatial basis, differentiated with jax.grad.
+
+A full spin-orbital path (`rotated_energy_so`) is kept both as the
+correctness oracle and as the fallback for user-supplied tensors without
+the spin-block structure.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# spin-structure utilities (host, run once at ingestion)
+# ---------------------------------------------------------------------------
+
+
+def expand_spin(u: jnp.ndarray) -> jnp.ndarray:
+    """Spatial (m, n) partial unitary -> spin-orbital (2m, 2n) block diagonal.
+
+    Reference equivalent: torch.block_diag(U, U) (base_opt_orb_solver.py:549).
+    """
+    m, n = u.shape
+    out = jnp.zeros((2 * m, 2 * n), dtype=u.dtype)
+    out = out.at[:m, :n].set(u)
+    out = out.at[m:, n:].set(u)
+    return out
+
+
+def spin_blocks_consistent(h_so: np.ndarray, g_so: np.ndarray,
+                           atol: float = 1e-12) -> bool:
+    """True iff (h, g) have the RHF spin-block structure enabling the
+    spatial fast path:
+
+      h = blockdiag(h_sp, h_sp);
+      g[p+sig*m, q+tau*m, r+sig'*m, s+tau'*m] = delta(sig,sig') delta(tau,tau') b[pqrs]
+      with the same spatial b for all four (sig, tau) patterns.
+    """
+    M = h_so.shape[0]
+    m = M // 2
+    if not np.allclose(h_so[:m, :m], h_so[m:, m:], atol=atol):
+        return False
+    if np.abs(h_so[:m, m:]).max(initial=0.0) > atol:
+        return False
+    if np.abs(h_so[m:, :m]).max(initial=0.0) > atol:
+        return False
+    b = g_so[:m, :m, :m, :m]
+    sl = [slice(0, m), slice(m, 2 * m)]
+    for sig in (0, 1):
+        for tau in (0, 1):
+            for sigp in (0, 1):
+                for taup in (0, 1):
+                    blk = g_so[sl[sig], sl[tau], sl[sigp], sl[taup]]
+                    if sig == sigp and tau == taup:
+                        if not np.allclose(blk, b, atol=atol):
+                            return False
+                    else:
+                        if np.abs(blk).max(initial=0.0) > atol:
+                            return False
+    return True
+
+
+def spatial_blocks(h_so: np.ndarray, g_so: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the spatial blocks (h_sp, g_sp) from spin-orbital tensors."""
+    m = h_so.shape[0] // 2
+    return np.ascontiguousarray(h_so[:m, :m]), \
+        np.ascontiguousarray(g_so[:m, :m, :m, :m])
+
+
+def spin_reduce_rdms(gamma: jnp.ndarray, Gamma: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Active-space spin-summed RDMs for the spatial energy path.
+
+      gamma_s[i,j]     = sum_sig gamma[i sig, j sig]
+      Gamma_s[i,j,k,l] = sum_{sig,tau} Gamma[i sig, j tau, k sig, l tau]
+
+    (block ordering: alpha 0..n-1, beta n..2n-1).  Runs once per inner
+    optimization; N is the small active dimension.
+    """
+    N = gamma.shape[0]
+    n = N // 2
+    a, b = slice(0, n), slice(n, N)
+    gamma_s = gamma[a, a] + gamma[b, b]
+    Gamma_s = (Gamma[a, a, a, a] + Gamma[a, b, a, b]
+               + Gamma[b, a, b, a] + Gamma[b, b, b, b])
+    return jnp.real(gamma_s), jnp.real(Gamma_s)
+
+
+# ---------------------------------------------------------------------------
+# rotation kernels (jit-compiled; all GEMM-shaped for the MXU)
+# ---------------------------------------------------------------------------
+
+
+def rotate_one_body(h: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """h_rot[i,j] = sum_pq h[p,q] u[p,i] u[q,j]  =  u^T h u."""
+    return u.T @ h @ u
+
+
+def rotate_two_body(g: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """4-index transform as four staged GEMMs (MXU-shaped).
+
+    g_rot[i,j,k,l] = sum_pqrs g[p,q,r,s] u[p,i] u[q,j] u[r,k] u[s,l]
+
+    Each stage reshapes to a (batch x contract) @ (contract x new) matrix
+    product; XLA lowers every stage to one MXU matmul.  Cost:
+    O(m^4 n + m^3 n^2 + m^2 n^3 + m n^4) versus O(m^4 n^4) naive.
+    """
+    m = g.shape[0]
+    n = u.shape[1]
+    # contract p: (qrs, p) @ (p, i) -> (qrs, i)
+    t = jnp.tensordot(g, u, axes=[[0], [0]])        # (q, r, s, i)
+    t = jnp.tensordot(t, u, axes=[[0], [0]])        # (r, s, i, j)
+    t = jnp.tensordot(t, u, axes=[[0], [0]])        # (s, i, j, k)
+    t = jnp.tensordot(t, u, axes=[[0], [0]])        # (i, j, k, l)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# energy functionals
+# ---------------------------------------------------------------------------
+
+
+def rotated_energy_spatial(u: jnp.ndarray,
+                           gamma_s: jnp.ndarray,
+                           Gamma_s: jnp.ndarray,
+                           h_sp: jnp.ndarray,
+                           g_sp: jnp.ndarray) -> jnp.ndarray:
+    """E(u) on the spatial fast path (see module docstring).
+
+    Args:
+        u: (m, n_active) spatial partial unitary.
+        gamma_s/Gamma_s: spin-summed active-space RDMs (n, n) / (n,n,n,n).
+        h_sp/g_sp: spatial blocks of the starting-basis integrals.
+    """
+    e1 = jnp.sum(rotate_one_body(h_sp, u) * gamma_s)
+    e2 = jnp.sum(rotate_two_body(g_sp, u) * Gamma_s)
+    return e1 + e2
+
+
+def rotated_energy_so(U_spatial: jnp.ndarray,
+                      gamma: jnp.ndarray,
+                      Gamma: jnp.ndarray,
+                      h_so: jnp.ndarray,
+                      g_so: jnp.ndarray) -> jnp.ndarray:
+    """Oracle / fallback: full spin-orbital contraction, same semantics as
+    the reference's torch.einsum chain (base_opt_orb_solver.py:554-563).
+    """
+    U = expand_spin(U_spatial)
+    e1 = jnp.sum(rotate_one_body(h_so, U) * jnp.real(gamma))
+    e2 = jnp.sum(rotate_two_body(g_so, U) * jnp.real(Gamma))
+    return e1 + e2
+
+
+def rotated_integrals_spatial(u: jnp.ndarray, h_sp: jnp.ndarray,
+                              g_sp: jnp.ndarray
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Active-space spatial integral tensors after rotation by u."""
+    return rotate_one_body(h_sp, u), rotate_two_body(g_sp, u)
+
+
+def expand_spin_tensors(h_sp: jnp.ndarray, g_sp: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Spatial (n-sized) integral tensors -> spin-orbital (2n-sized), with
+    the chemistry block structure (both spins identical)."""
+    n = h_sp.shape[0]
+    N = 2 * n
+    h = jnp.zeros((N, N), dtype=h_sp.dtype)
+    h = h.at[:n, :n].set(h_sp).at[n:, n:].set(h_sp)
+    g = jnp.zeros((N, N, N, N), dtype=g_sp.dtype)
+    for sig in (0, 1):
+        for tau in (0, 1):
+            sp = slice(sig * n, sig * n + n)
+            sq = slice(tau * n, tau * n + n)
+            g = g.at[sp, sq, sp, sq].add(g_sp)
+    return h, g
