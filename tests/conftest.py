@@ -1,0 +1,51 @@
+"""Test configuration: force the CPU backend with an 8-device virtual mesh.
+
+Mirrors the strategy SURVEY.md section 4 prescribes: tier-(a) unit tests and
+tier-(b/c) end-to-end runs execute on CPU-backed JAX; sharding tests use the
+8 virtual host devices.  NOTE: the axon sitecustomize force-sets
+jax_platforms='axon,cpu', so the env var alone is not enough — the config
+update below is what actually selects CPU.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def h2_sto3g():
+    from esoo_tpu.chem import MoleculeDriver
+    return MoleculeDriver(atom="H 0 0 0; H 0 0 0.735", basis="sto-3g").run()
+
+
+@pytest.fixture(scope="session")
+def h2_631g():
+    from esoo_tpu.chem import MoleculeDriver
+    return MoleculeDriver(atom="H 0 0 0; H 0 0 0.735", basis="6-31g").run()
+
+
+@pytest.fixture(scope="session")
+def h2_sto3g_hamiltonian(h2_sto3g):
+    from esoo_tpu.ops import ActiveSpaceHamiltonianBuilder
+    h, g = h2_sto3g.integral_tensors()
+    return ActiveSpaceHamiltonianBuilder(4).build(h, g)
+
+
+def random_hermitian_tensors(n, seed=0):
+    """Random (h, g) with the index symmetries of real chemistry tensors."""
+    rng = np.random.default_rng(seed)
+    h = rng.normal(size=(n, n))
+    h = (h + h.T) / 2
+    g = rng.normal(size=(n, n, n, n))
+    # symmetrize like <pq|rs>: g[p,q,r,s] = g[q,p,s,r] = g[r,s,p,q]
+    g = g + g.transpose(1, 0, 3, 2)
+    g = g + g.transpose(2, 3, 0, 1)
+    return h, g

@@ -1,0 +1,69 @@
+"""Unit tests: CIS/CISD state construction (initializations/ci.py).
+
+Expectations from the reference's tests/test_ci_initializations.py:43-84.
+"""
+
+import numpy as np
+
+from esoo_tpu.initializations import (ci_matrix, enumerate_determinants,
+                                      get_CIS_energies, get_CIS_states,
+                                      get_CISD_energies, get_CISD_states)
+from esoo_tpu.ops import ActiveSpaceHamiltonianBuilder
+
+
+def test_cis_energies(h2_sto3g):
+    h, g = h2_sto3g.integral_tensors()
+    w = get_CIS_energies(h, g, (1, 1))
+    np.testing.assert_array_almost_equal(
+        w[:3], [-1.83696799, -1.24458455, -0.88272215], decimal=3)
+
+
+def test_cisd_energies(h2_sto3g):
+    h, g = h2_sto3g.integral_tensors()
+    w = get_CISD_energies(h, g, (1, 1))
+    np.testing.assert_array_almost_equal(
+        w[:4], [-1.85727503, -1.24458455, -0.88272215, -0.22491125],
+        decimal=3)
+
+
+def test_ci_matrix_vs_fock_space_oracle(h2_sto3g):
+    """Slater-Condon matrix elements == dense Fock-space Hamiltonian
+    restricted to the determinant basis (the sign-convention crosscheck)."""
+    h, g = h2_sto3g.integral_tensors()
+    dets = enumerate_determinants(4, (1, 1), 2)
+    H_ci = ci_matrix(dets, h, g)
+    H_full = ActiveSpaceHamiltonianBuilder(4).build(h, g).to_matrix()
+    H_restricted = np.real(H_full[np.ix_(dets, dets)])
+    np.testing.assert_allclose(H_ci, H_restricted, atol=1e-11)
+
+
+def test_cis_states_measure_cis_energies(h2_sto3g):
+    """Dense CIS statevectors reproduce their CI eigenvalues as
+    Hamiltonian expectation values (reference test strategy,
+    tests/test_ci_initializations.py)."""
+    h, g = h2_sto3g.integral_tensors()
+    H = ActiveSpaceHamiltonianBuilder(4).build(h, g).to_matrix()
+    states = get_CIS_states(h, g, (1, 1), state_representation="dense")
+    w = get_CIS_energies(h, g, (1, 1))
+    for k in range(3):
+        sv = np.asarray(states[k], dtype=complex)
+        e = np.real(sv.conj() @ H @ sv)
+        np.testing.assert_allclose(e, w[k], atol=1e-10)
+
+
+def test_cisd_states_orthonormal(h2_sto3g):
+    h, g = h2_sto3g.integral_tensors()
+    states = get_CISD_states(h, g, (1, 1), state_representation="dense")
+    V = np.array(states)
+    np.testing.assert_allclose(V @ V.T, np.eye(len(states)), atol=1e-10)
+
+
+def test_sparse_representation(h2_sto3g):
+    h, g = h2_sto3g.integral_tensors()
+    sparse = get_CIS_states(h, g, (1, 1), state_representation="sparse")
+    dense = get_CIS_states(h, g, (1, 1), state_representation="dense")
+    for sd, dd in zip(sparse, dense):
+        recon = np.zeros(16)
+        for idx, c in sd.items():
+            recon[idx] = c
+        np.testing.assert_allclose(recon, dd, atol=1e-12)

@@ -1,0 +1,150 @@
+"""Tier-3 end-to-end OptOrb tests: H2 6-31G (8 so) -> 4 spin orbitals.
+
+Expected final energies are the reference's hard-coded integration-test
+values (tests/test_optorbvqe.py:67, test_optorbadaptvqe.py:64,
+test_optorbssvqe.py:65, test_optorbmcvqe.py:61, test_optorbvqd.py:69),
+asserted at the same decimal=3 tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from esoo_tpu.sim import (ComputeUncompute, Estimator, HartreeFock,
+                          QuantumCircuit, Sampler, UCCSD)
+from esoo_tpu.solvers import (SSVQE, VQD, VQE, AdaptVQE, L_BFGS_B, MCVQE)
+from esoo_tpu.orbital_optimization import (
+    OptOrbAdaptVQE, OptOrbMCVQE, OptOrbSSVQE, OptOrbVQD, OptOrbVQE,
+    PartialUnitaryProjectionOptimizer)
+
+E_OPTORB_VQE = -1.8661038079694765
+E_OPTORB_ADAPT = -1.866104213792463
+E_OPTORB_SSVQE = [-1.85403538, -1.37044354]
+E_OPTORB_MCVQE = [-1.85703467, -1.46615986]
+E_OPTORB_VQD = [-1.8540352, -1.37044389]
+
+
+def pupo():
+    return PartialUnitaryProjectionOptimizer(
+        initial_BBstepsize=1e-3, stopping_tolerance=1e-5, maxiter=10000)
+
+
+def make_vqe():
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    return VQE(Estimator(), ansatz, L_BFGS_B(),
+               initial_point=np.zeros(ansatz.num_parameters))
+
+
+@pytest.mark.parametrize("ingestion", ["problem", "tensors"])
+@pytest.mark.parametrize("flags", [dict(spin_conserving=True,
+                                        wavefuntion_real=True),
+                                   dict(spin_conserving=False,
+                                        wavefuntion_real=False)])
+def test_optorbvqe(h2_631g, ingestion, flags):
+    """The reference's 2x2 ingestion x symmetry-flag matrix
+    (tests/test_optorbvqe.py:71-196)."""
+    kwargs = dict(num_spin_orbitals=4, ground_state_solver=make_vqe(),
+                  partial_unitary_optimizer=pupo(), maxiter=20,
+                  stopping_tolerance=1e-5, **flags)
+    if ingestion == "problem":
+        kwargs["problem"] = h2_631g
+    else:
+        kwargs["integral_tensors"] = h2_631g.integral_tensors()
+    result = OptOrbVQE(**kwargs).compute_minimum_energy()
+    np.testing.assert_array_almost_equal(result.eigenvalue, E_OPTORB_VQE,
+                                         decimal=3)
+    U = result.optimal_partial_unitary
+    np.testing.assert_allclose(U.T @ U, np.eye(2), atol=1e-8)
+
+
+def test_optorbvqe_pauli_rdm_path(h2_631g):
+    """Per-Pauli RDM measurement (reference semantics) reaches the same
+    optimum as the direct GEMM path."""
+    result = OptOrbVQE(num_spin_orbitals=4, ground_state_solver=make_vqe(),
+                       partial_unitary_optimizer=pupo(), problem=h2_631g,
+                       maxiter=20, spin_conserving=True,
+                       wavefuntion_real=True,
+                       rdm_measurement="pauli").compute_minimum_energy()
+    np.testing.assert_array_almost_equal(result.eigenvalue, E_OPTORB_VQE,
+                                         decimal=3)
+
+
+def test_optorbadaptvqe(h2_631g):
+    template = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    adapt = AdaptVQE(VQE(Estimator(), template, L_BFGS_B()))
+    result = OptOrbAdaptVQE(
+        num_spin_orbitals=4, ground_state_solver=adapt,
+        partial_unitary_optimizer=pupo(), problem=h2_631g,
+        maxiter=20).compute_minimum_energy()
+    np.testing.assert_array_almost_equal(result.eigenvalue, E_OPTORB_ADAPT,
+                                         decimal=3)
+
+
+def test_optorbssvqe(h2_631g):
+    ansatz = UCCSD(2, (1, 1), reps=2)
+    init0 = HartreeFock(2, (1, 1))
+    init1 = QuantumCircuit(4)
+    init1.x(1)
+    init1.x(2)
+    ssvqe = SSVQE(k=2, ansatz=ansatz, optimizer=L_BFGS_B(),
+                  initial_states=[init0, init1], weight_vector=[2, 1],
+                  initial_point=np.zeros(ansatz.num_parameters))
+    result = OptOrbSSVQE(num_spin_orbitals=4, excited_states_solver=ssvqe,
+                         partial_unitary_optimizer=pupo(), problem=h2_631g,
+                         maxiter=20).compute_energies()
+    np.testing.assert_array_almost_equal(result.eigenvalues, E_OPTORB_SSVQE,
+                                         decimal=3)
+
+
+def test_optorbmcvqe(h2_631g):
+    ansatz = UCCSD(2, (1, 1), reps=2)
+    mcvqe = MCVQE(k=2, ansatz=ansatz, optimizer=L_BFGS_B(),
+                  num_particles=(1, 1), excitations="s",
+                  initial_point=np.zeros(ansatz.num_parameters))
+    result = OptOrbMCVQE(num_spin_orbitals=4, excited_states_solver=mcvqe,
+                         partial_unitary_optimizer=pupo(), problem=h2_631g,
+                         maxiter=20).compute_energies()
+    np.testing.assert_array_almost_equal(result.eigenvalues, E_OPTORB_MCVQE,
+                                         decimal=3)
+
+
+def test_optorbvqd(h2_631g):
+    init1 = QuantumCircuit(4)
+    init1.x(1)
+    init1.x(2)
+    ansatze = [UCCSD(2, (1, 1), initial_state=st, reps=2)
+               for st in (HartreeFock(2, (1, 1)), init1)]
+    vqd = VQD(Estimator(), ComputeUncompute(Sampler(shots=None)), ansatze,
+              L_BFGS_B(), k=2, betas=[2, 2],
+              initial_point=[np.zeros(a.num_parameters) for a in ansatze])
+    result = OptOrbVQD(num_spin_orbitals=4, excited_states_solver=vqd,
+                       partial_unitary_optimizer=pupo(), problem=h2_631g,
+                       maxiter=20).compute_energies()
+    np.testing.assert_array_almost_equal(result.eigenvalues, E_OPTORB_VQD,
+                                         decimal=3)
+
+
+def test_checkpoint_resume(h2_631g, tmp_path):
+    ck = str(tmp_path / "ckpt")
+    r1 = OptOrbVQE(num_spin_orbitals=4, ground_state_solver=make_vqe(),
+                   partial_unitary_optimizer=pupo(), problem=h2_631g,
+                   maxiter=2, checkpoint_dir=ck).compute_minimum_energy()
+    import os
+    files = sorted(os.listdir(ck))
+    assert len(files) == 2
+    r2 = OptOrbVQE(num_spin_orbitals=4, ground_state_solver=make_vqe(),
+                   partial_unitary_optimizer=pupo(), problem=h2_631g,
+                   maxiter=20,
+                   resume_from=os.path.join(ck, files[-1])
+                   ).compute_minimum_energy()
+    np.testing.assert_array_almost_equal(r2.eigenvalue, E_OPTORB_VQE,
+                                         decimal=3)
+
+
+def test_outer_loop_callback(h2_631g):
+    seen = []
+    OptOrbVQE(num_spin_orbitals=4, ground_state_solver=make_vqe(),
+              partial_unitary_optimizer=pupo(), problem=h2_631g, maxiter=3,
+              outer_loop_callback=lambda it, res, orb: seen.append(it)
+              ).compute_minimum_energy()
+    assert seen == list(range(len(seen)))
+    assert len(seen) >= 2
