@@ -15,7 +15,7 @@ for l >= 2 shells.
 from __future__ import annotations
 
 import math
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 from scipy.special import hyp1f1
@@ -325,8 +325,47 @@ class IntegralEngine:
                         arr[oj: oj + shj.nfunc, oi: oi + shi.nfunc] = b.T
         return S, T, V
 
-    def eri(self) -> np.ndarray:
-        """Full ERI tensor (pq|rs), chemist notation, using 8-fold symmetry."""
+    def _global_pure_matrix(self) -> Optional[np.ndarray]:
+        """Block-diagonal (nbf_sph, nbf_cart) cartesian->final transform,
+        or None if every shell is already in its final representation."""
+        blocks = []
+        any_pure = False
+        for sh in self.shells:
+            M = self._pure_matrix(sh)
+            if M is None:
+                blocks.append(np.eye(sh.ncart))
+            else:
+                blocks.append(M)
+                any_pure = True
+        if not any_pure:
+            return None
+        nc = sum(sh.ncart for sh in self.shells)
+        out = np.zeros((self.nbf, nc))
+        r = c = 0
+        for blk in blocks:
+            out[r: r + blk.shape[0], c: c + blk.shape[1]] = blk
+            r += blk.shape[0]
+            c += blk.shape[1]
+        return out
+
+    def eri(self, use_native: bool = True) -> np.ndarray:
+        """Full ERI tensor (pq|rs), chemist notation, using 8-fold symmetry.
+
+        Dispatches to the native C++ engine (esoo_tpu/native/mcmurchie.cpp)
+        when available; the pure-Python path below is the oracle/fallback.
+        """
+        if use_native:
+            from ..native import get_native_eri
+            native = get_native_eri()
+            if native is not None:
+                G = native(self.shells)
+                M = self._global_pure_matrix()
+                if M is not None:
+                    G = np.tensordot(M, G, axes=[[1], [0]])
+                    G = np.tensordot(M, G, axes=[[1], [1]]).transpose(1, 0, 2, 3)
+                    G = np.tensordot(M, G, axes=[[1], [2]]).transpose(1, 2, 0, 3)
+                    G = np.tensordot(M, G, axes=[[1], [3]]).transpose(1, 2, 3, 0)
+                return np.ascontiguousarray(G)
         n = self.nbf
         G = np.zeros((n, n, n, n))
         ns = len(self.shells)

@@ -1,6 +1,7 @@
 from .base import BaseOptOrbResult, BaseOptOrbSolver
 from .checkpoint import load_checkpoint, save_checkpoint
 from .eigensolver import OptOrbEigensolver, OptOrbEigensolverResult
+from .fused import FusedOptOrbResult, FusedOptOrbVQE
 from .kernels import (
     expand_spin,
     rotate_one_body,
@@ -24,6 +25,7 @@ __all__ = [
     "BaseOptOrbResult", "BaseOptOrbSolver",
     "load_checkpoint", "save_checkpoint",
     "OptOrbEigensolver", "OptOrbEigensolverResult",
+    "FusedOptOrbResult", "FusedOptOrbVQE",
     "OptOrbMinimumEigensolver", "OptOrbMinimumEigensolverResult",
     "OptOrbAdaptVQE", "OptOrbAdaptVQEResult",
     "OptOrbMCVQE", "OptOrbMCVQEResult",

@@ -1,0 +1,15 @@
+from .sharded import (
+    make_orbital_mesh,
+    shard_problem_tensors,
+    sharded_rotated_energy,
+    sharded_bb_step,
+    ShardedOrbitalOptimizer,
+)
+
+__all__ = [
+    "make_orbital_mesh",
+    "shard_problem_tensors",
+    "sharded_rotated_energy",
+    "sharded_bb_step",
+    "ShardedOrbitalOptimizer",
+]

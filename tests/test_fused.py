@@ -1,0 +1,53 @@
+"""Tests: fully-fused one-dispatch OptOrbVQE vs the class-based path."""
+
+import numpy as np
+import pytest
+
+from esoo_tpu.sim import HartreeFock, UCCSD
+from esoo_tpu.orbital_optimization import FusedOptOrbVQE
+
+
+def test_fused_matches_reference_energy(h2_631g):
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    sol = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
+                         problem=h2_631g, maxiter=20,
+                         stopping_tolerance=1e-5)
+    r = sol.compute_minimum_energy()
+    np.testing.assert_array_almost_equal(r.eigenvalue, -1.8661038079694765,
+                                         decimal=3)
+    assert r.outer_iterations >= 2
+    assert len(r.energy_convergence_list) == r.outer_iterations
+    U = r.optimal_partial_unitary
+    np.testing.assert_allclose(U.T @ U, np.eye(2), atol=1e-8)
+
+
+def test_fused_matches_class_path(h2_631g):
+    """Fused and class-based solvers converge to the same optimum."""
+    from esoo_tpu.sim import Estimator
+    from esoo_tpu.solvers import VQE, L_BFGS_B
+    from esoo_tpu.orbital_optimization import (
+        OptOrbVQE, PartialUnitaryProjectionOptimizer)
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    fused = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
+                           problem=h2_631g, maxiter=30,
+                           stopping_tolerance=1e-8).compute_minimum_energy()
+    vqe = VQE(Estimator(), ansatz, L_BFGS_B(),
+              initial_point=np.zeros(ansatz.num_parameters))
+    classic = OptOrbVQE(
+        num_spin_orbitals=4, ground_state_solver=vqe,
+        partial_unitary_optimizer=PartialUnitaryProjectionOptimizer(
+            1e-3, 1e-8, 10000),
+        problem=h2_631g, maxiter=30,
+        stopping_tolerance=1e-8).compute_minimum_energy()
+    np.testing.assert_allclose(fused.eigenvalue, classic.eigenvalue,
+                               atol=1e-6)
+
+
+def test_fused_rejects_nonblock_integrals(h2_631g):
+    h, g = h2_631g.integral_tensors()
+    g = g.copy()
+    g[0, 4, 0, 0] += 0.1   # break the spin-block structure
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    with pytest.raises(ValueError):
+        FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
+                       integral_tensors=(h, g))
