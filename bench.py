@@ -1,16 +1,25 @@
-"""Benchmark: OptOrbVQE on H2 cc-pVTZ (56 spin orbitals) -> 4 spin orbitals.
+"""Benchmark: OptOrbVQE at scale — H4 chain cc-pVTZ (112 spin orbitals)
+reduced to 8 spin orbitals (BASELINE.json config 3).
 
-The reference's headline configuration (README.md:38-94; published result
--1.8712471686505392 Ha).  The reference publishes no timing numbers, so the
-baseline is a reference-faithful torch-CPU implementation executed in the
-same process: torch.einsum spin-orbital energy functional + torch.autograd
-BB projected-gradient inner loop (partial_unitary_projection_optimizer.py
-semantics), per-Pauli sequential RDM estimation, and a finite-difference
-L-BFGS VQE over a numpy statevector (qiskit VQE's default has no gradient).
+Ours: the one-dispatch FusedOptOrbVQE in float32 on the default device
+(TPU under the driver), followed by a float64 refinement warm-started from
+the f32 solution on the CPU backend — the production precision strategy
+(TPU has no native f64).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <our wall s>, "unit": "s",
-   "vs_baseline": <baseline_s / ours_s>, ...extras}
+Baseline: a reference-faithful torch-CPU implementation run in-process —
+torch.einsum spin-orbital energy functional (M = 112: the reference keeps
+dense spin-orbital tensors, base_opt_orb_solver.py:554-563) with
+torch.autograd BB projected-gradient inner loop, per-Pauli sequential RDM
+estimation, and finite-difference L-BFGS VQE over a numpy statevector
+(qiskit VQE's default passes no gradient).  The reference publishes no
+timing numbers of its own (BASELINE.md), so this is the comparison point.
+
+Accuracy cross-check: the H2 cc-pVTZ headline configuration (README.md:94)
+runs in the same process; `delta_e_vs_ref` reports our converged energy
+minus the published -1.8712471686505392 Ha (negative = strictly better
+variational optimum).
+
+Prints ONE JSON line.
 """
 
 import json
@@ -18,41 +27,81 @@ import time
 
 import numpy as np
 
-REF_ENERGY = -1.8712471686505392
+REF_H2_ENERGY = -1.8712471686505392
+BASELINE_BUDGET_S = 600.0
 
 
-# --------------------------------------------------------------------------
-# shared problem setup (host, identical for both implementations)
-# --------------------------------------------------------------------------
-
-def build_problem():
+def build_problem(atoms: str):
     from esoo_tpu.chem import MoleculeDriver
-    return MoleculeDriver(atom="H 0 0 0; H 0 0 0.735", basis="cc-pvtz").run()
+    return MoleculeDriver(atom=atoms, basis="cc-pvtz").run()
+
+
+H4_GEOM = "H 0 0 0; H 0 0 1.23; H 0 0 2.46; H 0 0 3.69"
+H2_GEOM = "H 0 0 0; H 0 0 0.735"
 
 
 # --------------------------------------------------------------------------
-# our TPU-native flow
+# ours
 # --------------------------------------------------------------------------
 
-def run_ours(problem):
+def run_ours(problem, n_red_so, maxiter=20, tol=1e-5):
+    import jax
+    import jax.numpy as jnp
     from esoo_tpu.sim import UCCSD, HartreeFock
-    from esoo_tpu.orbital_optimization.fused import FusedOptOrbVQE
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQE
 
-    def make_solver():
-        ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
-        return FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
-                              problem=problem, maxiter=20,
-                              stopping_tolerance=1e-5)
+    n_act = n_red_so // 2
+    parts = problem.num_particles
 
-    # cold run (includes every jit compile)
+    def make(dtype, U0=None, x0=None, stop=tol):
+        ansatz = UCCSD(n_act, parts, initial_state=HartreeFock(n_act, parts))
+        return FusedOptOrbVQE(num_spin_orbitals=n_red_so, ansatz=ansatz,
+                              problem=problem, maxiter=maxiter,
+                              stopping_tolerance=stop,
+                              initial_partial_unitary=U0, initial_point=x0,
+                              dtype=dtype)
+
+    # phase A: f32 on the default (TPU) device — cold then warm
     t0 = time.perf_counter()
-    r = make_solver().compute_minimum_energy()
+    r32 = make(jnp.float32).compute_minimum_energy()
     cold = time.perf_counter() - t0
-    # warm run (compile caches hot — the production steady state)
     t0 = time.perf_counter()
-    r = make_solver().compute_minimum_energy()
+    r32 = make(jnp.float32).compute_minimum_energy()
     warm = time.perf_counter() - t0
-    return r.eigenvalue, cold, warm, r.outer_iterations
+
+    # phase B: f64 polish from the f32 solution on the CPU backend, via the
+    # class-based path (small per-stage programs -> negligible compile).
+    from esoo_tpu.sim import Estimator
+    from esoo_tpu.solvers import VQE, L_BFGS_B
+    from esoo_tpu.orbital_optimization import (
+        OptOrbVQE, PartialUnitaryProjectionOptimizer)
+
+    def refine_run():
+        ansatz = UCCSD(n_act, parts, initial_state=HartreeFock(n_act, parts))
+        vqe = VQE(Estimator(), ansatz, L_BFGS_B(),
+                  initial_point=r32.optimal_point.astype(np.float64))
+        sol = OptOrbVQE(
+            num_spin_orbitals=n_red_so, ground_state_solver=vqe,
+            partial_unitary_optimizer=PartialUnitaryProjectionOptimizer(
+                1e-3, min(tol, 1e-6), 10000),
+            problem=problem,
+            initial_partial_unitary=r32.optimal_partial_unitary.astype(
+                np.float64),
+            maxiter=10, stopping_tolerance=min(tol, 1e-6))
+        return sol.compute_minimum_energy()
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        refine_run()                       # compile warm-up
+        t0 = time.perf_counter()
+        r64 = refine_run()
+        refine = time.perf_counter() - t0
+    return dict(energy=r64.eigenvalue, energy_f32=r32.eigenvalue,
+                cold_s=cold, warm_s=warm, refine_s=refine,
+                outer_iters=r32.outer_iterations)
 
 
 # --------------------------------------------------------------------------
@@ -97,7 +146,7 @@ def _simulate(sim, gates, params):
     return state
 
 
-def run_baseline(problem, time_budget_s=1800.0):
+def run_baseline(problem, n_red_so, time_budget_s=BASELINE_BUDGET_S):
     import torch
     from scipy.optimize import minimize as scipy_minimize
     from esoo_tpu.ops import (ActiveSpaceHamiltonianBuilder, FermionicOp,
@@ -108,21 +157,21 @@ def run_baseline(problem, time_budget_s=1800.0):
     h_np, g_np = problem.integral_tensors()
     h = torch.from_numpy(h_np)
     g = torch.from_numpy(g_np)
-    M, N = h_np.shape[0], 4
+    M, N = h_np.shape[0], n_red_so
     m, n = M // 2, N // 2
     mapper = JordanWignerMapper()
     builder = ActiveSpaceHamiltonianBuilder(N)
     sim = _NumpyPauliSim(N)
-    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    parts = problem.num_particles
+    ansatz = UCCSD(n, parts, initial_state=HartreeFock(n, parts))
 
     # RDM operator dict: every Pauli of every element, measured one by one
     pauli_set = {}
     decomp = {}
     for p in range(N):
         for q in range(N):
-            key = ("1", p, q)
             op = mapper.map(FermionicOp({f"+_{p} -_{q}": 1.0}, N))
-            decomp[key] = list(zip(op.xs, op.zs, op.coeffs))
+            decomp[("1", p, q)] = list(zip(op.xs, op.zs, op.coeffs))
             for x, z in zip(op.xs, op.zs):
                 pauli_set[(x, z)] = None
     for p in range(N):
@@ -133,10 +182,10 @@ def run_baseline(problem, time_budget_s=1800.0):
                 for s in range(N):
                     if r == s:
                         continue
-                    key = ("2", p, q, r, s)
                     op = mapper.map(FermionicOp(
                         {f"+_{p} +_{q} -_{s} -_{r}": 1.0}, N))
-                    decomp[key] = list(zip(op.xs, op.zs, op.coeffs))
+                    decomp[("2", p, q, r, s)] = list(
+                        zip(op.xs, op.zs, op.coeffs))
                     for x, z in zip(op.xs, op.zs):
                         pauli_set[(x, z)] = None
 
@@ -155,11 +204,13 @@ def run_baseline(problem, time_budget_s=1800.0):
         U = orth_t(U0.clone()).requires_grad_(True)
         E = rotated_energy_t(U, gamma, Gamma)
         G = torch.autograd.grad(E, U)[0]
-        U_prev, G_prev, E_prev = U.detach(), G, float(E)
+        U_prev, G_prev, E_prev = U.detach(), G, float(E.detach())
         U = orth_t(U_prev - tau * G).requires_grad_(True)
         S = 1.5 * tol
         k = 1
         while S > tol and k <= maxiter:
+            if time.perf_counter() - t_start > time_budget_s:
+                break
             E = rotated_energy_t(U, gamma, Gamma)
             G = torch.autograd.grad(E, U)[0]
             dU = U.detach() - U_prev
@@ -168,8 +219,8 @@ def run_baseline(problem, time_budget_s=1800.0):
             ug = abs(float(torch.sum(dU * dG)))
             gg = float(torch.sum(dG * dG))
             tau = uu / (ug + 1e-30) if k % 2 == 1 else ug / (gg + 1e-30)
-            S = (1 - decay) * abs(float(E) - E_prev) + decay * S
-            U_prev, G_prev, E_prev = U.detach(), G, float(E)
+            S = (1 - decay) * abs(float(E.detach()) - E_prev) + decay * S
+            U_prev, G_prev, E_prev = U.detach(), G, float(E.detach())
             U = orth_t(U_prev - tau * G).requires_grad_(True)
             k += 1
         return U_prev
@@ -189,7 +240,7 @@ def run_baseline(problem, time_budget_s=1800.0):
     def measure_rdms_t(theta):
         state = _simulate(sim, ansatz.gates, theta)
         vals = {}
-        for (x, z) in pauli_set:          # one sequential "estimator call" each
+        for (x, z) in pauli_set:       # one sequential "estimator call" each
             y = bin(x & z).count("1")
             vals[(x, z)] = sim.pauli_expect(state, x, z, y)
         gamma = np.zeros((N, N), dtype=complex)
@@ -209,6 +260,7 @@ def run_baseline(problem, time_budget_s=1800.0):
     theta = np.zeros(ansatz.num_parameters)
     energies = []
     it = 0
+    budget_hit = False
     while True:
         Ufull = torch.block_diag(U, U)
         h_rot = torch.einsum("pq,pi,qj->ij", h, Ufull, Ufull)
@@ -218,32 +270,46 @@ def run_baseline(problem, time_budget_s=1800.0):
         Hop.fermionic = None
         E, theta = vqe_t(Hop, theta)
         energies.append(E)
-        if (len(energies) >= 2 and abs(energies[-1] - energies[-2]) < 1e-5) \
-                or it >= 20 \
-                or time.perf_counter() - t_start > time_budget_s:
+        if len(energies) >= 2 and abs(energies[-1] - energies[-2]) < 1e-5:
+            break
+        if it >= 20:
+            break
+        if time.perf_counter() - t_start > time_budget_s:
+            budget_hit = True
             break
         gamma, Gamma = measure_rdms_t(theta)
         U = pupo_t(U, gamma, Gamma)
         it += 1
-    return energies[-1], time.perf_counter() - t_start, it + 1
+    return dict(energy=energies[-1],
+                wall_s=time.perf_counter() - t_start,
+                outer_iters=it + 1, budget_hit=budget_hit)
 
 
 def main():
-    problem = build_problem()
-    ours_E, cold_s, warm_s, outer_iters = run_ours(problem)
-    base_E, base_s, base_iters = run_baseline(problem)
+    # primary: H4 cc-pVTZ -> 8 spin orbitals
+    h4 = build_problem(H4_GEOM)
+    ours = run_ours(h4, 8)
+    ours_wall = ours["warm_s"] + ours["refine_s"]
+    base = run_baseline(h4, 8)
+
+    # accuracy cross-check: H2 headline configuration
+    h2 = build_problem(H2_GEOM)
+    h2_ours = run_ours(h2, 4, maxiter=30, tol=1e-6)
+
     line = {
-        "metric": "optorb_vqe_h2_ccpvtz_to_4so_wall_s",
-        "value": round(warm_s, 3),
+        "metric": "optorb_vqe_h4_ccpvtz_to_8so_wall_s",
+        "value": round(ours_wall, 3),
         "unit": "s",
-        "vs_baseline": round(base_s / warm_s, 2),
-        "energy": ours_E,
-        "ref_energy": REF_ENERGY,
-        "delta_e_vs_ref": ours_E - REF_ENERGY,
-        "baseline_energy": base_E,
-        "cold_wall_s": round(cold_s, 3),
-        "baseline_wall_s": round(base_s, 3),
-        "outer_iters": outer_iters,
+        "vs_baseline": round(base["wall_s"] / ours_wall, 2),
+        "h4_energy": ours["energy"],
+        "h4_energy_f32": ours["energy_f32"],
+        "h4_baseline_energy": base["energy"],
+        "h4_baseline_wall_s": round(base["wall_s"], 2),
+        "h4_baseline_budget_hit": base["budget_hit"],
+        "h4_cold_wall_s": round(ours["cold_s"], 2),
+        "h2_energy": h2_ours["energy"],
+        "h2_ref_energy": REF_H2_ENERGY,
+        "h2_delta_e_vs_ref": h2_ours["energy"] - REF_H2_ENERGY,
     }
     print(json.dumps(line))
 

@@ -113,10 +113,12 @@ def _fused_optorb_vqe(state_fn: Callable,
         h_so, g_so = expand_spin_tensors(h_act, g_act)
         return rdm_energy(state_fn(theta), h_so, g_so)
 
+    gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
+
     def run_vqe(theta, h_act, g_act):
         res = jax_minimize(vqe_energy, theta, args=(h_act, g_act),
                            method="BFGS",
-                           options={"maxiter": vqe_maxiter, "gtol": 1e-9})
+                           options={"maxiter": vqe_maxiter, "gtol": gtol})
         return res.x, res.fun
 
     def orbital_objective(U, gamma_s, Gamma_s):
@@ -230,7 +232,13 @@ class FusedOptOrbVQE:
         self.vqe_maxiter = vqe_maxiter
 
     def compute_minimum_energy(self) -> FusedOptOrbResult:
+        from ..utils.config import precision_mode
         dtype = self._h_sp.dtype
+        mode = "fast" if jnp.finfo(dtype).bits < 64 else "high"
+        with precision_mode(mode):
+            return self._run(dtype)
+
+    def _run(self, dtype) -> FusedOptOrbResult:
         E, theta, U, it, trace = _fused_optorb_vqe(
             self._compiled.state_fn,
             self.num_spin_orbitals // 2,

@@ -216,6 +216,53 @@ def _ry_real(angle, dtype):
     return jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
 
 
+def _angle_value(expr, params):
+    if expr[0] == "const":
+        return expr[1]
+    _, idx, mult, off = expr
+    return mult * params[idx] + off
+
+
+def _apply_gates(state, params, gates, is_real, dtype):
+    """Apply a gate list to a statevector (shared by state_fn/apply_fn)."""
+    for gt in gates:
+        name = gt.name
+        if name == "prot":
+            x, z, y = gt.data
+            ang = _angle_value(gt.angle, params)
+            state = apply_pauli_rotation(state, x, z, y, ang)
+        elif name == "x":
+            state = apply_x_mask(state, 1 << gt.qubits[0])
+        elif name in _CONST_1Q:
+            U = _CONST_1Q[name]
+            U = jnp.asarray(np.real(U) if is_real else U, dtype=dtype)
+            state = apply_1q(state, U, gt.qubits[0])
+        elif name == "ry":
+            ang = _angle_value(gt.angle, params)
+            state = apply_1q(state, _ry_real(ang, dtype), gt.qubits[0])
+        elif name in ("rx", "rz", "p"):
+            ang = _angle_value(gt.angle, params)
+            state = apply_1q(state, _rot_1q(name, ang), gt.qubits[0])
+        elif name in _CONST_2Q:
+            U = _CONST_2Q[name]
+            U = jnp.asarray(np.real(U) if is_real else U, dtype=dtype)
+            state = apply_2q(state, U, gt.qubits[0], gt.qubits[1])
+        elif name == "cry":
+            ang = _angle_value(gt.angle, params)
+            eye = jnp.eye(4, dtype=dtype)
+            U = eye.at[2:, 2:].set(_ry_real(ang, dtype))
+            state = apply_2q(state, U, gt.qubits[0], gt.qubits[1])
+        elif name in ("crx", "crz", "cp"):
+            ang = _angle_value(gt.angle, params)
+            U = _ctrl(_rot_1q(name[1:], ang))
+            state = apply_2q(state, U, gt.qubits[0], gt.qubits[1])
+        elif name == "init_sv":
+            raise ValueError("init_sv must be the first gate")
+        else:
+            raise ValueError(f"unknown gate {name}")
+    return state
+
+
 class CompiledCircuit:
     """A circuit lowered to a pure function params -> statevector.
 
@@ -230,17 +277,12 @@ class CompiledCircuit:
         self._gates = list(circuit.gates)
         self.is_real = (not force_complex) and _circuit_is_real(self._gates)
         self._state_fn = jax.jit(self._build())
+        self._apply_fn = None
 
     def _build(self) -> Callable:
         gates = self._gates
         nq = self.num_qubits
         is_real = self.is_real
-
-        def angle_value(expr, params):
-            if expr[0] == "const":
-                return expr[1]
-            _, idx, mult, off = expr
-            return mult * params[idx] + off
 
         def run(params):
             dtype = real_dtype() if is_real else complex_dtype()
@@ -257,44 +299,33 @@ class CompiledCircuit:
                     start_index ^= 1 << gates[i].qubits[0]
                     i += 1
                 state = basis_state(nq, start_index, dtype=dtype)
-            for gt in gates[i:]:
-                name = gt.name
-                if name == "prot":
-                    x, z, y = gt.data
-                    ang = angle_value(gt.angle, params)
-                    state = apply_pauli_rotation(state, x, z, y, ang)
-                elif name == "x":
-                    state = apply_x_mask(state, 1 << gt.qubits[0])
-                elif name in _CONST_1Q:
-                    U = _CONST_1Q[name]
-                    U = jnp.asarray(np.real(U) if is_real else U, dtype=dtype)
-                    state = apply_1q(state, U, gt.qubits[0])
-                elif name == "ry":
-                    ang = angle_value(gt.angle, params)
-                    state = apply_1q(state, _ry_real(ang, dtype), gt.qubits[0])
-                elif name in ("rx", "rz", "p"):
-                    ang = angle_value(gt.angle, params)
-                    state = apply_1q(state, _rot_1q(name, ang), gt.qubits[0])
-                elif name in _CONST_2Q:
-                    U = _CONST_2Q[name]
-                    U = jnp.asarray(np.real(U) if is_real else U, dtype=dtype)
-                    state = apply_2q(state, U, gt.qubits[0], gt.qubits[1])
-                elif name == "cry":
-                    ang = angle_value(gt.angle, params)
-                    eye = jnp.eye(4, dtype=dtype)
-                    U = eye.at[2:, 2:].set(_ry_real(ang, dtype))
-                    state = apply_2q(state, U, gt.qubits[0], gt.qubits[1])
-                elif name in ("crx", "crz", "cp"):
-                    ang = angle_value(gt.angle, params)
-                    U = _ctrl(_rot_1q(name[1:], ang))
-                    state = apply_2q(state, U, gt.qubits[0], gt.qubits[1])
-                elif name == "init_sv":
-                    raise ValueError("init_sv must be the first gate")
-                else:
-                    raise ValueError(f"unknown gate {name}")
-            return state
+            return _apply_gates(state, params, gates[i:], is_real, dtype)
 
         return run
+
+    def _build_apply(self) -> Callable:
+        """(state, params) -> state: the circuit applied to a given input
+        state.  Dtype follows the input (complex input forces the complex
+        gate path even for a real-safe circuit)."""
+        gates = self._gates
+        circuit_real = self.is_real
+
+        def apply(state, params):
+            dtype = state.dtype
+            is_real = jnp.issubdtype(dtype, jnp.floating)
+            if is_real and not circuit_real:
+                raise ValueError(
+                    "cannot apply a complex circuit to a real statevector")
+            return _apply_gates(state, params, gates, is_real, dtype)
+
+        return apply
+
+    @property
+    def apply_fn(self):
+        """Jitted (state, params) -> state (for batched/vmapped execution)."""
+        if self._apply_fn is None:
+            self._apply_fn = jax.jit(self._build_apply())
+        return self._apply_fn
 
     def state(self, params=None) -> jnp.ndarray:
         if params is None:

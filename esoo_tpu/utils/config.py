@@ -40,3 +40,25 @@ def real_dtype():
 
 def complex_dtype():
     return _precision.complex_dtype
+
+
+class precision_mode:
+    """Context manager: temporarily switch the dtype policy.
+
+    with precision_mode('fast'):   # f32/c64 hot loops (TPU-native speed)
+        ...
+    """
+
+    def __init__(self, mode: str):
+        self.mode = mode
+
+    def __enter__(self):
+        global _precision
+        self._saved = _precision
+        set_precision(self.mode)
+        return self
+
+    def __exit__(self, *exc):
+        global _precision
+        _precision = self._saved
+        return False

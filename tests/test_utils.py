@@ -1,0 +1,78 @@
+"""Tests: profiling, debug guards, precision config, pallas fallback."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esoo_tpu.utils import (PhaseTimer, check_imaginary_residue,
+                            check_partial_unitary, check_rdm_sanity,
+                            precision_mode, real_dtype)
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    assert len(t.laps["a"]) == 2
+    assert set(t.totals()) == {"a", "b"}
+    assert "a" in t.report()
+
+
+def test_precision_mode_context():
+    assert real_dtype() == jnp.float64
+    with precision_mode("fast"):
+        assert real_dtype() == jnp.float32
+    assert real_dtype() == jnp.float64
+
+
+def test_imaginary_residue_warns():
+    with pytest.warns(UserWarning):
+        out = check_imaginary_residue(np.array([1.0 + 1e-3j]), atol=1e-8)
+    assert out.dtype == np.float64
+
+
+def test_partial_unitary_guard():
+    check_partial_unitary(np.eye(4)[:, :2])
+    with pytest.raises(ValueError):
+        check_partial_unitary(np.ones((4, 2)))
+
+
+def test_rdm_sanity(h2_sto3g_hamiltonian):
+    import jax.numpy as jnp
+    from esoo_tpu.sim import HartreeFock, compile_circuit, one_rdm, two_rdm
+    sv = compile_circuit(HartreeFock(2, (1, 1))).state()
+    gamma = one_rdm(jnp.asarray(sv), 4)
+    Gamma = two_rdm(jnp.asarray(sv), 4)
+    check_rdm_sanity(gamma, Gamma, 2)
+    with pytest.raises(ValueError):
+        check_rdm_sanity(np.eye(4), Gamma, 2)   # trace 4 != 2
+
+
+def test_pallas_transform_fallback_cpu():
+    """Off-TPU the pallas wrapper must dispatch to the jnp oracle."""
+    from esoo_tpu.ops.pallas_kernels import rotate_two_body_pallas
+    from esoo_tpu.orbital_optimization.kernels import rotate_two_body
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.normal(size=(5, 5, 5, 5)))
+    u = jnp.asarray(rng.normal(size=(5, 2)))
+    np.testing.assert_allclose(np.asarray(rotate_two_body_pallas(g, u)),
+                               np.asarray(rotate_two_body(g, u)), atol=1e-12)
+
+
+def test_apply_fn_matches_state_fn():
+    """CompiledCircuit.apply_fn on the zero state == state_fn."""
+    from esoo_tpu.sim import UCCSD, HartreeFock, compile_circuit
+    from esoo_tpu.sim.statevector import basis_state
+    hf = HartreeFock(2, (1, 1))
+    ansatz = UCCSD(2, (1, 1))
+    full = hf.compose(ansatz)
+    theta = np.random.default_rng(0).normal(size=ansatz.num_parameters)
+    want = np.asarray(compile_circuit(full).state(theta))
+    hf_vec = compile_circuit(hf).state()
+    got = np.asarray(compile_circuit(ansatz).apply_fn(hf_vec,
+                                                      jnp.asarray(theta)))
+    np.testing.assert_allclose(got, want, atol=1e-12)
