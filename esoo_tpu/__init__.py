@@ -10,5 +10,9 @@ import jax
 
 # Chemistry needs float64 host math; TPU hot loops opt into f32 explicitly.
 jax.config.update("jax_enable_x64", True)
+# On TPU, f32 matmuls default to single-pass bf16 on the MXU (~3 decimal
+# digits) — orders of magnitude too coarse for energy functionals.  Force
+# full-f32 (3-pass) MXU accumulation; f64 paths are unaffected.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 __version__ = "0.1.0"

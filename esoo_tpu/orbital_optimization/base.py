@@ -106,7 +106,8 @@ class BaseOptOrbSolver:
                  RDM_ops_batchsize: Optional[int] = 100,
                  rdm_measurement: str = "direct",
                  checkpoint_dir: Optional[str] = None,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 mesh=None):
         """
         Args (reference-parity unless noted):
             num_spin_orbitals: active-space size N.
@@ -199,6 +200,27 @@ class BaseOptOrbSolver:
         self._pauli_op_dict: Optional[Dict[str, SparsePauliOp]] = None
         self._energy_convergence_list: List[float] = []
 
+        # optional multi-device sharding of the g tensor (parallel/sharded.py):
+        # the inner orbital optimization runs distributed over `mesh`.
+        self.mesh = mesh
+        self._sharded = None
+        if mesh is not None:
+            if not self._spatial_path:
+                raise ValueError(
+                    "mesh sharding requires spin-block-structured integrals")
+            from ..parallel import (ShardedOrbitalOptimizer,
+                                    shard_problem_tensors)
+            h_rep, g_sh = shard_problem_tensors(mesh, self._h_sp, self._g_sp)
+            self._sharded = {
+                "h": h_rep, "g": g_sh,
+                "optimizer": ShardedOrbitalOptimizer(
+                    mesh,
+                    initial_BBstepsize=self.partial_unitary_optimizer.BBstepsize,
+                    stopping_tolerance=self.partial_unitary_optimizer.stopping_tolerance,
+                    maxiter=self.partial_unitary_optimizer.maxiter,
+                    decay_factor=self.partial_unitary_optimizer.decay_factor),
+            }
+
         # per-iteration copies, mirroring the reference's lifecycle
         # (base_opt_orb_solver.py:75) — our optimizer is stateless apart
         # from its compile cache, which the copies share.
@@ -230,20 +252,24 @@ class BaseOptOrbSolver:
         return _so_objective(partial_unitary, oneRDM, twoRDM,
                              one_body_integrals, two_body_integrals)
 
-    def _inner_objective_and_data(self, gammas, Gammas,
-                                  weights: Optional[Sequence[float]] = None):
-        """(objective_fn, data tuple) for the Stiefel optimizer.
-
-        The weighted multi-state sum  sum_i w_i E(U; RDM_i)  is linear in
-        the RDMs, so it collapses to ONE energy evaluation with
-        weight-combined RDMs — k-fold cheaper than the reference's
-        per-state loop (opt_orb_eigensolver.py:149-169).
-        """
+    @staticmethod
+    def _combined_rdms(gammas, Gammas,
+                       weights: Optional[Sequence[float]] = None):
+        """Weight-combine multi-state RDMs.  The weighted sum
+        sum_i w_i E(U; RDM_i) is linear in the RDMs, so it collapses to ONE
+        energy evaluation with combined RDMs — k-fold cheaper than the
+        reference's per-state loop (opt_orb_eigensolver.py:149-169)."""
         if weights is None:
             weights = [1.0] * len(gammas)
         w = np.asarray(weights, dtype=np.float64)
         gamma = sum(wi * np.real(np.asarray(gi)) for wi, gi in zip(w, gammas))
         Gamma = sum(wi * np.real(np.asarray(Gi)) for wi, Gi in zip(w, Gammas))
+        return gamma, Gamma
+
+    def _inner_objective_and_data(self, gammas, Gammas,
+                                  weights: Optional[Sequence[float]] = None):
+        """(objective_fn, data tuple) for the Stiefel optimizer."""
+        gamma, Gamma = self._combined_rdms(gammas, Gammas, weights)
         if self._spatial_path:
             gamma_s, Gamma_s = spin_reduce_rdms(jnp.asarray(gamma),
                                                 jnp.asarray(Gamma))
@@ -251,6 +277,20 @@ class BaseOptOrbSolver:
                                         self._h_sp, self._g_sp)
         return _so_objective, (jnp.asarray(gamma), jnp.asarray(Gamma),
                                self._h_so, self._g_so)
+
+    def _run_inner_optimization(self, pupo, U0, gammas, Gammas,
+                                weights: Optional[Sequence[float]] = None):
+        """Run the orbital-rotation subproblem — distributed over the mesh
+        when one was provided, single-device otherwise.  Returns (U, E)."""
+        if self._sharded is not None:
+            gamma, Gamma = self._combined_rdms(gammas, Gammas, weights)
+            gamma_s, Gamma_s = spin_reduce_rdms(jnp.asarray(gamma),
+                                                jnp.asarray(Gamma))
+            return self._sharded["optimizer"].compute_optimal_rotation(
+                U0, gamma_s, Gamma_s, self._sharded["h"], self._sharded["g"])
+        objective, data = self._inner_objective_and_data(gammas, Gammas,
+                                                         weights)
+        return pupo.compute_optimal_rotation(objective, U0, *data)
 
     # -- Hamiltonian rebuild -----------------------------------------------
     def get_rotated_hamiltonian(self, partial_unitary) -> SparsePauliOp:

@@ -52,7 +52,8 @@ class OptOrbEigensolver(BaseOptOrbSolver):
                  rdm_measurement: str = "direct",
                  checkpoint_dir: Optional[str] = None,
                  resume_from: Optional[str] = None,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 mesh=None):
         super().__init__(num_spin_orbitals=num_spin_orbitals, mapper=mapper,
                          estimator=estimator,
                          partial_unitary_optimizer=partial_unitary_optimizer,
@@ -66,7 +67,8 @@ class OptOrbEigensolver(BaseOptOrbSolver):
                          partial_unitary_random_perturbation=partial_unitary_random_perturbation,
                          RDM_ops_batchsize=RDM_ops_batchsize,
                          rdm_measurement=rdm_measurement,
-                         checkpoint_dir=checkpoint_dir, seed=seed)
+                         checkpoint_dir=checkpoint_dir, seed=seed,
+                         mesh=mesh)
         if excited_states_solver is None:
             raise ValueError("excited_states_solver is required")
         self._excited_states_solver_list = [
@@ -213,11 +215,10 @@ class OptOrbEigensolver(BaseOptOrbSolver):
             # --- orbital rotation (weight-combined RDMs) -------------------
             U0 = self._maybe_perturb_unitary(
                 np.asarray(self._current_partial_unitary))
-            objective, data = self._inner_objective_and_data(
-                gammas, Gammas, weights=self.weight_vector)
             t0 = time.perf_counter()
             pupo = self._partial_unitary_optimizer_list[iteration]
-            U_opt, _ = pupo.compute_optimal_rotation(objective, U0, *data)
+            U_opt, _ = self._run_inner_optimization(
+                pupo, U0, gammas, Gammas, weights=self.weight_vector)
             optorb_result.metrics["rotation_time"].append(
                 time.perf_counter() - t0)
             if pupo.last_result is not None:

@@ -47,7 +47,8 @@ class OptOrbMinimumEigensolver(BaseOptOrbSolver):
                  rdm_measurement: str = "direct",
                  checkpoint_dir: Optional[str] = None,
                  resume_from: Optional[str] = None,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 mesh=None):
         super().__init__(num_spin_orbitals=num_spin_orbitals, mapper=mapper,
                          estimator=estimator,
                          partial_unitary_optimizer=partial_unitary_optimizer,
@@ -61,7 +62,8 @@ class OptOrbMinimumEigensolver(BaseOptOrbSolver):
                          partial_unitary_random_perturbation=partial_unitary_random_perturbation,
                          RDM_ops_batchsize=RDM_ops_batchsize,
                          rdm_measurement=rdm_measurement,
-                         checkpoint_dir=checkpoint_dir, seed=seed)
+                         checkpoint_dir=checkpoint_dir, seed=seed,
+                         mesh=mesh)
         if ground_state_solver is None:
             raise ValueError("ground_state_solver is required")
         self._ground_state_solver_list = [
@@ -158,10 +160,9 @@ class OptOrbMinimumEigensolver(BaseOptOrbSolver):
             # --- orbital rotation ------------------------------------------
             U0 = self._maybe_perturb_unitary(
                 np.asarray(self._current_partial_unitary))
-            objective, data = self._inner_objective_and_data(gammas, Gammas)
             t0 = time.perf_counter()
             pupo = self._partial_unitary_optimizer_list[iteration]
-            U_opt, _ = pupo.compute_optimal_rotation(objective, U0, *data)
+            U_opt, _ = self._run_inner_optimization(pupo, U0, gammas, Gammas)
             optorb_result.metrics["rotation_time"].append(
                 time.perf_counter() - t0)
             if pupo.last_result is not None:

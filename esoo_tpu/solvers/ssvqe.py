@@ -127,7 +127,8 @@ class SSVQE:
                  weight_vector: Optional[Sequence[float]] = None,
                  gradient=None,
                  callback: Optional[Callable] = None,
-                 check_input_states_orthogonality: bool = True):
+                 check_input_states_orthogonality: bool = True,
+                 max_evals_grouped: int = 1):
         self.estimator = estimator
         self.k = k
         self.ansatz = ansatz
@@ -138,6 +139,9 @@ class SSVQE:
         self.gradient = gradient
         self.callback = callback
         self.check_initial_states_orthogonal = check_input_states_orthogonality
+        # parity knob (reference ssvqe.py:352-365): grouped evaluation is
+        # subsumed by the vmapped k-state batch; accepted and recorded.
+        self.max_evals_grouped = max_evals_grouped
 
     # -- setup helpers ---------------------------------------------------
     def _resolved_weights(self) -> np.ndarray:

@@ -46,6 +46,7 @@ class VQDResult:
         self.cost_function_evals: Optional[List[int]] = None
         self.optimizer_times: Optional[List[float]] = None
         self.optimizer_results: Optional[List[OptimizerResult]] = None
+        self.aux_operators_evaluated: Optional[List] = None
 
 
 class VQD:
@@ -171,6 +172,13 @@ class VQD:
             energy = e_fn(opt_result.x)   # deflation-free eigenvalue estimate
             eigenvalues.append(energy)
             prev_states.append(np.asarray(compiled.state(opt_result.x)))
+
+            if aux_operators is not None:
+                from .vqe import _eval_aux_ops
+                if result.aux_operators_evaluated is None:
+                    result.aux_operators_evaluated = []
+                result.aux_operators_evaluated.append(_eval_aux_ops(
+                    compiled.state(opt_result.x), aux_operators))
 
             result.optimal_points.append(np.asarray(opt_result.x))
             result.optimal_parameters.append(np.asarray(opt_result.x))

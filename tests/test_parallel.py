@@ -93,3 +93,24 @@ def test_uneven_padding():
         jnp.asarray(U), jnp.asarray(gamma_s), jnp.asarray(Gamma_s),
         jnp.asarray(h), jnp.asarray(g)))
     np.testing.assert_allclose(e, e_local, rtol=1e-12)
+
+
+def test_optorbvqe_with_mesh(h2_631g):
+    """Class-based OptOrbVQE with the inner loop distributed over the mesh
+    reproduces the reference energy."""
+    import numpy as np
+    from esoo_tpu.sim import Estimator, HartreeFock, UCCSD
+    from esoo_tpu.solvers import VQE, L_BFGS_B
+    from esoo_tpu.orbital_optimization import (
+        OptOrbVQE, PartialUnitaryProjectionOptimizer)
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    vqe = VQE(Estimator(), ansatz, L_BFGS_B(),
+              initial_point=np.zeros(ansatz.num_parameters))
+    mesh = make_orbital_mesh(4)
+    sol = OptOrbVQE(num_spin_orbitals=4, ground_state_solver=vqe,
+                    partial_unitary_optimizer=PartialUnitaryProjectionOptimizer(
+                        1e-3, 1e-5, 10000),
+                    problem=h2_631g, maxiter=20, mesh=mesh)
+    r = sol.compute_minimum_energy()
+    np.testing.assert_array_almost_equal(r.eigenvalue, -1.8661038079694765,
+                                         decimal=3)
