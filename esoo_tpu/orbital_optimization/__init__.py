@@ -1,7 +1,8 @@
 from .base import BaseOptOrbResult, BaseOptOrbSolver
 from .checkpoint import load_checkpoint, save_checkpoint
 from .eigensolver import OptOrbEigensolver, OptOrbEigensolverResult
-from .fused import FusedOptOrbResult, FusedOptOrbVQE
+from .fused import (FusedOptOrbEigensolverResult, FusedOptOrbResult,
+                    FusedOptOrbSSVQE, FusedOptOrbVQE)
 from .kernels import (
     expand_spin,
     rotate_one_body,
@@ -26,6 +27,7 @@ __all__ = [
     "load_checkpoint", "save_checkpoint",
     "OptOrbEigensolver", "OptOrbEigensolverResult",
     "FusedOptOrbResult", "FusedOptOrbVQE",
+    "FusedOptOrbEigensolverResult", "FusedOptOrbSSVQE",
     "OptOrbMinimumEigensolver", "OptOrbMinimumEigensolverResult",
     "OptOrbAdaptVQE", "OptOrbAdaptVQEResult",
     "OptOrbMCVQE", "OptOrbMCVQEResult",

@@ -164,6 +164,206 @@ def _fused_optorb_vqe(state_fn: Callable,
     return E, theta, U, it, trace
 
 
+@dataclasses.dataclass
+class FusedOptOrbEigensolverResult:
+    eigenvalues: np.ndarray
+    optimal_point: np.ndarray
+    optimal_partial_unitary: np.ndarray
+    energy_convergence_list: list     # weighted sums per outer iteration
+    outer_iterations: int
+
+    @property
+    def optimal_parameters(self):
+        return self.optimal_point
+
+
+@partial(jax.jit, static_argnames=(
+    "apply_fn", "n_active", "outer_maxiter", "inner_maxiter", "vqe_maxiter"))
+def _fused_optorb_ssvqe(apply_fn: Callable,
+                        n_active: int,
+                        init_mat: jnp.ndarray,          # (k, 2^N)
+                        weights: jnp.ndarray,           # (k,)
+                        theta0: jnp.ndarray,
+                        U0: jnp.ndarray,
+                        h_sp: jnp.ndarray,
+                        g_sp: jnp.ndarray,
+                        outer_tol: jnp.ndarray,
+                        inner_tol: jnp.ndarray,
+                        bb_stepsize: jnp.ndarray,
+                        decay: jnp.ndarray,
+                        outer_maxiter: int = 20,
+                        inner_maxiter: int = 10000,
+                        vqe_maxiter: int = 300):
+    """Fused SSVQE outer loop: (energies, theta, U, n_outer, trace)."""
+    N = 2 * n_active
+    gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
+
+    def state_energies(theta, h_act, g_act):
+        h_so, g_so = expand_spin_tensors(h_act, g_act)
+        states = jax.vmap(apply_fn, in_axes=(0, None))(init_mat, theta)
+        return jax.vmap(lambda s: rdm_energy(s, h_so, g_so))(states), states
+
+    def weighted_cost(theta, h_act, g_act):
+        es, _ = state_energies(theta, h_act, g_act)
+        return jnp.dot(weights, es)
+
+    def run_ssvqe(theta, h_act, g_act):
+        res = jax_minimize(weighted_cost, theta, args=(h_act, g_act),
+                           method="BFGS",
+                           options={"maxiter": vqe_maxiter, "gtol": gtol})
+        return res.x, res.fun
+
+    def orbital_objective(U, gamma_s, Gamma_s):
+        e1 = jnp.sum(rotate_one_body(h_sp, U) * gamma_s)
+        e2 = jnp.sum(rotate_two_body(g_sp, U) * Gamma_s)
+        return e1 + e2
+
+    vag = jax.value_and_grad(orbital_objective)
+
+    def outer_cond(c):
+        return jnp.logical_not(c[-1])
+
+    def outer_body(c):
+        it, theta, U, E_prev, _, trace, done = c
+        h_act = rotate_one_body(h_sp, U)
+        g_act = rotate_two_body(g_sp, U)
+        theta, Ew = run_ssvqe(theta, h_act, g_act)
+        trace = trace.at[it].set(Ew)
+
+        _, states = state_energies(theta, h_act, g_act)
+        # weight-combined, spin-summed RDMs of the k states
+        gammas = jax.vmap(lambda s: one_rdm(s, N))(states)
+        Gammas = jax.vmap(lambda s: two_rdm(s, N))(states)
+        gamma = jnp.tensordot(weights, gammas, axes=1)
+        Gamma = jnp.tensordot(weights, Gammas, axes=1)
+        gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
+
+        U_new = _inner_bb(vag, U, (gamma_s, Gamma_s), bb_stepsize,
+                          inner_tol, decay, inner_maxiter)
+        converged = jnp.abs(Ew - E_prev) < outer_tol
+        hit_max = it + 1 >= outer_maxiter
+        U_out = jnp.where(converged, U, U_new)
+        return (it + 1, theta, U_out, Ew, Ew,
+                trace, jnp.logical_or(converged, hit_max))
+
+    trace0 = jnp.full((outer_maxiter,), jnp.nan, dtype=h_sp.dtype)
+    c0 = (jnp.asarray(0), theta0, orth(U0),
+          jnp.asarray(jnp.inf, h_sp.dtype), jnp.asarray(0.0, h_sp.dtype),
+          trace0, jnp.asarray(False))
+    it, theta, U, _, Ew, trace, done = jax.lax.while_loop(
+        outer_cond, outer_body, c0)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    energies, _ = state_energies(theta, h_act, g_act)
+    return energies, theta, U, it, trace
+
+
+class FusedOptOrbSSVQE:
+    """One-dispatch excited-state OptOrb loop (SSVQE eigensolver).
+
+    Same semantics as OptOrbSSVQE with direct RDMs and a gradient-based
+    optimizer; the whole outer loop compiles to a single device program.
+    """
+
+    def __init__(self,
+                 num_spin_orbitals: int,
+                 ansatz: QuantumCircuit,
+                 initial_states,
+                 weight_vector=None,
+                 problem=None,
+                 integral_tensors=None,
+                 initial_partial_unitary=None,
+                 initial_point=None,
+                 maxiter: int = 20,
+                 stopping_tolerance: float = 1e-5,
+                 inner_stopping_tolerance: float = 1e-5,
+                 inner_maxiter: int = 10000,
+                 initial_BBstepsize: float = 1e-3,
+                 decay_factor: float = 0.8,
+                 vqe_maxiter: int = 300,
+                 dtype=None):
+        from .kernels import spatial_blocks, spin_blocks_consistent
+
+        if integral_tensors is not None:
+            h_so = np.asarray(integral_tensors[0], dtype=np.float64)
+            g_so = np.asarray(integral_tensors[1], dtype=np.float64)
+        elif problem is not None:
+            h_so, g_so = problem.integral_tensors()
+        else:
+            raise ValueError("either `problem` or `integral_tensors` required")
+        if not spin_blocks_consistent(h_so, g_so):
+            raise ValueError(
+                "FusedOptOrbSSVQE requires spin-block-structured integrals")
+        h_sp, g_sp = spatial_blocks(h_so, g_so)
+        dtype = dtype or h_sp.dtype
+        self._h_sp = jnp.asarray(h_sp, dtype=dtype)
+        self._g_sp = jnp.asarray(g_sp, dtype=dtype)
+
+        self.num_spin_orbitals = num_spin_orbitals
+        self.ansatz = ansatz
+        self._compiled = compile_circuit(ansatz)
+        if not self._compiled.is_real:
+            raise ValueError("fused path requires a real-safe ansatz")
+        self._apply_raw = self._compiled._build_apply()  # stable jit key
+        vecs = [np.asarray(compile_circuit(st).state())
+                for st in initial_states]
+        if any(not np.allclose(np.imag(v), 0.0) for v in vecs):
+            raise ValueError("fused path requires real initial states")
+        self._init_mat = jnp.asarray(np.real(np.stack(vecs)), dtype=dtype)
+        self.k = len(initial_states)
+        if weight_vector is None:
+            weight_vector = [self.k - i for i in range(self.k)]
+        self._weights = jnp.asarray(weight_vector, dtype=dtype)
+
+        m = h_sp.shape[0]
+        n = num_spin_orbitals // 2
+        if initial_partial_unitary is None:
+            U0 = np.zeros((m, n))
+            U0[np.arange(n), np.arange(n)] = 1.0
+        else:
+            U0 = np.asarray(initial_partial_unitary)
+        self._U0 = jnp.asarray(U0, dtype=dtype)
+        if initial_point is None:
+            initial_point = np.zeros(ansatz.num_parameters)
+        self._theta0 = jnp.asarray(initial_point, dtype=dtype)
+
+        self.maxiter = maxiter
+        self.stopping_tolerance = stopping_tolerance
+        self.inner_stopping_tolerance = inner_stopping_tolerance
+        self.inner_maxiter = inner_maxiter
+        self.initial_BBstepsize = initial_BBstepsize
+        self.decay_factor = decay_factor
+        self.vqe_maxiter = vqe_maxiter
+
+    def compute_energies(self) -> FusedOptOrbEigensolverResult:
+        from ..utils.config import precision_mode
+        dtype = self._h_sp.dtype
+        mode = "fast" if jnp.finfo(dtype).bits < 64 else "high"
+        with precision_mode(mode):
+            energies, theta, U, it, trace = _fused_optorb_ssvqe(
+                self._apply_raw,
+                self.num_spin_orbitals // 2,
+                self._init_mat, self._weights,
+                self._theta0, self._U0, self._h_sp, self._g_sp,
+                jnp.asarray(self.stopping_tolerance, dtype),
+                jnp.asarray(self.inner_stopping_tolerance, dtype),
+                jnp.asarray(self.initial_BBstepsize, dtype),
+                jnp.asarray(self.decay_factor, dtype),
+                outer_maxiter=self.maxiter,
+                inner_maxiter=self.inner_maxiter,
+                vqe_maxiter=self.vqe_maxiter,
+            )
+        it = int(it)
+        return FusedOptOrbEigensolverResult(
+            eigenvalues=np.asarray(energies),
+            optimal_point=np.asarray(theta),
+            optimal_partial_unitary=np.asarray(U),
+            energy_convergence_list=[float(e)
+                                     for e in np.asarray(trace)[:it]],
+            outer_iterations=it,
+        )
+
+
 class FusedOptOrbVQE:
     """One-dispatch OptOrbVQE (see module docstring).
 

@@ -51,3 +51,20 @@ def test_fused_rejects_nonblock_integrals(h2_631g):
     with pytest.raises(ValueError):
         FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
                        integral_tensors=(h, g))
+
+
+def test_fused_ssvqe_matches_reference(h2_631g):
+    from esoo_tpu.sim import QuantumCircuit
+    from esoo_tpu.orbital_optimization import FusedOptOrbSSVQE
+    ansatz = UCCSD(2, (1, 1), reps=2)
+    init0 = HartreeFock(2, (1, 1))
+    init1 = QuantumCircuit(4)
+    init1.x(1)
+    init1.x(2)
+    r = FusedOptOrbSSVQE(num_spin_orbitals=4, ansatz=ansatz,
+                         initial_states=[init0, init1],
+                         weight_vector=[2, 1], problem=h2_631g,
+                         maxiter=20).compute_energies()
+    np.testing.assert_array_almost_equal(
+        r.eigenvalues, [-1.85403538, -1.37044354], decimal=3)
+    assert r.outer_iterations >= 2
