@@ -16,7 +16,8 @@ from .optimizers import (
 )
 from .ssvqe import SSVQE, SSVQEResult
 from .vqd import VQD, VQDResult
-from .vqe import VQE, AlgorithmError, NumPyMinimumEigensolver, VQEResult
+from .vqe import (VQE, AlgorithmError, NumPyEigensolver,
+                  NumPyEigensolverResult, NumPyMinimumEigensolver, VQEResult)
 
 __all__ = [
     "AdaptVQE", "AdaptVQEResult", "TerminationCriterion",
@@ -25,5 +26,6 @@ __all__ = [
     "SPSA", "GradientDescent", "Minimizer", "Optimizer", "OptimizerResult",
     "SSVQE", "SSVQEResult",
     "VQD", "VQDResult",
-    "VQE", "AlgorithmError", "NumPyMinimumEigensolver", "VQEResult",
+    "VQE", "AlgorithmError", "NumPyEigensolver", "NumPyEigensolverResult",
+    "NumPyMinimumEigensolver", "VQEResult",
 ]

@@ -139,3 +139,35 @@ class NumPyMinimumEigensolver:
         result.eigenvalue = float(w[0])
         result.optimal_value = float(w[0])
         return result
+
+
+class NumPyEigensolverResult:
+    def __init__(self):
+        self.eigenvalues: Optional[np.ndarray] = None
+        self.eigenstates: Optional[np.ndarray] = None
+
+
+class NumPyEigensolver:
+    """Dense exact k-eigenvalue solver (excited-state test oracle, parity
+    with qiskit_algorithms.NumPyEigensolver).
+
+    `filter_criterion(state, value, aux) -> bool` restricts the spectrum
+    (e.g. to a particle-number sector).
+    """
+
+    def __init__(self, k: int = 2, filter_criterion=None):
+        self.k = k
+        self.filter_criterion = filter_criterion
+
+    def compute_eigenvalues(self, operator: SparsePauliOp,
+                            aux_operators=None) -> "NumPyEigensolverResult":
+        H = operator.to_matrix()
+        w, v = np.linalg.eigh(H)
+        if self.filter_criterion is not None:
+            keep = [i for i in range(len(w))
+                    if self.filter_criterion(v[:, i], w[i], None)]
+            w, v = w[keep], v[:, keep]
+        result = NumPyEigensolverResult()
+        result.eigenvalues = w[: self.k]
+        result.eigenstates = v[:, : self.k].T
+        return result
