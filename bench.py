@@ -69,26 +69,13 @@ def run_ours(problem, n_red_so, maxiter=20, tol=1e-5):
     r32 = make(jnp.float32).compute_minimum_energy()
     warm = time.perf_counter() - t0
 
-    # phase B: f64 polish from the f32 solution on the CPU backend, via the
-    # class-based path (small per-stage programs -> negligible compile).
-    from esoo_tpu.sim import Estimator
-    from esoo_tpu.solvers import VQE, L_BFGS_B
-    from esoo_tpu.orbital_optimization import (
-        OptOrbVQE, PartialUnitaryProjectionOptimizer)
-
+    # phase B: f64 polish from the f32 solution on the CPU backend (fused
+    # path, same static config as phase A; compile paid in the warm-up).
     def refine_run():
-        ansatz = UCCSD(n_act, parts, initial_state=HartreeFock(n_act, parts))
-        vqe = VQE(Estimator(), ansatz, L_BFGS_B(),
-                  initial_point=r32.optimal_point.astype(np.float64))
-        sol = OptOrbVQE(
-            num_spin_orbitals=n_red_so, ground_state_solver=vqe,
-            partial_unitary_optimizer=PartialUnitaryProjectionOptimizer(
-                1e-3, min(tol, 1e-6), 10000),
-            problem=problem,
-            initial_partial_unitary=r32.optimal_partial_unitary.astype(
-                np.float64),
-            maxiter=10, stopping_tolerance=min(tol, 1e-6))
-        return sol.compute_minimum_energy()
+        return make(jnp.float64,
+                    U0=r32.optimal_partial_unitary.astype(np.float64),
+                    x0=r32.optimal_point.astype(np.float64),
+                    stop=min(tol, 1e-6)).compute_minimum_energy()
 
     try:
         cpu = jax.devices("cpu")[0]

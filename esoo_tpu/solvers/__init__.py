@@ -10,6 +10,7 @@ from .optimizers import (
     SLSQP,
     SPSA,
     GradientDescent,
+    JaxBFGS,
     Minimizer,
     Optimizer,
     OptimizerResult,
@@ -23,7 +24,7 @@ __all__ = [
     "AdaptVQE", "AdaptVQEResult", "TerminationCriterion",
     "MCVQE", "MCVQEResult",
     "ADAM", "CG", "COBYLA", "L_BFGS_B", "NELDER_MEAD", "POWELL", "SLSQP",
-    "SPSA", "GradientDescent", "Minimizer", "Optimizer", "OptimizerResult",
+    "SPSA", "GradientDescent", "JaxBFGS", "Minimizer", "Optimizer", "OptimizerResult",
     "SSVQE", "SSVQEResult",
     "VQD", "VQDResult",
     "VQE", "AlgorithmError", "NumPyEigensolver", "NumPyEigensolverResult",

@@ -189,5 +189,46 @@ def _finite_diff(fun, eps: float = 1e-7):
     return jac
 
 
+class JaxBFGS(Optimizer):
+    """On-device BFGS: the entire minimization compiles into the energy's
+    XLA program (jax.scipy.optimize.minimize), so a VQE run is ONE device
+    dispatch instead of one per L-BFGS iterate.  Eigensolvers detect this
+    type and hand it their jittable energy instead of a host callback.
+    """
+
+    is_jax_native = True
+
+    def __init__(self, maxiter: int = 500, gtol: float = 1e-8):
+        self.maxiter = maxiter
+        self.gtol = gtol
+
+    def minimize_jittable(self, energy_fn, x0, args=()) -> OptimizerResult:
+        """energy_fn(theta, *args) must be jax-traceable."""
+        import jax
+        import jax.numpy as jnp
+        from jax.scipy.optimize import minimize as jax_minimize
+
+        @jax.jit
+        def run(x0, *args):
+            res = jax_minimize(energy_fn, x0, args=args, method="BFGS",
+                               options={"maxiter": self.maxiter,
+                                        "gtol": self.gtol})
+            return res.x, res.fun, res.nit, res.nfev
+
+        x, fun, nit, nfev = run(jnp.asarray(x0, dtype=jnp.float64),
+                                *args)
+        return OptimizerResult(x=np.asarray(x), fun=float(fun),
+                               nfev=int(nfev), nit=int(nit))
+
+    def minimize(self, fun, x0, jac=None, bounds=None) -> OptimizerResult:
+        # host-callback fallback (still correct, loses the fusion win)
+        res = scipy_minimize(fun, np.asarray(x0, dtype=np.float64), jac=jac,
+                             method="BFGS",
+                             options={"maxiter": self.maxiter,
+                                      "gtol": self.gtol})
+        return OptimizerResult(x=np.asarray(res.x), fun=float(res.fun),
+                               nfev=int(res.nfev), nit=int(res.nit))
+
+
 class Minimizer:
     """Marker type: any callable (fun, x0, jac, bounds) -> OptimizerResult."""

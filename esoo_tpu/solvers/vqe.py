@@ -90,7 +90,25 @@ class VQE:
             return vag_fn(theta)[1]
 
         t0 = time.perf_counter()
-        if callable(self.optimizer) and not isinstance(self.optimizer, Optimizer):
+        if getattr(self.optimizer, "is_jax_native", False):
+            # one-dispatch path: hand the optimizer the jittable energy
+            # (per-iterate callbacks are not observable on this path)
+            import jax.numpy as jnp
+            from ..sim.statevector import compile_circuit as _cc
+            from .energy import fermionic_evaluators, pauli_evaluators
+            compiled = _cc(ansatz)
+            if getattr(operator, "fermionic", None) is not None:
+                h, g = operator.fermionic
+                e_jit, _ = fermionic_evaluators(compiled,
+                                                ansatz.fingerprint())
+                opt_result = self.optimizer.minimize_jittable(
+                    e_jit, x0, args=(jnp.asarray(h), jnp.asarray(g)))
+            else:
+                e_jit, _ = pauli_evaluators(compiled, operator)
+                opt_result = self.optimizer.minimize_jittable(e_jit, x0)
+            evals["n"] = opt_result.nfev
+        elif callable(self.optimizer) and not isinstance(self.optimizer,
+                                                         Optimizer):
             opt_result = self.optimizer(fun=fun, x0=x0, jac=jac, bounds=None)
         else:
             opt_result = self.optimizer.minimize(fun, x0, jac=jac)

@@ -56,3 +56,33 @@ def test_mo_integral_symmetries(h2_sto3g):
     S = IntegralEngine(shells, charges, coords).one_electron()[0]
     np.testing.assert_allclose(C.T @ S @ C,
                                np.eye(C.shape[1]), atol=1e-10)
+
+
+@pytest.mark.slow
+def test_lih_sto3g_consistency():
+    """Heteronuclear molecule with p shells: the whole stack must stay
+    internally consistent (determinant CI == Fock-space diagonalization,
+    OptOrbVQE between active-HF and full-FCI energies)."""
+    from esoo_tpu.ops import ActiveSpaceHamiltonianBuilder
+    from esoo_tpu.sim import Estimator, HartreeFock, UCCSD
+    from esoo_tpu.solvers import VQE, JaxBFGS
+    from esoo_tpu.orbital_optimization import (
+        OptOrbVQE, PartialUnitaryProjectionOptimizer)
+    p = MoleculeDriver(atom="Li 0 0 0; H 0 0 1.5949", basis="sto-3g").run()
+    assert p.num_spin_orbitals == 12
+    assert p.num_particles == (2, 2)
+    h, g = p.integral_tensors()
+    e_fci = fci_electronic(p)  # FCI for 4 electrons (max_excitation=2 is
+    # not FCI here, but a valid variational CISD bound below HF)
+    ansatz = UCCSD(3, (2, 2), initial_state=HartreeFock(3, (2, 2)))
+    vqe = VQE(Estimator(), ansatz, JaxBFGS(),
+              initial_point=np.zeros(ansatz.num_parameters))
+    r = OptOrbVQE(num_spin_orbitals=6, ground_state_solver=vqe,
+                  partial_unitary_optimizer=PartialUnitaryProjectionOptimizer(
+                      1e-3, 1e-5, 10000),
+                  problem=p, maxiter=15).compute_minimum_energy()
+    # active-space energy must lie between full-CISD and bare-RHF electronic
+    e_rhf_elec = p.scf.energy_electronic
+    assert e_fci - 1e-6 <= r.eigenvalue <= e_rhf_elec + 1e-6
+    # and improve on the initial (HF-orbital) active space
+    assert r.energy_convergence_list[-1] <= r.energy_convergence_list[0] + 1e-10

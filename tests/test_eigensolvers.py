@@ -168,3 +168,30 @@ class TestAdaptVQE:
         solver = VQE(Estimator(), RealAmplitudes(4), L_BFGS_B())
         with pytest.raises(AlgorithmError):
             AdaptVQE(solver).compute_minimum_eigenvalue(H)
+
+
+class TestJaxBFGS:
+    def test_vqe_one_dispatch(self, H, uccsd_ansatz):
+        from esoo_tpu.solvers import JaxBFGS
+        vqe = VQE(Estimator(), uccsd_ansatz, JaxBFGS(),
+                  initial_point=np.zeros(uccsd_ansatz.num_parameters))
+        res = vqe.compute_minimum_eigenvalue(H)
+        np.testing.assert_allclose(res.eigenvalue, GROUND, atol=1e-6)
+        assert res.cost_function_evals > 0
+
+    def test_optorb_with_jax_bfgs(self, h2_sto3g):
+        """Full OptOrb loop driven by the on-device optimizer."""
+        from esoo_tpu.chem import MoleculeDriver
+        from esoo_tpu.solvers import JaxBFGS
+        from esoo_tpu.orbital_optimization import (
+            OptOrbVQE, PartialUnitaryProjectionOptimizer)
+        p = MoleculeDriver(atom="H 0 0 0; H 0 0 0.735", basis="6-31g").run()
+        ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+        vqe = VQE(Estimator(), ansatz, JaxBFGS(),
+                  initial_point=np.zeros(ansatz.num_parameters))
+        r = OptOrbVQE(num_spin_orbitals=4, ground_state_solver=vqe,
+                      partial_unitary_optimizer=PartialUnitaryProjectionOptimizer(
+                          1e-3, 1e-5, 10000),
+                      problem=p, maxiter=20).compute_minimum_energy()
+        np.testing.assert_array_almost_equal(r.eigenvalue,
+                                             -1.8661038079694765, decimal=3)
