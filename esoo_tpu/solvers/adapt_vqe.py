@@ -21,7 +21,7 @@ import numpy as np
 from ..ops.pauli import SparsePauliOp
 from ..sim.circuit import QuantumCircuit
 from .energy import make_evaluators
-from .vqe import VQE, VQEResult, AlgorithmError
+from .vqe import VQE, VQEResult, AlgorithmError, _eval_aux_ops
 
 
 class TerminationCriterion(enum.Enum):
@@ -62,14 +62,134 @@ class AdaptVQE:
     def __init__(self, solver: VQE, *,
                  gradient_threshold: float = 1e-5,
                  eigenvalue_threshold: float = 1e-5,
-                 max_iterations: Optional[int] = None):
+                 max_iterations: Optional[int] = None,
+                 static_shapes: bool = True):
         self.solver = solver
         self.gradient_threshold = gradient_threshold
         self.eigenvalue_threshold = eigenvalue_threshold
         self.max_iterations = max_iterations
+        # static_shapes: evaluate through ONE padded-pool circuit (R slots x
+        # full pool, unselected angles pinned to zero) so ansatz growth
+        # never changes array shapes -> a single XLA compile for the whole
+        # run.  False restores the grow-and-recompile structure (one
+        # compile per growth step), kept as the cross-check path.
+        self.static_shapes = static_shapes
 
     def compute_minimum_eigenvalue(self, operator: SparsePauliOp,
                                    aux_operators=None) -> AdaptVQEResult:
+        if self.static_shapes:
+            return self._compute_static(operator, aux_operators)
+        return self._compute_growing(operator, aux_operators)
+
+    # -- static-shape path -------------------------------------------------
+    def _compute_static(self, operator: SparsePauliOp,
+                        aux_operators=None) -> AdaptVQEResult:
+        """Recompile-free ADAPT: a fixed circuit of R pool blocks, growth =
+        unmasking one parameter per block."""
+        import jax.numpy as jnp
+
+        template = self.solver.ansatz
+        pool = getattr(template, "_ucc_pool", None)
+        if pool is None:
+            raise AlgorithmError(
+                "AdaptVQE requires an ansatz built by sim.ansatz.UCC/UCCSD "
+                "(carrying its excitation pool)")
+        initial = getattr(template, "_ucc_initial_state", None)
+        nq = operator.num_qubits
+        P = len(pool)
+        R = self.max_iterations or P
+
+        padded = initial.copy() if initial is not None else QuantumCircuit(nq)
+        if padded.num_parameters:
+            raise AlgorithmError("AdaptVQE initial state must be parameter-free")
+        for _ in range(R):
+            for group in pool:
+                _append_group(padded, group)
+        _, vag = make_evaluators(padded, operator)   # the ONE compile
+        efn, _ = make_evaluators(padded, operator)
+
+        theta_full = np.zeros(R * P)
+        selected: List[int] = []
+        history: List[float] = []
+        criterion = TerminationCriterion.MAXIMUM
+        max_grad_val = 0.0
+        prev_energy = None
+        n_evals = 0
+
+        for it in range(1, R + 1):
+            # pool screening: gradient of slot `it-1` (angles all zero there)
+            _, grad = vag(theta_full)
+            n_evals += 1
+            slot = (it - 1) * P
+            pool_grads = np.abs(np.asarray(grad)[slot: slot + P])
+            best = int(np.argmax(pool_grads))
+            max_grad_val = float(pool_grads[best])
+            if max_grad_val < self.gradient_threshold:
+                criterion = TerminationCriterion.CONVERGED
+                break
+            if len(selected) >= 2 and selected[-1] == best \
+                    and selected[-2] == best:
+                criterion = TerminationCriterion.CYCLICITY
+                break
+            selected.append(best)
+            active = np.array([r * P + s for r, s in enumerate(selected)])
+
+            # optimize the active angles through the fixed circuit
+            def fun(alpha):
+                n = len(active)
+                th = theta_full.copy()
+                th[active] = alpha
+                v, _ = vag(th)
+                return float(v)
+
+            def jac(alpha):
+                th = theta_full.copy()
+                th[active] = alpha
+                _, g = vag(th)
+                return np.asarray(g)[active]
+
+            from scipy.optimize import minimize as scipy_minimize
+            x0 = theta_full[active]
+            res = scipy_minimize(fun, x0, jac=jac, method="L-BFGS-B")
+            n_evals += int(res.nfev)
+            theta_full[active] = res.x
+            history.append(float(res.fun))
+            if prev_energy is not None and \
+                    abs(history[-1] - prev_energy) < self.eigenvalue_threshold:
+                criterion = TerminationCriterion.CONVERGED
+                break
+            prev_energy = history[-1]
+
+        result = AdaptVQEResult()
+        if history:
+            result.eigenvalue = history[-1]
+        else:
+            result.eigenvalue = float(efn(theta_full))
+        # emit the equivalent compact grown circuit + its parameters
+        compact = initial.copy() if initial is not None else QuantumCircuit(nq)
+        for s in selected:
+            _append_group(compact, pool[s])
+        alpha = theta_full[[r * P + s for r, s in enumerate(selected)]] \
+            if selected else np.zeros(0)
+        result.optimal_point = alpha
+        result.optimal_parameters = alpha
+        result.optimal_value = result.eigenvalue
+        result.optimal_circuit = compact
+        result.cost_function_evals = n_evals
+        result.num_iterations = len(history) if history else 1
+        result.final_maximum_gradient = max_grad_val
+        result.termination_criterion = criterion
+        result.eigenvalue_history = history
+        if aux_operators is not None:
+            from ..sim.statevector import compile_circuit
+            state = compile_circuit(compact).state(alpha)
+            result.aux_operators_evaluated = _eval_aux_ops(state,
+                                                           aux_operators)
+        return result
+
+    # -- grow-and-recompile path (cross-check) -----------------------------
+    def _compute_growing(self, operator: SparsePauliOp,
+                         aux_operators=None) -> AdaptVQEResult:
         template = self.solver.ansatz
         pool = getattr(template, "_ucc_pool", None)
         if pool is None:

@@ -195,3 +195,13 @@ class TestJaxBFGS:
                       problem=p, maxiter=20).compute_minimum_energy()
         np.testing.assert_array_almost_equal(r.eigenvalue,
                                              -1.8661038079694765, decimal=3)
+
+    def test_static_and_growing_agree(self, H):
+        pool_ansatz = UCCSD(2, (1, 1),
+                            initial_state=HartreeFock(2, (1, 1)))
+        static = AdaptVQE(VQE(Estimator(), pool_ansatz, L_BFGS_B()),
+                          static_shapes=True).compute_minimum_eigenvalue(H)
+        growing = AdaptVQE(VQE(Estimator(), pool_ansatz, L_BFGS_B()),
+                           static_shapes=False).compute_minimum_eigenvalue(H)
+        np.testing.assert_allclose(static.eigenvalue, growing.eigenvalue,
+                                   atol=1e-7)
