@@ -87,6 +87,26 @@ CCPVTZ = {
     ],
 }
 
+CCPVQZ = {
+    # Dunning cc-pVQZ for H (EMSL basis-set-exchange values).  Validated
+    # variationally in tests: E_FCI(QZ) < E_FCI(TZ) and above the exact
+    # Born-Oppenheimer limit.
+    "H": [
+        {"l": 0, "prims": [(82.6400, 0.0020060), (12.4100, 0.0153430),
+                           (2.8240, 0.0755790), (0.7977, 0.2568750),
+                           (0.2581, 0.4973680), (0.0898900, 0.2961330)]},
+        {"l": 0, "prims": [(0.7977, 1.0)]},
+        {"l": 0, "prims": [(0.2581, 1.0)]},
+        {"l": 0, "prims": [(0.0898900, 1.0)]},
+        {"l": 1, "prims": [(2.2920, 1.0)]},
+        {"l": 1, "prims": [(0.8380, 1.0)]},
+        {"l": 1, "prims": [(0.2920, 1.0)]},
+        {"l": 2, "prims": [(2.0620, 1.0)]},
+        {"l": 2, "prims": [(0.6620, 1.0)]},
+        {"l": 3, "prims": [(1.3970, 1.0)]},
+    ],
+}
+
 BASIS_SETS = {
     "sto-3g": STO3G,
     "sto3g": STO3G,
@@ -96,6 +116,8 @@ BASIS_SETS = {
     "ccpvdz": CCPVDZ,
     "cc-pvtz": CCPVTZ,
     "ccpvtz": CCPVTZ,
+    "cc-pvqz": CCPVQZ,
+    "ccpvqz": CCPVQZ,
 }
 
 ATOMIC_NUMBERS = {

@@ -86,3 +86,15 @@ def test_lih_sto3g_consistency():
     assert e_fci - 1e-6 <= r.eigenvalue <= e_rhf_elec + 1e-6
     # and improve on the initial (HF-orbital) active space
     assert r.energy_convergence_list[-1] <= r.energy_convergence_list[0] + 1e-10
+
+
+@pytest.mark.slow
+def test_h2_ccpvqz_variational_bounds():
+    """cc-pVQZ (120 spin orbitals, f shells): FCI must improve on cc-pVTZ
+    variationally and stay above the exact Born-Oppenheimer limit."""
+    p = MoleculeDriver(atom="H 0 0 0; H 0 0 0.735", basis="cc-pvqz").run()
+    assert p.num_spin_orbitals == 120
+    e_qz_total = fci_electronic(p) + p.nuclear_repulsion_energy
+    e_tz_total = -1.892266568 + 0.719968994
+    assert e_qz_total < e_tz_total          # variational improvement
+    assert e_qz_total > -1.1746             # above the exact BO limit

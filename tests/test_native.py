@@ -28,3 +28,13 @@ def test_native_eri_heteronuclear_sto3g():
     eng = IntegralEngine(shells, charges, coords)
     np.testing.assert_allclose(eng.eri(use_native=True),
                                eng.eri(use_native=False), atol=1e-13)
+
+
+@pytest.mark.slow
+def test_native_eri_f_shells():
+    """cc-pVQZ includes l=3 (f) shells — highest-angular-momentum path."""
+    shells, symbols, coords = build_shells("H 0 0 0; H 0 0 0.735", "cc-pvqz")
+    charges = np.array([ATOMIC_NUMBERS[s] for s in symbols], dtype=float)
+    eng = IntegralEngine(shells, charges, coords)
+    np.testing.assert_allclose(eng.eri(use_native=True),
+                               eng.eri(use_native=False), atol=1e-12)
