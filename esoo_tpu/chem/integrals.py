@@ -24,7 +24,6 @@ from .basis import (
     Shell,
     cart_to_pure_matrix,
     cartesian_components,
-    primitive_norm,
 )
 
 

@@ -20,7 +20,7 @@ energy path which bypasses Pauli decomposition entirely.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import scipy.sparse as sp

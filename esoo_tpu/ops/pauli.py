@@ -14,7 +14,7 @@ convention of qubit n-1 leftmost.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Sequence, Tuple
+from typing import Iterable, List, Tuple
 
 import numpy as np
 

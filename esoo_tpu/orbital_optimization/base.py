@@ -26,7 +26,7 @@ Key architectural departures (all TPU-motivated):
 from __future__ import annotations
 
 import copy
-from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,7 @@ from ..ops.jw import JordanWignerMapper
 from ..ops.pauli import SparsePauliOp, masks_to_label
 from ..sim.estimator import Estimator
 from ..sim.rdm import one_rdm, two_rdm
-from ..sim.statevector import compile_circuit, expectation_pauli
+from ..sim.statevector import compile_circuit
 from .kernels import (
     expand_spin_tensors,
     rotated_energy_so,

@@ -15,7 +15,7 @@ from __future__ import annotations
 import copy
 import os
 import time
-from typing import Callable, List, Optional, Sequence, Union
+from typing import Callable, List, Optional, Union
 
 import numpy as np
 

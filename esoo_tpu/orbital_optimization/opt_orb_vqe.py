@@ -5,7 +5,7 @@ Reference: opt_orb_vqe.py:15-103.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import numpy as np
 

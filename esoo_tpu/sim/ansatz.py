@@ -17,9 +17,7 @@ uses).  Ordering between excitations matches the enumeration order below.
 from __future__ import annotations
 
 import itertools
-from typing import List, Optional, Sequence, Tuple
-
-import numpy as np
+from typing import Optional, Tuple
 
 from ..ops.fermion import FermionicOp
 from ..ops.jw import JordanWignerMapper

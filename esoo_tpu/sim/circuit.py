@@ -11,8 +11,7 @@ simulation a pure jittable function of the parameter vector.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Tuple, Union
 
 import numpy as np
 

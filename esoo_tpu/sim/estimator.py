@@ -18,7 +18,7 @@ contraction path (sim/rdm.py) instead of per-Pauli reduction.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,8 +28,7 @@ CPU backend; TPU lacks complex support).
 from __future__ import annotations
 
 import math
-from functools import lru_cache
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ commutator estimation per pool element).
 from __future__ import annotations
 
 import enum
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 
@@ -86,8 +86,6 @@ class AdaptVQE:
                         aux_operators=None) -> AdaptVQEResult:
         """Recompile-free ADAPT: a fixed circuit of R pool blocks, growth =
         unmasking one parameter per block."""
-        import jax.numpy as jnp
-
         template = self.solver.ansatz
         pool = getattr(template, "_ucc_pool", None)
         if pool is None:

@@ -9,7 +9,7 @@ recompilation — the circuit structure is the only compile-time key.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

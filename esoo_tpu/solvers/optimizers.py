@@ -14,7 +14,7 @@ for fully on-device parameter loops.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 from scipy.optimize import minimize as scipy_minimize

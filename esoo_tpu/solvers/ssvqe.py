@@ -22,7 +22,6 @@ from ..ops.pauli import SparsePauliOp
 from ..sim.circuit import QuantumCircuit
 from ..sim.estimator import Estimator
 from ..sim.statevector import compile_circuit
-from .energy import make_evaluators
 from .optimizers import Optimizer, OptimizerResult
 from .vqe import AlgorithmError, _eval_aux_ops
 

@@ -29,9 +29,8 @@ import numpy as np
 from ..ops.pauli import SparsePauliOp
 from ..sim.circuit import QuantumCircuit
 from ..sim.estimator import ComputeUncompute, Estimator
-from ..sim.rdm import rdm_energy
 from ..sim.statevector import compile_circuit
-from .energy import make_evaluators, pauli_evaluators
+from .energy import make_evaluators
 from .optimizers import Optimizer, OptimizerResult
 from .vqe import AlgorithmError
 
