@@ -33,7 +33,6 @@ def test_h2_sto3g_fci(h2_sto3g):
                                atol=1e-6)
 
 
-@pytest.mark.slow
 def test_h2_ccpvtz_fci():
     """Full cc-pVTZ FCI electronic energy vs reference README.md:96."""
     p = MoleculeDriver(atom="H 0 0 0; H 0 0 0.735", basis="cc-pvtz").run()
