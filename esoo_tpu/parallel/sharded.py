@@ -154,25 +154,25 @@ class ShardedOrbitalOptimizer:
         self.decay_factor = decay_factor
         self._step = sharded_bb_step(mesh, axis_name)
         self._energy = sharded_rotated_energy(mesh, axis_name)
+        # stable value-and-grad identity so the fused descent compiles once
+        self._vag = jax.value_and_grad(
+            lambda u, gs, Gs, h, g: self._energy(u, gs, Gs, h, g))
 
     def compute_optimal_rotation(self, U0, gamma_s, Gamma_s, h_sp,
                                  g_sharded) -> Tuple[np.ndarray, float]:
-        U0 = orth(jnp.asarray(U0))
-        vag = jax.jit(jax.value_and_grad(
-            lambda u: self._energy(u, gamma_s, Gamma_s, h_sp, g_sharded)))
-        E_prev, G0 = vag(U0)
-        U = orth(U0 - self.BBstepsize * G0)
-        U_prev, G_prev = U0, G0
-        S = 1.5 * self.stopping_tolerance
-        k = 1
-        E_prev = float(E_prev)
-        while S > self.stopping_tolerance and k <= self.maxiter:
-            U, U_prev, G_prev, E = self._step(
-                U, U_prev, G_prev, k, gamma_s, Gamma_s, h_sp, g_sharded)
-            E = float(E)
-            S = (1 - self.decay_factor) * abs(E - E_prev) \
-                + self.decay_factor * S
-            E_prev = E
-            k += 1
-        E_final = float(self._energy(U, gamma_s, Gamma_s, h_sp, g_sharded))
-        return np.asarray(U), E_final
+        """The entire distributed BB descent as ONE multi-device XLA
+        program: the same lax.while_loop as the single-device optimizer,
+        with the g tensor riding in sharded and the psum collectives
+        compiled into the loop body."""
+        from ..orbital_optimization.stiefel import _bb_projected_descent
+
+        U0 = jnp.asarray(U0)
+        data = (jnp.asarray(gamma_s), jnp.asarray(Gamma_s), h_sp, g_sharded)
+        U, E, k, S, tr = _bb_projected_descent(
+            self._vag, len(data), (U0,) + data,
+            jnp.asarray(self.BBstepsize, U0.dtype),
+            jnp.asarray(self.stopping_tolerance, U0.dtype),
+            jnp.asarray(self.decay_factor, U0.dtype),
+            int(self.maxiter),
+        )
+        return np.asarray(U), float(E)
