@@ -1,8 +1,8 @@
 from .base import BaseOptOrbResult, BaseOptOrbSolver
 from .checkpoint import load_checkpoint, save_checkpoint
 from .eigensolver import OptOrbEigensolver, OptOrbEigensolverResult
-from .fused import (FusedOptOrbEigensolverResult, FusedOptOrbResult,
-                    FusedOptOrbSSVQE, FusedOptOrbVQE)
+from .fused import (FusedOptOrbEigensolverResult, FusedOptOrbMCVQE,
+                    FusedOptOrbResult, FusedOptOrbSSVQE, FusedOptOrbVQE)
 from .kernels import (
     expand_spin,
     rotate_one_body,
@@ -27,7 +27,7 @@ __all__ = [
     "load_checkpoint", "save_checkpoint",
     "OptOrbEigensolver", "OptOrbEigensolverResult",
     "FusedOptOrbResult", "FusedOptOrbVQE",
-    "FusedOptOrbEigensolverResult", "FusedOptOrbSSVQE",
+    "FusedOptOrbEigensolverResult", "FusedOptOrbMCVQE", "FusedOptOrbSSVQE",
     "OptOrbMinimumEigensolver", "OptOrbMinimumEigensolverResult",
     "OptOrbAdaptVQE", "OptOrbAdaptVQEResult",
     "OptOrbMCVQE", "OptOrbMCVQEResult",

@@ -364,6 +364,89 @@ class FusedOptOrbSSVQE:
         )
 
 
+class FusedOptOrbMCVQE(FusedOptOrbSSVQE):
+    """One-dispatch MCVQE OptOrb loop: CIS/CISD-initialized SSVQE core plus
+    the contracted-Hamiltonian post-processing (reference mcvqe.py:416-480)
+    evaluated through the same fused machinery.
+    """
+
+    def __init__(self, num_spin_orbitals: int, ansatz, num_particles,
+                 k: int = 2, excitations: str = "s", weight_vector=None,
+                 problem=None, integral_tensors=None, **kwargs):
+        from ..initializations.ci import get_CIS_states, get_CISD_states
+        from ..sim.circuit import QuantumCircuit as _QC
+        from .kernels import (expand_spin_tensors, rotated_integrals_spatial,
+                              spatial_blocks, spin_blocks_consistent)
+
+        if integral_tensors is not None:
+            h_so = np.asarray(integral_tensors[0], dtype=np.float64)
+            g_so = np.asarray(integral_tensors[1], dtype=np.float64)
+        elif problem is not None:
+            h_so, g_so = problem.integral_tensors()
+        else:
+            raise ValueError("either `problem` or `integral_tensors` required")
+        if not spin_blocks_consistent(h_so, g_so):
+            raise ValueError(
+                "FusedOptOrbMCVQE requires spin-block-structured integrals")
+
+        # CIS/CISD states from the initial-U-rotated integrals
+        # (reference semantics: opt_orb_mcvqe.py:90-103)
+        h_sp, g_sp = spatial_blocks(h_so, g_so)
+        n = num_spin_orbitals // 2
+        U0 = kwargs.get("initial_partial_unitary")
+        if U0 is None:
+            U0 = np.zeros((h_sp.shape[0], n))
+            U0[np.arange(n), np.arange(n)] = 1.0
+        h_act, g_act = rotated_integrals_spatial(
+            jnp.asarray(U0), jnp.asarray(h_sp), jnp.asarray(g_sp))
+        h_act_so, g_act_so = expand_spin_tensors(h_act, g_act)
+        get = get_CIS_states if excitations == "s" else get_CISD_states
+        states = get(np.asarray(h_act_so), np.asarray(g_act_so),
+                     num_particles, state_representation="dense")
+        if len(states) < k:
+            raise ValueError(f"CI produced {len(states)} states < k={k}")
+        self._ci_vectors = [np.real(np.asarray(s)) for s in states[:k]]
+        init_circuits = []
+        for vec in self._ci_vectors:
+            qc = _QC(num_spin_orbitals)
+            qc.initialize_statevector(vec)
+            init_circuits.append(qc)
+
+        super().__init__(num_spin_orbitals, ansatz, init_circuits,
+                         weight_vector=weight_vector,
+                         integral_tensors=(h_so, g_so), **kwargs)
+
+    def compute_energies(self) -> FusedOptOrbEigensolverResult:
+        base = super().compute_energies()
+        # contracted Hamiltonian: H_ii = E_i; H_ij = (E_plus - E_minus)/2
+        # with (|i> +/- |j>)/sqrt(2) pushed through the optimized ansatz at
+        # the final rotated Hamiltonian.
+        theta = jnp.asarray(base.optimal_point, dtype=self._h_sp.dtype)
+        U = jnp.asarray(base.optimal_partial_unitary, dtype=self._h_sp.dtype)
+        h_act = rotate_one_body(self._h_sp, U)
+        g_act = rotate_two_body(self._g_sp, U)
+        h_so, g_so = expand_spin_tensors(h_act, g_act)
+
+        def energy_of(vec):
+            s = self._apply_raw(jnp.asarray(vec, dtype=self._h_sp.dtype),
+                                theta)
+            return float(rdm_energy(s, h_so, g_so))
+
+        kk = self.k
+        Hc = np.zeros((kk, kk))
+        for i in range(kk):
+            Hc[i, i] = energy_of(self._ci_vectors[i])
+        for i in range(kk):
+            for j in range(i + 1, kk):
+                plus = (self._ci_vectors[i] + self._ci_vectors[j]) / np.sqrt(2)
+                minus = (self._ci_vectors[i] - self._ci_vectors[j]) / np.sqrt(2)
+                Hc[i, j] = Hc[j, i] = 0.5 * (energy_of(plus)
+                                             - energy_of(minus))
+        w = np.linalg.eigvalsh(Hc)
+        base.eigenvalues = w
+        return base
+
+
 class FusedOptOrbVQE:
     """One-dispatch OptOrbVQE (see module docstring).
 

@@ -63,6 +63,30 @@ def _expectation(circuit: QuantumCircuit, observable: SparsePauliOp,
     return complex(expectation_pauli(state, xs, zs, ys, coeffs))
 
 
+def _variance(circuit: QuantumCircuit, observable: SparsePauliOp,
+              params, mean: float) -> float:
+    """<H^2> - <H>^2 via |phi> = H|psi> (per-term Pauli action)."""
+    compiled = compile_circuit(circuit)
+    if params is None:
+        params = np.zeros(compiled.num_parameters)
+    state = np.asarray(compiled.state(jnp.asarray(params))).astype(complex)
+    if getattr(observable, "fermionic", None) is not None:
+        from ..ops.hamiltonian import ActiveSpaceHamiltonianBuilder
+        # materialize the Pauli form once for variance purposes
+        h, g = observable.fermionic
+        observable = ActiveSpaceHamiltonianBuilder(
+            observable.num_qubits).build(h, g)
+    xs, zs, ys, coeffs = observable.mask_arrays()
+    idx = np.arange(state.shape[0])
+    phi = np.zeros_like(state)
+    for x, z, y, cf in zip(xs, zs, ys, coeffs):
+        perm = idx ^ x
+        sign = 1.0 - 2.0 * (np.bitwise_count(
+            np.bitwise_and(perm, z)).astype(np.int64) & 1)
+        phi += cf * ((1j) ** (y % 4)) * sign * state[perm]
+    return float(np.real(np.vdot(phi, phi)) - mean * mean)
+
+
 class Estimator:
     """Exact-statevector expectation-value primitive.
 
@@ -94,15 +118,15 @@ class Estimator:
         values = np.empty(n, dtype=np.float64)
         meta: List[dict] = []
         for i, (c, o, p) in enumerate(zip(circuits, observables, parameter_values)):
-            v = _expectation(c, o, p)
-            v = v.real
+            v = _expectation(c, o, p).real
+            variance = 0.0
             if self.shots is not None:
-                # exact variance of the Pauli sum is not tracked; emulate
-                # shot noise with a scale from the coefficient 1-norm
-                scale = float(np.sum(np.abs(o.coeffs))) / np.sqrt(self.shots)
-                v = v + self._rng.normal(0.0, 1e-12 + scale * 1e-3)
+                # exact shot noise: var(H) = <H^2> - <H>^2 from the
+                # statevector, sampled as Gaussian of width sqrt(var/shots)
+                variance = max(0.0, _variance(c, o, p, v))
+                v = v + self._rng.normal(0.0, np.sqrt(variance / self.shots))
             values[i] = v
-            meta.append({"shots": self.shots, "variance": 0.0})
+            meta.append({"shots": self.shots, "variance": variance})
         return _Job(EstimatorResult(values=values, metadata=meta))
 
 

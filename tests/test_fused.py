@@ -68,3 +68,14 @@ def test_fused_ssvqe_matches_reference(h2_631g):
     np.testing.assert_array_almost_equal(
         r.eigenvalues, [-1.85403538, -1.37044354], decimal=3)
     assert r.outer_iterations >= 2
+
+
+def test_fused_mcvqe_matches_reference(h2_631g):
+    from esoo_tpu.orbital_optimization import FusedOptOrbMCVQE
+    ansatz = UCCSD(2, (1, 1), reps=2)
+    r = FusedOptOrbMCVQE(num_spin_orbitals=4, ansatz=ansatz,
+                         num_particles=(1, 1), k=2, excitations="s",
+                         weight_vector=[2, 1], problem=h2_631g,
+                         maxiter=20).compute_energies()
+    np.testing.assert_array_almost_equal(
+        r.eigenvalues, [-1.85703467, -1.46615986], decimal=3)

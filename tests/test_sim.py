@@ -140,3 +140,22 @@ def test_sampler_distribution():
     np.testing.assert_allclose(dist[0], 0.5, atol=1e-12)
     np.testing.assert_allclose(dist[3], 0.5, atol=1e-12)
     assert 1 not in dist and 2 not in dist
+
+
+def test_estimator_exact_shot_noise(h2_sto3g_hamiltonian):
+    """shots= adds Gaussian noise of exactly sqrt(var(H)/shots); enormous
+    shot counts reproduce the exact value (reference test pattern,
+    tests/test_optorbadaptvqe.py:65-66 uses shots=10**30)."""
+    from esoo_tpu.sim import HartreeFock, UCCSD
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    theta = np.array([0.1, -0.05, 0.2])
+    exact = Estimator().run([ansatz], [h2_sto3g_hamiltonian],
+                            [theta]).result().values[0]
+    big = Estimator(shots=10**30).run([ansatz], [h2_sto3g_hamiltonian],
+                                      [theta]).result().values[0]
+    np.testing.assert_allclose(big, exact, atol=1e-9)
+    job = Estimator(shots=10**4, seed=0).run(
+        [ansatz], [h2_sto3g_hamiltonian], [theta]).result()
+    var = job.metadata[0]["variance"]
+    assert var > 0.01            # non-eigenstate: real variance
+    assert abs(job.values[0] - exact) < 10 * np.sqrt(var / 10**4)
