@@ -2,7 +2,8 @@ from .base import BaseOptOrbResult, BaseOptOrbSolver
 from .checkpoint import load_checkpoint, save_checkpoint
 from .eigensolver import OptOrbEigensolver, OptOrbEigensolverResult
 from .fused import (FusedOptOrbEigensolverResult, FusedOptOrbMCVQE,
-                    FusedOptOrbResult, FusedOptOrbSSVQE, FusedOptOrbVQE)
+                    FusedOptOrbResult, FusedOptOrbSSVQE, FusedOptOrbVQD,
+                    FusedOptOrbVQE)
 from .kernels import (
     expand_spin,
     rotate_one_body,
@@ -28,6 +29,7 @@ __all__ = [
     "OptOrbEigensolver", "OptOrbEigensolverResult",
     "FusedOptOrbResult", "FusedOptOrbVQE",
     "FusedOptOrbEigensolverResult", "FusedOptOrbMCVQE", "FusedOptOrbSSVQE",
+    "FusedOptOrbVQD",
     "OptOrbMinimumEigensolver", "OptOrbMinimumEigensolverResult",
     "OptOrbAdaptVQE", "OptOrbAdaptVQEResult",
     "OptOrbMCVQE", "OptOrbMCVQEResult",

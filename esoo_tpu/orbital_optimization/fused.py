@@ -447,6 +447,161 @@ class FusedOptOrbMCVQE(FusedOptOrbSSVQE):
         return base
 
 
+@partial(jax.jit, static_argnames=(
+    "apply_fn", "n_active", "k", "outer_maxiter", "inner_maxiter",
+    "vqe_maxiter"))
+def _fused_optorb_vqd(apply_fn: Callable,
+                      n_active: int,
+                      k: int,
+                      init_mat: jnp.ndarray,        # (k, 2^N) initial states
+                      betas: jnp.ndarray,           # (k-1,)
+                      weights: jnp.ndarray,         # (k,) orbital weights
+                      theta0: jnp.ndarray,          # (k, n_params)
+                      U0: jnp.ndarray,
+                      h_sp: jnp.ndarray,
+                      g_sp: jnp.ndarray,
+                      outer_tol: jnp.ndarray,
+                      inner_tol: jnp.ndarray,
+                      bb_stepsize: jnp.ndarray,
+                      decay: jnp.ndarray,
+                      outer_maxiter: int = 20,
+                      inner_maxiter: int = 10000,
+                      vqe_maxiter: int = 300):
+    """Fused VQD OptOrb loop.  Deflation is sequential over the k states
+    (mandatory: state j's penalty references states < j), but each state's
+    BFGS, the overlap penalties, the RDMs and the BB descent all live in
+    the single compiled program.  Returns (energies, thetas, U, it, trace).
+    """
+    N = 2 * n_active
+    dim = init_mat.shape[1]
+    gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
+
+    def deflated_cost(theta, j, prev_states, h_so, g_so):
+        s = apply_fn(init_mat[j], theta)
+        e = rdm_energy(s, h_so, g_so)
+        ov = prev_states @ s                      # (k, ) overlaps
+        mask = (jnp.arange(k) < j).astype(s.dtype)
+        bpad = jnp.concatenate([jnp.zeros(1, betas.dtype), betas])
+        return e + jnp.sum(mask * bpad * ov * ov)
+
+    def run_vqd(thetas, h_act, g_act):
+        h_so, g_so = expand_spin_tensors(h_act, g_act)
+
+        def step(j, carry):
+            thetas, prev_states, energies = carry
+            res = jax_minimize(
+                deflated_cost, thetas[j], args=(j, prev_states, h_so, g_so),
+                method="BFGS",
+                options={"maxiter": vqe_maxiter, "gtol": gtol})
+            s = apply_fn(init_mat[j], res.x)
+            e = rdm_energy(s, h_so, g_so)   # deflation-free eigenvalue
+            return (thetas.at[j].set(res.x),
+                    prev_states.at[j].set(s),
+                    energies.at[j].set(e))
+
+        prev0 = jnp.zeros((k, dim), dtype=h_sp.dtype)
+        e0 = jnp.zeros((k,), dtype=h_sp.dtype)
+        thetas, states, energies = jax.lax.fori_loop(
+            0, k, step, (thetas, prev0, e0))
+        return thetas, states, energies
+
+    def orbital_objective(U, gamma_s, Gamma_s):
+        e1 = jnp.sum(rotate_one_body(h_sp, U) * gamma_s)
+        e2 = jnp.sum(rotate_two_body(g_sp, U) * Gamma_s)
+        return e1 + e2
+
+    vag = jax.value_and_grad(orbital_objective)
+
+    def outer_cond(c):
+        return jnp.logical_not(c[-1])
+
+    def outer_body(c):
+        it, thetas, U, E_prev, _, trace, done = c
+        h_act = rotate_one_body(h_sp, U)
+        g_act = rotate_two_body(g_sp, U)
+        thetas, states, energies = run_vqd(thetas, h_act, g_act)
+        Ew = jnp.dot(weights, energies)
+        trace = trace.at[it].set(Ew)
+
+        gammas = jax.vmap(lambda s: one_rdm(s, N))(states)
+        Gammas = jax.vmap(lambda s: two_rdm(s, N))(states)
+        gamma_s, Gamma_s = spin_reduce_rdms(
+            jnp.tensordot(weights, gammas, axes=1),
+            jnp.tensordot(weights, Gammas, axes=1))
+
+        U_new = _inner_bb(vag, U, (gamma_s, Gamma_s), bb_stepsize,
+                          inner_tol, decay, inner_maxiter)
+        converged = jnp.abs(Ew - E_prev) < outer_tol
+        hit_max = it + 1 >= outer_maxiter
+        U_out = jnp.where(converged, U, U_new)
+        return (it + 1, thetas, U_out, Ew, Ew, trace,
+                jnp.logical_or(converged, hit_max))
+
+    trace0 = jnp.full((outer_maxiter,), jnp.nan, dtype=h_sp.dtype)
+    c0 = (jnp.asarray(0), theta0, orth(U0),
+          jnp.asarray(jnp.inf, h_sp.dtype), jnp.asarray(0.0, h_sp.dtype),
+          trace0, jnp.asarray(False))
+    it, thetas, U, _, Ew, trace, done = jax.lax.while_loop(
+        outer_cond, outer_body, c0)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    thetas, states, energies = run_vqd(thetas, h_act, g_act)
+    return energies, thetas, U, it, trace
+
+
+class FusedOptOrbVQD(FusedOptOrbSSVQE):
+    """One-dispatch VQD OptOrb loop: sequential beta-penalized deflation
+    over k states inside the single compiled outer loop.
+
+    Restriction of the fused path: all k states share one ansatz circuit
+    (per-state *initial states* may differ); use the class-based OptOrbVQD
+    for fully heterogeneous per-state ansatze.
+    """
+
+    def __init__(self, num_spin_orbitals: int, ansatz, initial_states,
+                 betas=None, weight_vector=None, **kwargs):
+        super().__init__(num_spin_orbitals, ansatz, initial_states,
+                         weight_vector=weight_vector, **kwargs)
+        if betas is None:
+            betas = [10.0] * (self.k - 1)
+        if len(betas) < self.k - 1:
+            raise ValueError("betas must have length k-1")
+        self._betas = jnp.asarray(betas[: self.k - 1],
+                                  dtype=self._h_sp.dtype)
+
+    def compute_energies(self) -> FusedOptOrbEigensolverResult:
+        from ..utils.config import precision_mode
+        dtype = self._h_sp.dtype
+        mode = "fast" if jnp.finfo(dtype).bits < 64 else "high"
+        theta0 = jnp.broadcast_to(
+            self._theta0, (self.k, self._theta0.shape[0])).astype(dtype)
+        with precision_mode(mode):
+            energies, thetas, U, it, trace = _fused_optorb_vqd(
+                self._apply_raw,
+                self.num_spin_orbitals // 2,
+                self.k,
+                self._init_mat, self._betas, self._weights,
+                theta0, self._U0, self._h_sp, self._g_sp,
+                jnp.asarray(self.stopping_tolerance, dtype),
+                jnp.asarray(self.inner_stopping_tolerance, dtype),
+                jnp.asarray(self.initial_BBstepsize, dtype),
+                jnp.asarray(self.decay_factor, dtype),
+                outer_maxiter=self.maxiter,
+                inner_maxiter=self.inner_maxiter,
+                vqe_maxiter=self.vqe_maxiter,
+            )
+        it = int(it)
+        result = FusedOptOrbEigensolverResult(
+            eigenvalues=np.asarray(energies),
+            optimal_point=np.asarray(thetas),
+            optimal_partial_unitary=np.asarray(U),
+            energy_convergence_list=[float(e)
+                                     for e in np.asarray(trace)[:it]],
+            outer_iterations=it,
+        )
+        return result
+
+
 class FusedOptOrbVQE:
     """One-dispatch OptOrbVQE (see module docstring).
 

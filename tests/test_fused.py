@@ -79,3 +79,19 @@ def test_fused_mcvqe_matches_reference(h2_631g):
                          maxiter=20).compute_energies()
     np.testing.assert_array_almost_equal(
         r.eigenvalues, [-1.85703467, -1.46615986], decimal=3)
+
+
+def test_fused_vqd_matches_reference(h2_631g):
+    from esoo_tpu.sim import QuantumCircuit
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQD
+    ansatz = UCCSD(2, (1, 1), reps=2)
+    init0 = HartreeFock(2, (1, 1))
+    init1 = QuantumCircuit(4)
+    init1.x(1)
+    init1.x(2)
+    r = FusedOptOrbVQD(num_spin_orbitals=4, ansatz=ansatz,
+                       initial_states=[init0, init1], betas=[2.0],
+                       weight_vector=[2, 1], problem=h2_631g,
+                       maxiter=20).compute_energies()
+    np.testing.assert_array_almost_equal(
+        r.eigenvalues, [-1.8540352, -1.37044389], decimal=3)
