@@ -15,6 +15,10 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+os.makedirs(os.path.expanduser("~/.cache/esoo_jax"), exist_ok=True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/esoo_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
