@@ -42,14 +42,11 @@ def excite(det: int, i: int, a: int) -> Tuple[int, float]:
 
 
 def hf_determinant(num_spin_orbitals: int, num_particles: Tuple[int, int]) -> int:
-    n = num_spin_orbitals // 2
-    na, nb = num_particles
-    det = 0
-    for p in range(na):
-        det |= 1 << p
-    for p in range(nb):
-        det |= 1 << (n + p)
-    return det
+    """HF occupation bitmask — single source of truth lives in sim.ansatz
+    so the CI determinant convention can never drift from the HartreeFock
+    circuit's."""
+    from ..sim.ansatz import hartree_fock_bitmask
+    return hartree_fock_bitmask(num_spin_orbitals // 2, num_particles)
 
 
 def enumerate_determinants(num_spin_orbitals: int,

@@ -40,8 +40,7 @@ class FermionicOp:
             conj_term = tuple(
                 ("+" if a == "-" else "-", m) for a, m in reversed(term)
             )
-            data[conj_term] = data.get(conj_term, 0.0) + coeff.conjugate() \
-                if isinstance(coeff, complex) else coeff
+            data[conj_term] = data.get(conj_term, 0.0) + complex(coeff).conjugate()
         return FermionicOp(data, self.num_spin_orbitals)
 
     def __add__(self, other: "FermionicOp") -> "FermionicOp":

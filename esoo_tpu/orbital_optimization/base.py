@@ -458,6 +458,6 @@ class BaseOptOrbSolver:
         """ref opt_orb_minimum_eigensolver.py:125-138."""
         lst = self._energy_convergence_list
         if len(lst) >= 2:
-            return (iteration == self.maxiter
+            return (iteration >= self.maxiter
                     or abs(lst[-1] - lst[-2]) < self.stopping_tolerance)
-        return False
+        return iteration >= self.maxiter

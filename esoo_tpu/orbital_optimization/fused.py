@@ -161,6 +161,11 @@ def _fused_optorb_vqe(state_fn: Callable,
           jnp.asarray(0.0, h_sp.dtype), trace0, jnp.asarray(False))
     it, theta, U, E_prev, E, trace, done = jax.lax.while_loop(
         outer_cond, outer_body, c0)
+    # re-solve at the final U so (E, theta, U) are mutually consistent even
+    # when the loop ended on hit_max (where U is the freshly rotated one)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    theta, E = run_vqe(theta, h_act, g_act)
     return E, theta, U, it, trace
 
 
@@ -304,7 +309,9 @@ class FusedOptOrbSSVQE:
         self._compiled = compile_circuit(ansatz)
         if not self._compiled.is_real:
             raise ValueError("fused path requires a real-safe ansatz")
-        self._apply_raw = self._compiled._build_apply()  # stable jit key
+        self._apply_raw = self._compiled.apply_raw  # stable jit key (cached
+        # on the fingerprint-cached CompiledCircuit, so repeat solver
+        # instances over the same ansatz reuse one compiled program)
         vecs = [np.asarray(compile_circuit(st).state())
                 for st in initial_states]
         if any(not np.allclose(np.imag(v), 0.0) for v in vecs):
@@ -479,9 +486,11 @@ def _fused_optorb_vqd(apply_fn: Callable,
     def deflated_cost(theta, j, prev_states, h_so, g_so):
         s = apply_fn(init_mat[j], theta)
         e = rdm_energy(s, h_so, g_so)
-        ov = prev_states @ s                      # (k, ) overlaps
+        ov = prev_states @ s                      # (k,) overlaps
         mask = (jnp.arange(k) < j).astype(s.dtype)
-        bpad = jnp.concatenate([jnp.zeros(1, betas.dtype), betas])
+        # beta for previous state i is betas[i] (ref vqd.py:413-414);
+        # pad at the END so index k-1 (never a previous state) is inert
+        bpad = jnp.concatenate([betas, jnp.zeros(1, betas.dtype)])
         return e + jnp.sum(mask * bpad * ov * ov)
 
     def run_vqd(thetas, h_act, g_act):

@@ -109,6 +109,10 @@ class Estimator:
             circuits = list(circuits) * n
         if len(observables) == 1:
             observables = list(observables) * n
+        if len(circuits) != len(observables):
+            raise ValueError(
+                f"cannot broadcast {len(circuits)} circuits against "
+                f"{len(observables)} observables")
         if parameter_values is None:
             parameter_values = [None] * n
         elif len(parameter_values) and not isinstance(
@@ -176,6 +180,10 @@ class ComputeUncompute:
             circuits_1 = list(circuits_1) * n
         if len(circuits_2) == 1:
             circuits_2 = list(circuits_2) * n
+        if len(circuits_1) != len(circuits_2):
+            raise ValueError(
+                f"cannot broadcast {len(circuits_1)} against "
+                f"{len(circuits_2)} circuits")
         if values_1 is None:
             values_1 = [None] * n
         if values_2 is None:

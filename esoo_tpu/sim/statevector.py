@@ -277,6 +277,7 @@ class CompiledCircuit:
         self.is_real = (not force_complex) and _circuit_is_real(self._gates)
         self._state_fn = jax.jit(self._build())
         self._apply_fn = None
+        self._apply_raw = None
 
     def _build(self) -> Callable:
         gates = self._gates
@@ -320,10 +321,19 @@ class CompiledCircuit:
         return apply
 
     @property
+    def apply_raw(self):
+        """Unjitted (state, params) -> state closure, cached so it can serve
+        as a STABLE static jit key for callers embedding it in larger
+        programs (e.g. the fused OptOrb loops)."""
+        if self._apply_raw is None:
+            self._apply_raw = self._build_apply()
+        return self._apply_raw
+
+    @property
     def apply_fn(self):
         """Jitted (state, params) -> state (for batched/vmapped execution)."""
         if self._apply_fn is None:
-            self._apply_fn = jax.jit(self._build_apply())
+            self._apply_fn = jax.jit(self.apply_raw)
         return self._apply_fn
 
     def state(self, params=None) -> jnp.ndarray:

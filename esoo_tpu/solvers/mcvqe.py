@@ -111,19 +111,36 @@ class MCVQE(SSVQE):
         per_state = base.eigenvalues
         for i in range(k):
             Hc[i, i] = per_state[i]
-        nq = operator.num_qubits
+        # superposition-state energies through the ALREADY-compiled shared
+        # ansatz (apply_fn on (|i> +/- |j>)/sqrt(2)) — no per-pair circuit
+        # construction or recompilation
+        import jax.numpy as jnp
+        from ..sim.rdm import rdm_energy
+        from ..sim.statevector import expectation_pauli
+        compiled = compile_circuit(self.ansatz)
+        theta_j = jnp.asarray(np.asarray(theta, dtype=np.float64))
+
+        def energy_of(vec):
+            vec = np.asarray(vec)
+            if compiled.is_real and np.allclose(np.imag(vec), 0.0):
+                vec = np.real(vec)
+            else:
+                vec = vec.astype(np.complex128)
+            state = compiled.apply_fn(jnp.asarray(vec), theta_j)
+            if getattr(operator, "fermionic", None) is not None:
+                h, g = operator.fermionic
+                return float(rdm_energy(state, jnp.asarray(h),
+                                        jnp.asarray(g)))
+            xs, zs, ys, coeffs = operator.mask_arrays()
+            return float(np.real(
+                expectation_pauli(state, xs, zs, ys, coeffs)))
+
         for i in range(k):
             for j in range(i + 1, k):
                 plus = (self._ci_vectors[i] + self._ci_vectors[j]) / np.sqrt(2.0)
                 minus = (self._ci_vectors[i] - self._ci_vectors[j]) / np.sqrt(2.0)
-                e_pm = []
-                for vec in (plus, minus):
-                    qc = QuantumCircuit(nq)
-                    qc.initialize_statevector(vec)
-                    circ = qc.compose(self.ansatz)
-                    efn, _ = make_evaluators(circ, operator)
-                    e_pm.append(efn(theta))
-                Hc[i, j] = Hc[j, i] = 0.5 * (e_pm[0] - e_pm[1])
+                Hc[i, j] = Hc[j, i] = 0.5 * (energy_of(plus)
+                                             - energy_of(minus))
 
         w, _ = np.linalg.eigh(Hc)
 

@@ -107,6 +107,7 @@ class GradientDescent(Optimizer):
         nfev = 0
         f = fun(x)
         nfev += 1
+        it = -1
         for it in range(self.maxiter):
             g = np.asarray(jac(x))
             x = x - self.learning_rate * g
@@ -136,6 +137,7 @@ class ADAM(Optimizer):
         v = np.zeros_like(x)
         f_prev = np.inf
         nfev = 0
+        it = 0
         for it in range(1, self.maxiter + 1):
             g = np.asarray(jac(x))
             m = self.beta1 * m + (1 - self.beta1) * g

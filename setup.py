@@ -19,7 +19,7 @@ setup(
     python_requires=">=3.10",
     install_requires=[
         "jax>=0.4.30",
-        "numpy>=1.24",
+        "numpy>=2.0",
         "scipy>=1.10",
     ],
     extras_require={

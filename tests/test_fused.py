@@ -95,3 +95,18 @@ def test_fused_vqd_matches_reference(h2_631g):
                        maxiter=20).compute_energies()
     np.testing.assert_array_almost_equal(
         r.eigenvalues, [-1.8540352, -1.37044389], decimal=3)
+
+
+def test_fused_vqd_deflation_actually_deflates(h2_sto3g):
+    """Regression: with identical initial states the beta penalty is the
+    ONLY thing keeping state 1 off the ground state (a beta-index
+    misalignment once zeroed the penalty for state 1 silently)."""
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQD
+    ansatz = UCCSD(2, (1, 1), reps=2)
+    r = FusedOptOrbVQD(num_spin_orbitals=4, ansatz=ansatz,
+                       initial_states=[HartreeFock(2, (1, 1)),
+                                       HartreeFock(2, (1, 1))],
+                       betas=[3.0], problem=h2_sto3g, maxiter=1,
+                       vqe_maxiter=400).compute_energies()
+    np.testing.assert_allclose(r.eigenvalues[0], -1.85727503, atol=1e-5)
+    assert r.eigenvalues[1] > r.eigenvalues[0] + 0.05

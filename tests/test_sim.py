@@ -159,3 +159,12 @@ def test_estimator_exact_shot_noise(h2_sto3g_hamiltonian):
     var = job.metadata[0]["variance"]
     assert var > 0.01            # non-eigenstate: real variance
     assert abs(job.values[0] - exact) < 10 * np.sqrt(var / 10**4)
+
+
+def test_estimator_broadcast_mismatch_raises(h2_sto3g_hamiltonian):
+    qc = QuantumCircuit(4)
+    t = qc.parameter()
+    qc.ry(t, 0)
+    with pytest.raises(ValueError):
+        Estimator().run([qc, qc], [h2_sto3g_hamiltonian] * 3,
+                        [[0.1], [0.2], [0.3]])
