@@ -87,3 +87,29 @@ def test_rotated_hamiltonian_identity_rotation(h2_631g):
     th, tg = H.fermionic
     np.testing.assert_allclose(th, h_act, atol=1e-10)
     np.testing.assert_allclose(tg, g_act, atol=1e-10)
+
+
+def test_kron_sandwich_matches_staged():
+    rng = np.random.default_rng(4)
+    g = rng.normal(size=(8, 8, 8, 8))
+    u = rng.normal(size=(8, 3))
+    from esoo_tpu.orbital_optimization.kernels import rotate_two_body_kron
+    np.testing.assert_allclose(
+        np.asarray(rotate_two_body_kron(jnp.asarray(g), jnp.asarray(u))),
+        np.asarray(rotate_two_body(jnp.asarray(g), jnp.asarray(u))),
+        atol=1e-11)
+
+
+def test_torch_tensor_ingestion(h2_631g):
+    """Reference API accepts torch tensors for integral_tensors
+    (base_opt_orb_solver.py:80-86); ours must too (zero-copy via numpy)."""
+    import torch
+    from esoo_tpu.orbital_optimization.base import BaseOptOrbSolver
+    h, g = h2_631g.integral_tensors()
+    solver = BaseOptOrbSolver(
+        num_spin_orbitals=4,
+        integral_tensors=(torch.from_numpy(h.copy()),
+                          torch.from_numpy(g.copy())))
+    H = solver.get_rotated_hamiltonian(solver.initial_partial_unitary)
+    w = np.linalg.eigvalsh(H.to_matrix())
+    assert w[0] < -1.8   # sane active-space ground state
