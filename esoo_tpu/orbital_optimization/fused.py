@@ -47,6 +47,27 @@ from .kernels import (expand_spin_tensors, rotate_one_body, rotate_two_body,
 from .stiefel import orth
 
 
+def _place_on_mesh(mesh, h_sp, g_sp, axis_name: str = "orb"):
+    """Shard the m^4 tensor over `mesh` (last axis), replicate h.
+
+    The fused programs need no shard_map for this: GSPMD propagates the
+    input sharding through the staged contractions and inserts the
+    collectives (verified bit-identical to single-device in tests).  The
+    last axis is chosen so transform stages 1-3 stay communication-free.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    d = mesh.shape[axis_name]
+    m = int(g_sp.shape[-1])
+    if m % d:
+        raise ValueError(
+            f"spatial dimension {m} not divisible by mesh size {d}; pad the "
+            f"basis or choose a divisor mesh")
+    g_sp = jax.device_put(g_sp, NamedSharding(mesh, P(None, None, None,
+                                                      axis_name)))
+    h_sp = jax.device_put(h_sp, NamedSharding(mesh, P()))
+    return h_sp, g_sp
+
+
 @dataclasses.dataclass
 class FusedOptOrbResult:
     eigenvalue: float
@@ -286,7 +307,8 @@ class FusedOptOrbSSVQE:
                  initial_BBstepsize: float = 1e-3,
                  decay_factor: float = 0.8,
                  vqe_maxiter: int = 300,
-                 dtype=None):
+                 dtype=None,
+                 mesh=None):
         from .kernels import spatial_blocks, spin_blocks_consistent
 
         if integral_tensors is not None:
@@ -303,6 +325,9 @@ class FusedOptOrbSSVQE:
         dtype = dtype or h_sp.dtype
         self._h_sp = jnp.asarray(h_sp, dtype=dtype)
         self._g_sp = jnp.asarray(g_sp, dtype=dtype)
+        if mesh is not None:
+            self._h_sp, self._g_sp = _place_on_mesh(mesh, self._h_sp,
+                                                    self._g_sp)
 
         self.num_spin_orbitals = num_spin_orbitals
         self.ansatz = ansatz
@@ -632,8 +657,8 @@ class FusedOptOrbVQE:
                  initial_BBstepsize: float = 1e-3,
                  decay_factor: float = 0.8,
                  vqe_maxiter: int = 200,
-                 dtype=None):
-        from .base import BaseOptOrbSolver
+                 dtype=None,
+                 mesh=None):
         from .kernels import spatial_blocks, spin_blocks_consistent
 
         if integral_tensors is not None:
@@ -651,6 +676,9 @@ class FusedOptOrbVQE:
         dtype = dtype or h_sp.dtype
         self._h_sp = jnp.asarray(h_sp, dtype=dtype)
         self._g_sp = jnp.asarray(g_sp, dtype=dtype)
+        if mesh is not None:
+            self._h_sp, self._g_sp = _place_on_mesh(mesh, self._h_sp,
+                                                    self._g_sp)
 
         self.num_spin_orbitals = num_spin_orbitals
         self.ansatz = ansatz

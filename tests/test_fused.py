@@ -110,3 +110,26 @@ def test_fused_vqd_deflation_actually_deflates(h2_sto3g):
                        vqe_maxiter=400).compute_energies()
     np.testing.assert_allclose(r.eigenvalues[0], -1.85727503, atol=1e-5)
     assert r.eigenvalues[1] > r.eigenvalues[0] + 0.05
+
+
+def test_fused_vqe_mesh_matches_single_device(h2_631g):
+    """GSPMD-sharded g through the entire fused program == single-device."""
+    import jax
+    from esoo_tpu.parallel import make_orbital_mesh
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    ref = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
+                         problem=h2_631g, maxiter=20).compute_minimum_energy()
+    mesh = make_orbital_mesh(4)
+    sharded = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
+                             problem=h2_631g, maxiter=20,
+                             mesh=mesh).compute_minimum_energy()
+    np.testing.assert_allclose(sharded.eigenvalue, ref.eigenvalue, atol=1e-9)
+
+
+def test_fused_mesh_divisibility_error(h2_631g):
+    from esoo_tpu.parallel import make_orbital_mesh
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    with pytest.raises(ValueError):
+        # m=4 spatial not divisible by 3 devices
+        FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz, problem=h2_631g,
+                       mesh=make_orbital_mesh(3))
