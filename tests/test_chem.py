@@ -97,3 +97,30 @@ def test_h2_ccpvqz_variational_bounds():
     e_tz_total = -1.892266568 + 0.719968994
     assert e_qz_total < e_tz_total          # variational improvement
     assert e_qz_total > -1.1746             # above the exact BO limit
+
+
+@pytest.mark.slow
+def test_h2o_sto3g_optorb():
+    """Triatomic with oxygen p shells: RHF vs the literature STO-3G value
+    and a reduced-space OptOrbVQE run obeying variational bounds."""
+    from esoo_tpu.sim import Estimator, HartreeFock, UCCSD
+    from esoo_tpu.solvers import VQE, JaxBFGS
+    from esoo_tpu.orbital_optimization import (
+        OptOrbVQE, PartialUnitaryProjectionOptimizer)
+    p = MoleculeDriver(
+        atom="O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692",
+        basis="sto-3g").run()
+    # literature RHF/STO-3G at the experimental geometry
+    np.testing.assert_allclose(p.scf.energy_total, -74.963, atol=2e-3)
+    assert p.num_spin_orbitals == 14 and p.num_particles == (5, 5)
+    # 12-spin-orbital active space (frozen-core-like reduction 14 -> 12)
+    ansatz = UCCSD(6, (5, 5), initial_state=HartreeFock(6, (5, 5)))
+    vqe = VQE(Estimator(), ansatz, JaxBFGS(),
+              initial_point=np.zeros(ansatz.num_parameters))
+    r = OptOrbVQE(num_spin_orbitals=12, ground_state_solver=vqe,
+                  partial_unitary_optimizer=PartialUnitaryProjectionOptimizer(
+                      1e-3, 1e-5, 10000),
+                  problem=p, maxiter=5).compute_minimum_energy()
+    e_rhf_elec = p.scf.energy_electronic
+    assert r.eigenvalue <= e_rhf_elec + 1e-8     # at or below RHF
+    assert r.energy_convergence_list[-1] <= r.energy_convergence_list[0] + 1e-10
