@@ -148,3 +148,17 @@ def test_outer_loop_callback(h2_631g):
               ).compute_minimum_energy()
     assert seen == list(range(len(seen)))
     assert len(seen) >= 2
+
+
+def test_perturbation_paths(h2_631g):
+    """Gaussian perturbations of U and of the eigensolver warm start
+    (reference opt_orb_vqe.py:88-97, opt_orb_minimum_eigensolver.py:210-217)
+    still converge to the same optimum."""
+    result = OptOrbVQE(num_spin_orbitals=4, ground_state_solver=make_vqe(),
+                       partial_unitary_optimizer=pupo(), problem=h2_631g,
+                       maxiter=20,
+                       partial_unitary_random_perturbation=0.01,
+                       minimum_eigensolver_random_perturbation=0.01,
+                       seed=7).compute_minimum_energy()
+    np.testing.assert_array_almost_equal(result.eigenvalue, E_OPTORB_VQE,
+                                         decimal=3)
