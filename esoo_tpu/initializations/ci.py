@@ -84,8 +84,115 @@ def enumerate_determinants(num_spin_orbitals: int,
     return sorted(dets)
 
 
-def ci_matrix(dets: List[int], h: np.ndarray, g: np.ndarray) -> np.ndarray:
-    """Hamiltonian matrix in the given determinant basis (Slater-Condon)."""
+def ci_matrix(dets: List[int], h: np.ndarray, g: np.ndarray,
+              vectorized: bool = True) -> np.ndarray:
+    """Hamiltonian matrix in the given determinant basis (Slater-Condon).
+
+    `vectorized=True` (default) uses the boolean-occupancy batch
+    implementation (no per-pair Python work, supports > 64 spin orbitals);
+    False runs the scalar reference implementation used as its oracle.
+    """
+    if vectorized:
+        return _ci_matrix_vectorized(dets, h, g)
+    return _ci_matrix_scalar(dets, h, g)
+
+
+def _occupancy_matrix(dets: List[int], n: int) -> np.ndarray:
+    occ = np.zeros((len(dets), n), dtype=bool)
+    for m, d in enumerate(dets):
+        for p in range(n):
+            if (d >> p) & 1:
+                occ[m, p] = True
+    return occ
+
+
+def _ci_matrix_vectorized(dets: List[int], h: np.ndarray,
+                          g: np.ndarray) -> np.ndarray:
+    """Batch Slater-Condon: all diagonal/single/double elements at once."""
+    n = h.shape[0]
+    nd = len(dets)
+    occ = _occupancy_matrix(dets, n)                   # (nd, n) bool
+    occf = occ.astype(np.float64)
+
+    # <pq||rs> = 2*(g[pqrs] - g[pqsr]); gathered lazily from g (never
+    # materialized: at N >= 100 the full antisymmetrized copy is GBs)
+
+    H = np.zeros((nd, nd))
+    # -- diagonal: sum_p h_pp + 1/2 sum_{p!=q} <pq||pq> --------------------
+    hdiag = np.diag(h)
+    J = 2.0 * (np.einsum("pqpq->pq", g) - np.einsum("pqqp->pq", g))
+    H[np.diag_indices(nd)] = occf @ hdiag + 0.5 * np.einsum(
+        "mp,pq,mq->m", occf, J, occf)
+
+    # pairwise excitation degree
+    diff = (occ[:, None, :] ^ occ[None, :, :])         # (nd, nd, n)
+    ndiff = diff.sum(axis=2)
+    # parity helper: cumulative occupied count below each orbital, per det
+    cum = np.cumsum(occf, axis=1)                      # inclusive
+    cum_excl = cum - occf                              # strictly below p
+
+    # -- singles (ndiff == 2) ----------------------------------------------
+    su, sv = np.nonzero(np.triu(ndiff == 2, k=1))
+    if len(su):
+        d_from = occ[su] & diff[su, sv]                # i occupied in D
+        d_to = occ[sv] & diff[su, sv]                  # a occupied in D'
+        i_idx = d_from.argmax(axis=1)
+        a_idx = d_to.argmax(axis=1)
+        # phase: (-1)^{#occupied strictly between i and a in D}
+        lo = np.minimum(i_idx, a_idx)
+        hi = np.maximum(i_idx, a_idx)
+        rows = np.arange(len(su))
+        between = (cum_excl[su, hi] - cum[su, lo])
+        phase = 1.0 - 2.0 * (between.astype(np.int64) & 1)
+        # value: h[i,a] + sum_{r in D∩D'} <ir||ar>
+        # C[p,q,r] = <p r||q r> precomputed once (n^3), then gathered
+        common = (occ[su] & occ[sv]).astype(np.float64)
+        C = 2.0 * (np.einsum("prqr->pqr", g) - np.einsum("prrq->pqr", g))
+        Air = C[i_idx, a_idx]                          # (pairs, r)
+        val = h[i_idx, a_idx] + np.einsum("kr,kr->k", Air, common)
+        H[su, sv] = phase * val
+        H[sv, su] = H[su, sv]
+
+    # -- doubles (ndiff == 4) -----------------------------------------------
+    du, dv = np.nonzero(np.triu(ndiff == 4, k=1))
+    if len(du):
+        d_from = occ[du] & diff[du, dv]
+        d_to = occ[dv] & diff[du, dv]
+        # i < j removed, a < b added (argmax finds first True = lowest index)
+        i_idx = d_from.argmax(axis=1)
+        j_idx = (n - 1) - d_from[:, ::-1].argmax(axis=1)
+        a_idx = d_to.argmax(axis=1)
+        b_idx = (n - 1) - d_to[:, ::-1].argmax(axis=1)
+        # phase: product of the two single-excitation parities computed in
+        # sequence (i->a on D, then j->b on D with i,a already toggled)
+        rows = np.arange(len(du))
+
+        def between_count(cum_m, cum_excl_m, lo, hi, rows):
+            return cum_excl_m[rows, hi] - cum_m[rows, lo]
+
+        lo1 = np.minimum(i_idx, a_idx)
+        hi1 = np.maximum(i_idx, a_idx)
+        t1 = (cum_excl[du, hi1] - cum[du, lo1]).astype(np.int64)
+        # after i->a: occupancy of D changes at i (off) and a (on)
+        # correction to the between-count for the second excitation
+        lo2 = np.minimum(j_idx, b_idx)
+        hi2 = np.maximum(j_idx, b_idx)
+        t2 = (cum_excl[du, hi2] - cum[du, lo2]).astype(np.int64)
+        # adjust t2 for the i->a toggle if i or a lies strictly between j,b
+        in_range_i = (lo2 < i_idx) & (i_idx < hi2)
+        in_range_a = (lo2 < a_idx) & (a_idx < hi2)
+        t2 = t2 - in_range_i.astype(np.int64) + in_range_a.astype(np.int64)
+        phase = 1.0 - 2.0 * ((t1 + t2) & 1)
+        vals = 2.0 * (g[i_idx, j_idx, a_idx, b_idx]
+                      - g[i_idx, j_idx, b_idx, a_idx])
+        H[du, dv] = phase * vals
+        H[dv, du] = H[du, dv]
+    return H
+
+
+def _ci_matrix_scalar(dets: List[int], h: np.ndarray,
+                      g: np.ndarray) -> np.ndarray:
+    """Scalar Slater-Condon reference implementation (oracle)."""
     n = h.shape[0]
     nd = len(dets)
 

@@ -78,7 +78,16 @@ class AdaptVQE:
     def compute_minimum_eigenvalue(self, operator: SparsePauliOp,
                                    aux_operators=None) -> AdaptVQEResult:
         if self.static_shapes:
-            return self._compute_static(operator, aux_operators)
+            pool = getattr(self.solver.ansatz, "_ucc_pool", None)
+            if pool is not None:
+                P = len(pool)
+                R = self.max_iterations or P
+                # the padded circuit simulates R*P rotation blocks per
+                # energy evaluation; past a few hundred blocks the
+                # recompile-free win is swamped by per-evaluation cost,
+                # so fall back to grow-and-recompile
+                if R * P <= 256:
+                    return self._compute_static(operator, aux_operators)
         return self._compute_growing(operator, aux_operators)
 
     # -- static-shape path -------------------------------------------------

@@ -67,3 +67,19 @@ def test_sparse_representation(h2_sto3g):
         for idx, c in sd.items():
             recon[idx] = c
         np.testing.assert_allclose(recon, dd, atol=1e-12)
+
+
+def test_vectorized_matches_scalar_random():
+    """Batch Slater-Condon vs the scalar oracle on random symmetric
+    tensors (generic phases, 4-electron sector)."""
+    rng = np.random.default_rng(9)
+    N = 8
+    h = rng.normal(size=(N, N))
+    h = (h + h.T) / 2
+    g = rng.normal(size=(N, N, N, N))
+    g = g + g.transpose(1, 0, 3, 2)
+    g = g + g.transpose(2, 3, 0, 1)
+    dets = enumerate_determinants(N, (2, 2), 2)
+    np.testing.assert_allclose(ci_matrix(dets, h, g, vectorized=True),
+                               ci_matrix(dets, h, g, vectorized=False),
+                               atol=1e-12)
