@@ -47,6 +47,67 @@ def _append_group(circuit: QuantumCircuit, group) -> QuantumCircuit:
     return circuit
 
 
+def _make_pool_screener(pool, operator: SparsePauliOp, num_qubits: int):
+    """Jitted state -> pool gradients via the commutator identity.
+
+    Our rotations are exp(-i theta/2 * (-2w) P) = exp(i theta w P); with
+    G_k = i sum_j w_j P_j (anti-Hermitian, the JW image of T_k - T_k^+),
+    dE/dtheta_k at 0 is <psi|[H, G_k]|psi> = 2 Re <H psi|G_k|psi>.
+    Pool Pauli terms are padded to a fixed (P, T) block so the whole
+    screening is one compile regardless of the ansatz's current size.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    hxs, hzs, hys, hcoeffs = operator.mask_arrays()
+    hphase = np.power(1j, hys % 4) * hcoeffs
+    T = max(len(g) for g in pool)
+    P = len(pool)
+    gx = np.zeros((P, T), dtype=np.int64)
+    gz = np.zeros((P, T), dtype=np.int64)
+    gw = np.zeros((P, T))
+    gy = np.zeros((P, T), dtype=np.int64)
+    for k, group in enumerate(pool):
+        for j, (x, z, w) in enumerate(group):
+            gx[k, j], gz[k, j], gw[k, j] = x, z, w
+            gy[k, j] = bin(x & z).count("1")
+    gphase = (1j) ** (gy % 4) * 1j * gw          # i * w_j * (Y phases)
+
+    hxs_j, hzs_j = jnp.asarray(hxs), jnp.asarray(hzs)
+    hph_j = jnp.asarray(hphase)
+    gx_j, gz_j = jnp.asarray(gx), jnp.asarray(gz)
+    gph_j = jnp.asarray(gphase)
+
+    @jax.jit
+    def screen(state):
+        s = state.astype(jnp.complex128)
+        idx = jnp.arange(s.shape[0])
+
+        def pauli(x, z, v):
+            perm = idx ^ x
+            par = jax.lax.population_count(perm & z) & 1
+            sign = (1 - 2 * par).astype(v.dtype)
+            return sign * v[perm]
+
+        phi = jnp.zeros_like(s)
+        phi = jax.lax.fori_loop(
+            0, hxs_j.shape[0],
+            lambda k, acc: acc + hph_j[k] * pauli(hxs_j[k], hzs_j[k], s),
+            phi)
+
+        def one_group(xs, zs, phs):
+            gpsi = jnp.zeros_like(s)
+            gpsi = jax.lax.fori_loop(
+                0, xs.shape[0],
+                lambda j, acc: acc + phs[j] * pauli(xs[j], zs[j], s),
+                gpsi)
+            return 2.0 * jnp.real(jnp.vdot(phi, gpsi))
+
+        return jax.vmap(one_group)(gx_j, gz_j, gph_j)
+
+    return screen
+
+
 class AdaptVQE:
     """Iteratively grows a UCC-style ansatz from an operator pool.
 
@@ -221,16 +282,16 @@ class AdaptVQE:
         current = base.copy()
         last_vqe: Optional[VQEResult] = None
 
+        screen = _make_pool_screener(pool, operator, nq)
+
         for it in range(1, max_iter + 1):
-            # --- pool screening: append every candidate at theta=0 ----------
-            probe = current.copy()
-            for group in pool:
-                _append_group(probe, group)
-            _, vag = make_evaluators(probe, operator)
-            probe_theta = np.concatenate([np.asarray(theta),
-                                          np.zeros(len(pool))])
-            _, grad = vag(probe_theta)
-            pool_grads = np.abs(grad[len(theta):])
+            # --- pool screening: dE/dtheta_k at theta_k=0 equals
+            # <psi|[H, G_k]|psi> = 2 Re<H psi|G_k psi> — computed directly
+            # from the current statevector, so screening needs NO probe
+            # circuit and NO per-iteration recompile.
+            from ..sim.statevector import compile_circuit
+            state = compile_circuit(current).state(np.asarray(theta))
+            pool_grads = np.abs(screen(state))
             best = int(np.argmax(pool_grads))
             max_grad_val = float(pool_grads[best])
             if max_grad_val < self.gradient_threshold:
