@@ -248,7 +248,13 @@ class BaseOptOrbSolver:
     def compute_rotated_energy(self, partial_unitary, oneRDM, twoRDM,
                                one_body_integrals, two_body_integrals):
         """E(U) with explicit spin-orbital RDMs/integrals — reference-parity
-        signature (base_opt_orb_solver.py:534-582); jax-traceable."""
+        signature (base_opt_orb_solver.py:534-582); jax-traceable.
+
+        Deliberate deviation: the reference's complex-RDM branch SUBTRACTS
+        the two-body term (base_opt_orb_solver.py:575-580, exercised by no
+        test or example); here complex RDMs are reduced to their real part
+        (with residue warnings on the measurement path) and the physically
+        correct E1 + E2 is always used."""
         return _so_objective(partial_unitary, oneRDM, twoRDM,
                              one_body_integrals, two_body_integrals)
 
@@ -438,12 +444,17 @@ class BaseOptOrbSolver:
         return U
 
     def _rdms_for_states(self, state_vectors) -> Tuple[list, list]:
-        """(gammas, Gammas) for each state, on the configured path."""
+        """(gammas, Gammas) for each state, on the configured path.
+
+        Imaginary residue is detected and warned about (the reference's
+        module-global flag mechanism, base_opt_orb_solver.py:380-401)
+        before the real parts feed the orbital objective."""
+        from ..utils.debug import check_imaginary_residue
         gammas, Gammas = [], []
         for sv in state_vectors:
             g1, g2 = self.measure_rdms_direct(sv)
-            gammas.append(g1)
-            Gammas.append(g2)
+            gammas.append(check_imaginary_residue(g1, what="1-RDM"))
+            Gammas.append(check_imaginary_residue(g2, what="2-RDM"))
         return gammas, Gammas
 
     def _rdms_via_pauli(self, circuits_and_params) -> Tuple[list, list]:
