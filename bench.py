@@ -292,6 +292,8 @@ def main():
     ours = run_ours(h4, 8)
     base = run_baseline(h4, 8)
     quality_gate = ours["energy_f32"] <= base["energy"] + 1e-6
+    refined_gate = ours["energy"] <= base["energy"] + 1e-6
+    quality_achieved = bool(quality_gate or refined_gate)
     ours_wall = ours["warm_s"] if quality_gate \
         else ours["warm_s"] + ours["refine_s"]
 
@@ -303,8 +305,10 @@ def main():
         "metric": "optorb_vqe_h4_ccpvtz_to_8so_time_to_baseline_quality_s",
         "value": round(ours_wall, 3),
         "unit": "s",
-        "vs_baseline": round(base["wall_s"] / ours_wall, 2),
+        "vs_baseline": round(base["wall_s"] / ours_wall, 2)
+        if quality_achieved else 0.0,
         "quality_gate_f32_below_baseline": bool(quality_gate),
+        "quality_achieved": quality_achieved,
         "h4_energy_f32": ours["energy_f32"],
         "h4_energy_refined_f64": ours["energy"],
         "h4_refine_s": round(ours["refine_s"], 2),

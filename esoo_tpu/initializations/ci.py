@@ -124,9 +124,19 @@ def _ci_matrix_vectorized(dets: List[int], h: np.ndarray,
     H[np.diag_indices(nd)] = occf @ hdiag + 0.5 * np.einsum(
         "mp,pq,mq->m", occf, J, occf)
 
-    # pairwise excitation degree
-    diff = (occ[:, None, :] ^ occ[None, :, :])         # (nd, nd, n)
-    ndiff = diff.sum(axis=2)
+    # pairwise excitation degree via packed-uint64 XOR+popcount, computed
+    # blockwise (never materializing an (nd, nd, n) tensor)
+    W = -(-n // 64)
+    packed = np.zeros((nd, W), dtype=np.uint64)
+    for w in range(W):
+        for b in range(min(64, n - 64 * w)):
+            packed[:, w] |= occ[:, 64 * w + b].astype(np.uint64) << np.uint64(b)
+    ndiff = np.empty((nd, nd), dtype=np.int16)
+    block = max(1, (1 << 24) // max(nd, 1))            # ~128 MB per chunk
+    for lo in range(0, nd, block):
+        hi = min(lo + block, nd)
+        x = packed[lo:hi, None, :] ^ packed[None, :, :]
+        ndiff[lo:hi] = np.bitwise_count(x).sum(axis=2, dtype=np.int16)
     # parity helper: cumulative occupied count below each orbital, per det
     cum = np.cumsum(occf, axis=1)                      # inclusive
     cum_excl = cum - occf                              # strictly below p
@@ -134,14 +144,14 @@ def _ci_matrix_vectorized(dets: List[int], h: np.ndarray,
     # -- singles (ndiff == 2) ----------------------------------------------
     su, sv = np.nonzero(np.triu(ndiff == 2, k=1))
     if len(su):
-        d_from = occ[su] & diff[su, sv]                # i occupied in D
-        d_to = occ[sv] & diff[su, sv]                  # a occupied in D'
+        pair_diff = occ[su] ^ occ[sv]                  # (pairs, n)
+        d_from = occ[su] & pair_diff                   # i occupied in D
+        d_to = occ[sv] & pair_diff                     # a occupied in D'
         i_idx = d_from.argmax(axis=1)
         a_idx = d_to.argmax(axis=1)
         # phase: (-1)^{#occupied strictly between i and a in D}
         lo = np.minimum(i_idx, a_idx)
         hi = np.maximum(i_idx, a_idx)
-        rows = np.arange(len(su))
         between = (cum_excl[su, hi] - cum[su, lo])
         phase = 1.0 - 2.0 * (between.astype(np.int64) & 1)
         # value: h[i,a] + sum_{r in D∩D'} <ir||ar>
@@ -156,8 +166,9 @@ def _ci_matrix_vectorized(dets: List[int], h: np.ndarray,
     # -- doubles (ndiff == 4) -----------------------------------------------
     du, dv = np.nonzero(np.triu(ndiff == 4, k=1))
     if len(du):
-        d_from = occ[du] & diff[du, dv]
-        d_to = occ[dv] & diff[du, dv]
+        pair_diff = occ[du] ^ occ[dv]
+        d_from = occ[du] & pair_diff
+        d_to = occ[dv] & pair_diff
         # i < j removed, a < b added (argmax finds first True = lowest index)
         i_idx = d_from.argmax(axis=1)
         j_idx = (n - 1) - d_from[:, ::-1].argmax(axis=1)
@@ -165,11 +176,6 @@ def _ci_matrix_vectorized(dets: List[int], h: np.ndarray,
         b_idx = (n - 1) - d_to[:, ::-1].argmax(axis=1)
         # phase: product of the two single-excitation parities computed in
         # sequence (i->a on D, then j->b on D with i,a already toggled)
-        rows = np.arange(len(du))
-
-        def between_count(cum_m, cum_excl_m, lo, hi, rows):
-            return cum_excl_m[rows, hi] - cum_m[rows, lo]
-
         lo1 = np.minimum(i_idx, a_idx)
         hi1 = np.maximum(i_idx, a_idx)
         t1 = (cum_excl[du, hi1] - cum[du, lo1]).astype(np.int64)

@@ -43,8 +43,11 @@ from ..sim.circuit import QuantumCircuit
 from ..sim.rdm import one_rdm, rdm_energy, two_rdm
 from ..sim.statevector import compile_circuit
 from .kernels import (expand_spin_tensors, rotate_one_body, rotate_two_body,
-                      spin_reduce_rdms)
+                      rotated_energy_spatial, spin_reduce_rdms)
 from .stiefel import orth
+
+# single source of truth for the orbital objective across all fused loops
+_ORBITAL_VAG = jax.value_and_grad(rotated_energy_spatial)
 
 
 def _place_on_mesh(mesh, h_sp, g_sp, axis_name: str = "orb"):
@@ -142,12 +145,7 @@ def _fused_optorb_vqe(state_fn: Callable,
                            options={"maxiter": vqe_maxiter, "gtol": gtol})
         return res.x, res.fun
 
-    def orbital_objective(U, gamma_s, Gamma_s):
-        e1 = jnp.sum(rotate_one_body(h_sp, U) * gamma_s)
-        e2 = jnp.sum(rotate_two_body(g_sp, U) * Gamma_s)
-        return e1 + e2
-
-    vag = jax.value_and_grad(orbital_objective)
+    vag = _ORBITAL_VAG
     N = 2 * n_active
 
     def outer_cond(c):
@@ -167,8 +165,8 @@ def _fused_optorb_vqe(state_fn: Callable,
         Gamma = two_rdm(state, N)
         gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
 
-        U_new = _inner_bb(vag, U, (gamma_s, Gamma_s), bb_stepsize,
-                          inner_tol, decay, inner_maxiter)
+        U_new = _inner_bb(vag, U, (gamma_s, Gamma_s, h_sp, g_sp),
+                          bb_stepsize, inner_tol, decay, inner_maxiter)
 
         converged = jnp.abs(E - E_prev) < outer_tol
         hit_max = it + 1 >= outer_maxiter
@@ -239,12 +237,7 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
                            options={"maxiter": vqe_maxiter, "gtol": gtol})
         return res.x, res.fun
 
-    def orbital_objective(U, gamma_s, Gamma_s):
-        e1 = jnp.sum(rotate_one_body(h_sp, U) * gamma_s)
-        e2 = jnp.sum(rotate_two_body(g_sp, U) * Gamma_s)
-        return e1 + e2
-
-    vag = jax.value_and_grad(orbital_objective)
+    vag = _ORBITAL_VAG
 
     def outer_cond(c):
         return jnp.logical_not(c[-1])
@@ -264,8 +257,8 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
         Gamma = jnp.tensordot(weights, Gammas, axes=1)
         gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
 
-        U_new = _inner_bb(vag, U, (gamma_s, Gamma_s), bb_stepsize,
-                          inner_tol, decay, inner_maxiter)
+        U_new = _inner_bb(vag, U, (gamma_s, Gamma_s, h_sp, g_sp),
+                          bb_stepsize, inner_tol, decay, inner_maxiter)
         converged = jnp.abs(Ew - E_prev) < outer_tol
         hit_max = it + 1 >= outer_maxiter
         U_out = jnp.where(converged, U, U_new)
@@ -290,6 +283,8 @@ class FusedOptOrbSSVQE:
     Same semantics as OptOrbSSVQE with direct RDMs and a gradient-based
     optimizer; the whole outer loop compiles to a single device program.
     """
+
+    _requires_orthogonal_inits = True   # VQD subclass relaxes this
 
     def __init__(self,
                  num_spin_orbitals: int,
@@ -341,7 +336,14 @@ class FusedOptOrbSSVQE:
                 for st in initial_states]
         if any(not np.allclose(np.imag(v), 0.0) for v in vecs):
             raise ValueError("fused path requires real initial states")
-        self._init_mat = jnp.asarray(np.real(np.stack(vecs)), dtype=dtype)
+        V = np.real(np.stack(vecs))
+        if self._requires_orthogonal_inits:
+            gram = V @ V.T
+            if np.abs(gram - np.eye(len(vecs))).max() > 1e-8:
+                raise ValueError(
+                    "initial states must be mutually orthonormal (SSVQE's "
+                    "weighted-sum variational argument requires it)")
+        self._init_mat = jnp.asarray(V, dtype=dtype)
         self.k = len(initial_states)
         if weight_vector is None:
             weight_vector = [self.k - i for i in range(self.k)]
@@ -539,12 +541,7 @@ def _fused_optorb_vqd(apply_fn: Callable,
             0, k, step, (thetas, prev0, e0))
         return thetas, states, energies
 
-    def orbital_objective(U, gamma_s, Gamma_s):
-        e1 = jnp.sum(rotate_one_body(h_sp, U) * gamma_s)
-        e2 = jnp.sum(rotate_two_body(g_sp, U) * Gamma_s)
-        return e1 + e2
-
-    vag = jax.value_and_grad(orbital_objective)
+    vag = _ORBITAL_VAG
 
     def outer_cond(c):
         return jnp.logical_not(c[-1])
@@ -563,8 +560,8 @@ def _fused_optorb_vqd(apply_fn: Callable,
             jnp.tensordot(weights, gammas, axes=1),
             jnp.tensordot(weights, Gammas, axes=1))
 
-        U_new = _inner_bb(vag, U, (gamma_s, Gamma_s), bb_stepsize,
-                          inner_tol, decay, inner_maxiter)
+        U_new = _inner_bb(vag, U, (gamma_s, Gamma_s, h_sp, g_sp),
+                          bb_stepsize, inner_tol, decay, inner_maxiter)
         converged = jnp.abs(Ew - E_prev) < outer_tol
         hit_max = it + 1 >= outer_maxiter
         U_out = jnp.where(converged, U, U_new)
@@ -592,12 +589,25 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
     for fully heterogeneous per-state ansatze.
     """
 
+    _requires_orthogonal_inits = False  # deflation separates the states
+
     def __init__(self, num_spin_orbitals: int, ansatz, initial_states,
                  betas=None, weight_vector=None, **kwargs):
         super().__init__(num_spin_orbitals, ansatz, initial_states,
                          weight_vector=weight_vector, **kwargs)
         if betas is None:
-            betas = [10.0] * (self.k - 1)
+            # deflation only works when beta exceeds the relevant energy
+            # gap; derive the bound from the initial active-space integral
+            # scale (class-based VQD uses the Pauli 1-norm + 10,
+            # solvers/vqd.py:86-88)
+            n = num_spin_orbitals // 2
+            U0 = np.zeros((self._h_sp.shape[0], n))
+            U0[np.arange(n), np.arange(n)] = 1.0
+            h_act = rotate_one_body(self._h_sp, jnp.asarray(U0, self._h_sp.dtype))
+            g_act = rotate_two_body(self._g_sp, jnp.asarray(U0, self._h_sp.dtype))
+            bound = float(jnp.sum(jnp.abs(h_act))
+                          + jnp.sum(jnp.abs(g_act))) + 10.0
+            betas = [bound] * (self.k - 1)
         if len(betas) < self.k - 1:
             raise ValueError("betas must have length k-1")
         self._betas = jnp.asarray(betas[: self.k - 1],

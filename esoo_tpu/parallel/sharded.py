@@ -152,7 +152,6 @@ class ShardedOrbitalOptimizer:
         self.stopping_tolerance = stopping_tolerance
         self.maxiter = maxiter
         self.decay_factor = decay_factor
-        self._step = sharded_bb_step(mesh, axis_name)
         self._energy = sharded_rotated_energy(mesh, axis_name)
         # stable value-and-grad identity so the fused descent compiles once
         self._vag = jax.value_and_grad(

@@ -173,8 +173,7 @@ class AdaptVQE:
         for _ in range(R):
             for group in pool:
                 _append_group(padded, group)
-        _, vag = make_evaluators(padded, operator)   # the ONE compile
-        efn, _ = make_evaluators(padded, operator)
+        efn, vag = make_evaluators(padded, operator)   # the ONE compile
 
         theta_full = np.zeros(R * P)
         selected: List[int] = []
@@ -204,7 +203,6 @@ class AdaptVQE:
 
             # optimize the active angles through the fixed circuit
             def fun(alpha):
-                n = len(active)
                 th = theta_full.copy()
                 th[active] = alpha
                 v, _ = vag(th)
@@ -281,6 +279,17 @@ class AdaptVQE:
         prev_energy = None
         current = base.copy()
         last_vqe: Optional[VQEResult] = None
+
+        if not pool:
+            efn, _ = make_evaluators(base if base.gates else current, operator)
+            result.eigenvalue = float(efn(np.zeros(0)))
+            result.optimal_point = np.zeros(0)
+            result.optimal_parameters = np.zeros(0)
+            result.optimal_value = result.eigenvalue
+            result.optimal_circuit = current
+            result.num_iterations = 0
+            result.termination_criterion = TerminationCriterion.CONVERGED
+            return result
 
         screen = _make_pool_screener(pool, operator, nq)
 
