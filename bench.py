@@ -75,9 +75,13 @@ def run_ours(problem, n_red_so, maxiter=20, tol=1e-5):
     t0 = time.perf_counter()
     r32 = make(jnp.float32).compute_minimum_energy()
     cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    r32 = make(jnp.float32).compute_minimum_energy()
-    warm = time.perf_counter() - t0
+    # warm: best of 3 (the shared TPU tunnel adds multi-second jitter that
+    # has nothing to do with the program — 1 dispatch either way)
+    warm = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r32 = make(jnp.float32).compute_minimum_energy()
+        warm = min(warm, time.perf_counter() - t0)
 
     # phase B: f64 polish from the f32 solution on the CPU backend (fused
     # path, same static config as phase A; compile paid in the warm-up).
