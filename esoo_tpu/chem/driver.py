@@ -77,6 +77,16 @@ class ElectronicStructureProblem:
         """(one_body, two_body) spin-orbital tensors, reference convention."""
         return self.one_body_tensor(), self.two_body_tensor()
 
+    def spatial_integral_tensors(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(h_sp, g_sp) SPATIAL tensors — the framework's internal
+        convention (h_sp = MO core Hamiltonian; g_sp = 1/2 <pq|rs>
+        physicist).  Identical to spatial_blocks(*integral_tensors()) but
+        never materializes the 16x-larger spin-orbital intermediate —
+        essential beyond ~100 spatial orbitals (the M^4 spin tensor is
+        16 m^4 doubles)."""
+        phys = self.eri_mo.transpose(0, 2, 1, 3)
+        return self.hcore_mo.copy(), 0.5 * phys
+
 
 class MoleculeDriver:
     """Compute integrals + RHF for a molecule and emit the problem object.

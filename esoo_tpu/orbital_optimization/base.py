@@ -148,6 +148,27 @@ class BaseOptOrbSolver:
         if integral_tensors is not None:
             h_so = np.asarray(integral_tensors[0], dtype=np.float64)
             g_so = np.asarray(integral_tensors[1], dtype=np.float64)
+        elif problem is not None and hasattr(problem,
+                                             "spatial_integral_tensors"):
+            # spatial-direct ingestion: skips the 16x-larger spin-orbital
+            # intermediate entirely (it is never needed on the fast path)
+            h_sp, g_sp = problem.spatial_integral_tensors()
+            self.one_body_integrals = None
+            self.two_body_integrals = None
+            self.num_original_spin_orbitals = 2 * h_sp.shape[0]
+            self.num_spin_orbitals = num_spin_orbitals
+            self._spatial_path = True
+            self._h_sp = jnp.asarray(h_sp)
+            self._g_sp = jnp.asarray(g_sp)
+            self._h_so = self._g_so = None
+            self._finish_init(num_spin_orbitals, maxiter, stopping_tolerance,
+                              spin_conserving, wavefuntion_real,
+                              outer_loop_callback,
+                              partial_unitary_random_perturbation,
+                              RDM_ops_batchsize, rdm_measurement,
+                              checkpoint_dir, seed, mesh,
+                              initial_partial_unitary)
+            return
         elif problem is not None:
             h_so, g_so = problem.integral_tensors()
         else:
@@ -168,7 +189,19 @@ class BaseOptOrbSolver:
             self._h_sp = self._g_sp = None
         self._h_so = jnp.asarray(h_so)
         self._g_so = jnp.asarray(g_so)
+        self._finish_init(num_spin_orbitals, maxiter, stopping_tolerance,
+                          spin_conserving, wavefuntion_real,
+                          outer_loop_callback,
+                          partial_unitary_random_perturbation,
+                          RDM_ops_batchsize, rdm_measurement,
+                          checkpoint_dir, seed, mesh,
+                          initial_partial_unitary)
 
+    def _finish_init(self, num_spin_orbitals, maxiter, stopping_tolerance,
+                     spin_conserving, wavefuntion_real, outer_loop_callback,
+                     partial_unitary_random_perturbation, RDM_ops_batchsize,
+                     rdm_measurement, checkpoint_dir, seed, mesh,
+                     initial_partial_unitary):
         m = self.num_original_spin_orbitals // 2
         n = num_spin_orbitals // 2
         if initial_partial_unitary is None:

@@ -303,20 +303,30 @@ class FusedOptOrbSSVQE:
                  decay_factor: float = 0.8,
                  vqe_maxiter: int = 300,
                  dtype=None,
-                 mesh=None):
+                 mesh=None,
+                 _spatial_tensors=None):
         from .kernels import spatial_blocks, spin_blocks_consistent
 
-        if integral_tensors is not None:
+        if _spatial_tensors is not None:
+            h_sp, g_sp = _spatial_tensors
+        elif integral_tensors is not None:
             h_so = np.asarray(integral_tensors[0], dtype=np.float64)
             g_so = np.asarray(integral_tensors[1], dtype=np.float64)
+            if not spin_blocks_consistent(h_so, g_so):
+                raise ValueError(
+                    "FusedOptOrbSSVQE requires spin-block-structured integrals")
+            h_sp, g_sp = spatial_blocks(h_so, g_so)
+        elif problem is not None and hasattr(problem,
+                                             "spatial_integral_tensors"):
+            h_sp, g_sp = problem.spatial_integral_tensors()
         elif problem is not None:
             h_so, g_so = problem.integral_tensors()
+            if not spin_blocks_consistent(h_so, g_so):
+                raise ValueError(
+                    "FusedOptOrbSSVQE requires spin-block-structured integrals")
+            h_sp, g_sp = spatial_blocks(h_so, g_so)
         else:
             raise ValueError("either `problem` or `integral_tensors` required")
-        if not spin_blocks_consistent(h_so, g_so):
-            raise ValueError(
-                "FusedOptOrbSSVQE requires spin-block-structured integrals")
-        h_sp, g_sp = spatial_blocks(h_so, g_so)
         dtype = dtype or h_sp.dtype
         self._h_sp = jnp.asarray(h_sp, dtype=dtype)
         self._g_sp = jnp.asarray(g_sp, dtype=dtype)
@@ -415,17 +425,24 @@ class FusedOptOrbMCVQE(FusedOptOrbSSVQE):
         if integral_tensors is not None:
             h_so = np.asarray(integral_tensors[0], dtype=np.float64)
             g_so = np.asarray(integral_tensors[1], dtype=np.float64)
+            if not spin_blocks_consistent(h_so, g_so):
+                raise ValueError(
+                    "FusedOptOrbMCVQE requires spin-block-structured integrals")
+            h_sp, g_sp = spatial_blocks(h_so, g_so)
+        elif problem is not None and hasattr(problem,
+                                             "spatial_integral_tensors"):
+            h_sp, g_sp = problem.spatial_integral_tensors()
         elif problem is not None:
             h_so, g_so = problem.integral_tensors()
+            if not spin_blocks_consistent(h_so, g_so):
+                raise ValueError(
+                    "FusedOptOrbMCVQE requires spin-block-structured integrals")
+            h_sp, g_sp = spatial_blocks(h_so, g_so)
         else:
             raise ValueError("either `problem` or `integral_tensors` required")
-        if not spin_blocks_consistent(h_so, g_so):
-            raise ValueError(
-                "FusedOptOrbMCVQE requires spin-block-structured integrals")
 
         # CIS/CISD states from the initial-U-rotated integrals
         # (reference semantics: opt_orb_mcvqe.py:90-103)
-        h_sp, g_sp = spatial_blocks(h_so, g_so)
         n = num_spin_orbitals // 2
         U0 = kwargs.get("initial_partial_unitary")
         if U0 is None:
@@ -448,7 +465,7 @@ class FusedOptOrbMCVQE(FusedOptOrbSSVQE):
 
         super().__init__(num_spin_orbitals, ansatz, init_circuits,
                          weight_vector=weight_vector,
-                         integral_tensors=(h_so, g_so), **kwargs)
+                         _spatial_tensors=(h_sp, g_sp), **kwargs)
 
     def compute_energies(self) -> FusedOptOrbEigensolverResult:
         base = super().compute_energies()
@@ -674,15 +691,24 @@ class FusedOptOrbVQE:
         if integral_tensors is not None:
             h_so = np.asarray(integral_tensors[0], dtype=np.float64)
             g_so = np.asarray(integral_tensors[1], dtype=np.float64)
+            if not spin_blocks_consistent(h_so, g_so):
+                raise ValueError(
+                    "FusedOptOrbVQE requires spin-block-structured integrals "
+                    "(use OptOrbVQE for the general spin-orbital path)")
+            h_sp, g_sp = spatial_blocks(h_so, g_so)
+        elif problem is not None and hasattr(problem,
+                                             "spatial_integral_tensors"):
+            # never materialize the 16x-larger spin-orbital intermediate
+            h_sp, g_sp = problem.spatial_integral_tensors()
         elif problem is not None:
             h_so, g_so = problem.integral_tensors()
+            if not spin_blocks_consistent(h_so, g_so):
+                raise ValueError(
+                    "FusedOptOrbVQE requires spin-block-structured integrals "
+                    "(use OptOrbVQE for the general spin-orbital path)")
+            h_sp, g_sp = spatial_blocks(h_so, g_so)
         else:
             raise ValueError("either `problem` or `integral_tensors` required")
-        if not spin_blocks_consistent(h_so, g_so):
-            raise ValueError(
-                "FusedOptOrbVQE requires spin-block-structured integrals "
-                "(use OptOrbVQE for the general spin-orbital path)")
-        h_sp, g_sp = spatial_blocks(h_so, g_so)
         dtype = dtype or h_sp.dtype
         self._h_sp = jnp.asarray(h_sp, dtype=dtype)
         self._g_sp = jnp.asarray(g_sp, dtype=dtype)
