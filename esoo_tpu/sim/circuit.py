@@ -54,6 +54,14 @@ class ParamExpr:
     def __neg__(self):
         return ParamExpr(self.idx, -self.mult, -self.offset)
 
+    def __add__(self, c):
+        return ParamExpr(self.idx, self.mult, self.offset + float(c))
+
+    __radd__ = __add__
+
+    def __sub__(self, c):
+        return ParamExpr(self.idx, self.mult, self.offset - float(c))
+
 
 AngleLike = Union[float, Parameter, ParamExpr]
 

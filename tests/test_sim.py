@@ -168,3 +168,28 @@ def test_estimator_broadcast_mismatch_raises(h2_sto3g_hamiltonian):
     with pytest.raises(ValueError):
         Estimator().run([qc, qc], [h2_sto3g_hamiltonian] * 3,
                         [[0.1], [0.2], [0.3]])
+
+
+def test_scan_gate_path_matches_unrolled():
+    """Long Pauli-rotation runs go through lax.scan (O(1) program size);
+    must be bit-identical to the unrolled path, gradients included."""
+    import jax
+    import jax.numpy as jnp
+    import esoo_tpu.sim.statevector as sv
+    from esoo_tpu.sim import HartreeFock, UCCSD
+    from esoo_tpu.sim.statevector import CompiledCircuit
+    ans = UCCSD(3, (1, 1), initial_state=HartreeFock(3, (1, 1)), reps=3)
+    theta = np.random.default_rng(0).normal(size=ans.num_parameters)
+    saved = sv._SCAN_THRESHOLD
+    try:
+        sv._SCAN_THRESHOLD = 10**9
+        f_u = CompiledCircuit(ans).state_fn
+        sv._SCAN_THRESHOLD = 4
+        f_s = CompiledCircuit(ans).state_fn
+        np.testing.assert_array_equal(np.asarray(f_u(theta)),
+                                      np.asarray(f_s(theta)))
+        gu = jax.grad(lambda t: jnp.sum(f_u(t) ** 2))(jnp.asarray(theta))
+        gs = jax.grad(lambda t: jnp.sum(f_s(t) ** 2))(jnp.asarray(theta))
+        np.testing.assert_array_equal(np.asarray(gu), np.asarray(gs))
+    finally:
+        sv._SCAN_THRESHOLD = saved
