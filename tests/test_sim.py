@@ -175,9 +175,10 @@ def test_scan_gate_path_matches_unrolled():
     must be bit-identical to the unrolled path, gradients included."""
     import jax
     import jax.numpy as jnp
-    import esoo_tpu.sim.statevector as sv
+    import sys
+    sv = sys.modules["esoo_tpu.sim.statevector"]
     from esoo_tpu.sim import HartreeFock, UCCSD
-    from esoo_tpu.sim.statevector import CompiledCircuit
+    CompiledCircuit = sv.CompiledCircuit
     ans = UCCSD(3, (1, 1), initial_state=HartreeFock(3, (1, 1)), reps=3)
     theta = np.random.default_rng(0).normal(size=ans.num_parameters)
     saved = sv._SCAN_THRESHOLD
