@@ -57,10 +57,16 @@ def _matmul_kernel(x_ref, y_ref, o_ref, acc_ref, *, k_tiles: int):
 @functools.partial(jax.jit, static_argnames=("tm", "tk", "tn"))
 def matmul_pallas(x: jnp.ndarray, y: jnp.ndarray,
                   tm: int = 256, tk: int = 512, tn: int = 128) -> jnp.ndarray:
-    """Tiled (M, K) @ (K, N) with f32 accumulation on the MXU."""
+    """Tiled (M, K) @ (K, N) with f32 accumulation on the MXU.
+
+    f64 inputs dispatch to the XLA path: the f32 VMEM accumulator would
+    silently degrade f64 chemistry tensors to f32 accuracy (ADVICE r1).
+    """
     M, K = x.shape
     K2, N = y.shape
     assert K == K2
+    if jnp.dtype(x.dtype).itemsize > 4 or jnp.dtype(y.dtype).itemsize > 4:
+        return jnp.dot(x, y, precision=jax.lax.Precision.HIGHEST)
     Mp, Kp, Np = _round_up(M, tm), _round_up(K, tk), _round_up(N, tn)
     xp = jnp.pad(x, ((0, Mp - M), (0, Kp - K)))
     yp = jnp.pad(y, ((0, Kp - K), (0, Np - N)))

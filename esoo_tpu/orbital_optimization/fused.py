@@ -614,14 +614,12 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
                          weight_vector=weight_vector, **kwargs)
         if betas is None:
             # deflation only works when beta exceeds the relevant energy
-            # gap; derive the bound from the initial active-space integral
-            # scale (class-based VQD uses the Pauli 1-norm + 10,
-            # solvers/vqd.py:86-88)
-            n = num_spin_orbitals // 2
-            U0 = np.zeros((self._h_sp.shape[0], n))
-            U0[np.arange(n), np.arange(n)] = 1.0
-            h_act = rotate_one_body(self._h_sp, jnp.asarray(U0, self._h_sp.dtype))
-            g_act = rotate_two_body(self._g_sp, jnp.asarray(U0, self._h_sp.dtype))
+            # gap; derive the bound from the active-space integrals at the
+            # ACTUAL starting partial unitary (class-based VQD uses the
+            # Pauli 1-norm + 10, solvers/vqd.py:86-88)
+            U0 = jnp.asarray(self._U0, self._h_sp.dtype)
+            h_act = rotate_one_body(self._h_sp, U0)
+            g_act = rotate_two_body(self._g_sp, U0)
             bound = float(jnp.sum(jnp.abs(h_act))
                           + jnp.sum(jnp.abs(g_act))) + 10.0
             betas = [bound] * (self.k - 1)

@@ -35,7 +35,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.4.35 exports shard_map at top level; experimental path
+    # is deprecated (removed after jax 0.8)
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..orbital_optimization.stiefel import orth
 

@@ -194,8 +194,9 @@ class AdaptVQE:
             if max_grad_val < self.gradient_threshold:
                 criterion = TerminationCriterion.CONVERGED
                 break
-            if len(selected) >= 2 and selected[-1] == best \
-                    and selected[-2] == best:
+            if selected and selected[-1] == best:
+                # first immediate repeat terminates (upstream AdaptVQE's
+                # consecutive-repeat semantics; ADVICE r1)
                 criterion = TerminationCriterion.CYCLICITY
                 break
             selected.append(best)

@@ -3,6 +3,7 @@ oracle, staged-GEMM transform vs naive einsum."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from esoo_tpu.orbital_optimization.kernels import (
     expand_spin, expand_spin_tensors, rotate_one_body, rotate_two_body,
@@ -103,7 +104,7 @@ def test_kron_sandwich_matches_staged():
 def test_torch_tensor_ingestion(h2_631g):
     """Reference API accepts torch tensors for integral_tensors
     (base_opt_orb_solver.py:80-86); ours must too (zero-copy via numpy)."""
-    import torch
+    torch = pytest.importorskip("torch")
     from esoo_tpu.orbital_optimization.base import BaseOptOrbSolver
     h, g = h2_631g.integral_tensors()
     solver = BaseOptOrbSolver(
