@@ -57,6 +57,24 @@ STO3G = {
     "F": _sto3g((166.6791300, 30.3608120, 8.2168207), (6.4648032, 1.4860455, 0.4885885)),
 }
 
+def _pople_631g(s6_exps, s6_coeffs, sp3_exps, sp3_s, sp3_p, sp1_exp):
+    """First-row 6-31G shell structure: (10s4p) -> [3s2p].
+
+    Core 6s contraction; inner-valence SP shell (3 primitives, shared
+    exponents, separate s/p coefficients, stored expanded); outer-valence
+    single-primitive SP shell.  Data: Hehre, Ditchfield & Pople,
+    J. Chem. Phys. 56, 2257 (1972); Li/Be: Dill & Pople, J. Chem. Phys.
+    62, 2921 (1975).
+    """
+    return [
+        {"l": 0, "prims": list(zip(s6_exps, s6_coeffs))},
+        {"l": 0, "prims": list(zip(sp3_exps, sp3_s))},
+        {"l": 1, "prims": list(zip(sp3_exps, sp3_p))},
+        {"l": 0, "prims": [(sp1_exp, 1.0)]},
+        {"l": 1, "prims": [(sp1_exp, 1.0)]},
+    ]
+
+
 SIX31G = {
     "H": [
         {"l": 0, "prims": [(18.7311370, 0.03349460),
@@ -64,7 +82,88 @@ SIX31G = {
                            (0.6401217, 0.81375733)]},
         {"l": 0, "prims": [(0.1612778, 1.0)]},
     ],
+    "He": [
+        {"l": 0, "prims": [(38.4216340, 0.0237660),
+                           (5.7780300, 0.1546790),
+                           (1.2417740, 0.4696300)]},
+        {"l": 0, "prims": [(0.2979640, 1.0)]},
+    ],
+    "Li": _pople_631g(
+        (642.41892, 96.798515, 22.091121, 6.2010703, 1.9351177, 0.6367358),
+        (0.0021426, 0.0162089, 0.0773156, 0.2457860, 0.4701890, 0.3454708),
+        (2.3249184, 0.6324306, 0.0790534),
+        (-0.0350917, -0.1912328, 1.0839878),
+        (0.0089415, 0.1410095, 0.9453637),
+        0.0359620),
+    "Be": _pople_631g(
+        (1264.5857, 189.93681, 43.159089, 12.098663, 3.8063232, 1.2728903),
+        (0.0019448, 0.0148351, 0.0720906, 0.2371542, 0.4691987, 0.3565202),
+        (3.1964631, 0.7478133, 0.2199663),
+        (-0.1126487, -0.2295064, 1.1869167),
+        (0.0559802, 0.2615506, 0.7939723),
+        0.0823099),
+    "B": _pople_631g(
+        (2068.8823, 310.64957, 70.683033, 19.861080, 6.2993048, 2.1270270),
+        (0.0018663, 0.0142515, 0.0695516, 0.2325729, 0.4670787, 0.3634314),
+        (4.7279710, 1.1903377, 0.3594117),
+        (-0.1303938, -0.1307889, 1.1309444),
+        (0.0745976, 0.3078467, 0.7434568),
+        0.1267512),
+    "C": _pople_631g(
+        (3047.5249, 457.36951, 103.94869, 29.210155, 9.2866630, 3.1639270),
+        (0.0018347, 0.0140373, 0.0688426, 0.2321844, 0.4679413, 0.3623120),
+        (7.8682724, 1.8812885, 0.5442493),
+        (-0.1193324, -0.1608542, 1.1434564),
+        (0.0689991, 0.3164240, 0.7443083),
+        0.1687144),
+    "N": _pople_631g(
+        (4173.5110, 627.45790, 142.90210, 40.234330, 12.820210, 4.3904370),
+        (0.0018348, 0.0139950, 0.0685870, 0.2322410, 0.4690700, 0.3604550),
+        (11.626358, 2.7162800, 0.7722180),
+        (-0.1149610, -0.1691180, 1.1458520),
+        (0.0675800, 0.3239070, 0.7408950),
+        0.2120313),
+    "O": _pople_631g(
+        (5484.6717, 825.23495, 188.04696, 52.964500, 16.897570, 5.7996353),
+        (0.0018311, 0.0139501, 0.0684451, 0.2327143, 0.4701930, 0.3585209),
+        (15.539616, 3.5999336, 1.0137618),
+        (-0.1107775, -0.1480263, 1.1307670),
+        (0.0708743, 0.3397528, 0.7271586),
+        0.2700058),
+    "F": _pople_631g(
+        (7001.7130, 1051.3660, 239.28569, 67.397445, 21.519957, 7.4031013),
+        (0.0018196, 0.0139161, 0.0684053, 0.2331858, 0.4712674, 0.3566185),
+        (20.847952, 4.8083083, 1.3440698),
+        (-0.1085070, -0.1464517, 1.1286886),
+        (0.0716287, 0.3459121, 0.7224700),
+        0.3581514),
+    "Ne": _pople_631g(
+        (8425.8515, 1268.5194, 289.62141, 80.859596, 25.945130, 8.8468607),
+        (0.0018843, 0.0143369, 0.0701096, 0.2373733, 0.4730071, 0.3484012),
+        (26.532131, 6.1755501, 1.8391377),
+        (-0.1071183, -0.1461638, 1.1277735),
+        (0.0719096, 0.3495134, 0.7199405),
+        0.4829340),
 }
+
+def _dunning_vdz(s_exps, s_c1, s_c2, p_exps, p_c, d_exp):
+    """First-row cc-pVDZ shell structure: (9s4p1d) -> [3s2p1d].
+
+    Two general s contractions over the first len(s_c1) primitives, one
+    free outer s; one p contraction over the first len(p_c) primitives,
+    one free outer p; one free d.  Data: Dunning, J. Chem. Phys. 90,
+    1007 (1989) for B-Ne; Li/Be: Prascher et al., Theor. Chem. Acc. 128,
+    69 (2011).
+    """
+    return [
+        {"l": 0, "prims": list(zip(s_exps, s_c1))},
+        {"l": 0, "prims": list(zip(s_exps, s_c2))},
+        {"l": 0, "prims": [(s_exps[-1], 1.0)]},
+        {"l": 1, "prims": list(zip(p_exps, p_c))},
+        {"l": 1, "prims": [(p_exps[-1], 1.0)]},
+        {"l": 2, "prims": [(d_exp, 1.0)]},
+    ]
+
 
 CCPVDZ = {
     "H": [
@@ -73,6 +172,86 @@ CCPVDZ = {
         {"l": 0, "prims": [(0.1220, 1.0)]},
         {"l": 1, "prims": [(0.7270, 1.0)]},
     ],
+    "He": [
+        {"l": 0, "prims": [(38.3600, 0.0238090), (5.7700, 0.1548910),
+                           (1.2400, 0.4699870), (0.2976, 0.5130270)]},
+        {"l": 0, "prims": [(0.2976, 1.0)]},
+        {"l": 1, "prims": [(1.2750, 1.0)]},
+    ],
+    "Li": _dunning_vdz(
+        (1469.0, 220.5, 50.26, 14.24, 4.581, 1.580, 0.5640, 0.0734500,
+         0.0280500),
+        (0.000766, 0.005892, 0.029671, 0.109180, 0.282789, 0.453123,
+         0.274774, 0.009751),
+        (-0.000120, -0.000923, -0.004689, -0.017682, -0.048902, -0.096009,
+         -0.136380, 0.575102),
+        (1.534, 0.2749, 0.07362, 0.0240300),
+        (0.022784, 0.139107, 0.500375),
+        0.1144),
+    "Be": _dunning_vdz(
+        (2940.0, 441.2, 100.5, 28.43, 9.169, 3.196, 1.159, 0.1811,
+         0.0589000),
+        (0.000680, 0.005236, 0.026606, 0.099993, 0.269702, 0.451469,
+         0.295074, 0.012587),
+        (-0.000123, -0.000966, -0.004831, -0.018798, -0.052925, -0.109726,
+         -0.165043, 0.570563),
+        (3.619, 0.7110, 0.1951, 0.0601800),
+        (0.029110, 0.169365, 0.513458),
+        0.2354),
+    "B": _dunning_vdz(
+        (4570.0, 685.9, 156.5, 44.47, 14.48, 5.131, 1.898, 0.3329, 0.1043),
+        (0.000696, 0.005353, 0.027134, 0.101380, 0.272055, 0.448403,
+         0.290123, 0.014322),
+        (-0.000139, -0.001097, -0.005444, -0.021916, -0.059751, -0.138732,
+         -0.131482, 0.539526),
+        (6.001, 1.241, 0.3364, 0.0953800),
+        (0.035481, 0.198072, 0.505230),
+        0.3430),
+    "C": _dunning_vdz(
+        (6665.0, 1000.0, 228.0, 64.71, 21.06, 7.495, 2.797, 0.5215, 0.1596),
+        (0.000692, 0.005329, 0.027077, 0.101718, 0.274740, 0.448564,
+         0.285074, 0.015204),
+        (-0.000146, -0.001154, -0.005725, -0.023312, -0.063955, -0.149981,
+         -0.127262, 0.544529),
+        (9.439, 2.002, 0.5456, 0.1517),
+        (0.038109, 0.209480, 0.508557),
+        0.5500),
+    "N": _dunning_vdz(
+        (9046.0, 1357.0, 309.3, 87.73, 28.56, 10.21, 3.838, 0.7466, 0.2248),
+        (0.000700, 0.005389, 0.027406, 0.103207, 0.278723, 0.448540,
+         0.278238, 0.015440),
+        (-0.000153, -0.001208, -0.005992, -0.024544, -0.067459, -0.158078,
+         -0.121831, 0.549003),
+        (13.55, 2.917, 0.7973, 0.2185),
+        (0.039919, 0.217169, 0.510319),
+        0.8170),
+    "O": _dunning_vdz(
+        (11720.0, 1759.0, 400.8, 113.7, 37.03, 13.27, 5.025, 1.013, 0.3023),
+        (0.000710, 0.005470, 0.027837, 0.104800, 0.283062, 0.448719,
+         0.270952, 0.015458),
+        (-0.000160, -0.001263, -0.006267, -0.025716, -0.070924, -0.165411,
+         -0.116955, 0.557368),
+        (17.70, 3.854, 1.046, 0.2753),
+        (0.043018, 0.228913, 0.508728),
+        1.1850),
+    "F": _dunning_vdz(
+        (14710.0, 2207.0, 502.8, 142.6, 46.47, 16.70, 6.356, 1.316, 0.3897),
+        (0.000721, 0.005553, 0.028267, 0.106444, 0.286814, 0.448641,
+         0.264761, 0.015333),
+        (-0.000165, -0.001308, -0.006495, -0.026691, -0.073690, -0.170776,
+         -0.112327, 0.562814),
+        (22.67, 4.977, 1.347, 0.3471),
+        (0.044878, 0.235718, 0.508521),
+        1.6400),
+    "Ne": _dunning_vdz(
+        (17880.0, 2683.0, 611.5, 173.5, 56.64, 20.42, 7.810, 1.653, 0.4869),
+        (0.000738, 0.005677, 0.028883, 0.108540, 0.290907, 0.448324,
+         0.258026, 0.015063),
+        (-0.000172, -0.001357, -0.006737, -0.027663, -0.076208, -0.175227,
+         -0.107038, 0.567050),
+        (28.39, 6.270, 1.695, 0.4317),
+        (0.046087, 0.240181, 0.508744),
+        2.2020),
 }
 
 CCPVTZ = {

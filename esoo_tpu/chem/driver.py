@@ -29,7 +29,7 @@ import numpy as np
 
 from .basis import ATOMIC_NUMBERS, build_shells
 from .integrals import IntegralEngine
-from .scf import SCFResult, rhf
+from .scf import SCFResult, rhf, rohf
 
 
 @dataclasses.dataclass
@@ -98,12 +98,20 @@ class MoleculeDriver:
 
     def __init__(self, atom: str, basis: str = "sto-3g", charge: int = 0,
                  spin: int = 0, custom_basis: Optional[dict] = None):
-        if spin != 0:
-            raise NotImplementedError(
-                "only closed-shell RHF references are supported currently")
+        """Args:
+            spin: 2S = n_alpha - n_beta.  spin == 0 runs RHF; spin > 0
+                runs ROHF, which keeps ONE set of spatial orbitals shared
+                by both spins — the form the OptOrb partial-unitary
+                machinery requires (U is spatial and spin-expanded via
+                block_diag, reference base_opt_orb_solver.py:549).  For a
+                standalone unrestricted SCF use `esoo_tpu.chem.scf.uhf`.
+        """
+        if spin < 0:
+            raise ValueError("spin (= n_alpha - n_beta) must be >= 0")
         self.atom = atom
         self.basis = basis
         self.charge = charge
+        self.spin = spin
         self.custom_basis = custom_basis
 
     def run(self) -> ElectronicStructureProblem:
@@ -111,13 +119,21 @@ class MoleculeDriver:
             self.atom, self.basis, self.custom_basis)
         charges = np.array([ATOMIC_NUMBERS[s] for s in symbols], dtype=np.float64)
         n_electrons = int(charges.sum()) - self.charge
+        if (n_electrons - self.spin) % 2:
+            raise ValueError(
+                f"{n_electrons} electrons cannot have spin (2S) = {self.spin}")
+        n_a = (n_electrons + self.spin) // 2
+        n_b = n_electrons - n_a
 
         engine = IntegralEngine(shells, charges, coords)
         S, T, V = engine.one_electron()
         eri = engine.eri()
         hcore = T + V
 
-        scf = rhf(S, hcore, eri, n_electrons, charges, coords)
+        if self.spin == 0:
+            scf = rhf(S, hcore, eri, n_electrons, charges, coords)
+        else:
+            scf = rohf(S, hcore, eri, n_a, n_b, charges, coords)
 
         C = scf.mo_coeff
         h_mo = C.T @ hcore @ C
@@ -128,9 +144,8 @@ class MoleculeDriver:
         eri_mo = np.einsum("ijks,sl->ijkl", tmp, C, optimize=True)
 
         n_mo = C.shape[1]
-        n_a = n_electrons // 2
         return ElectronicStructureProblem(
-            num_particles=(n_a, n_electrons - n_a),
+            num_particles=(n_a, n_b),
             num_spatial_orbitals=n_mo,
             nuclear_repulsion_energy=scf.nuclear_repulsion,
             hcore_mo=h_mo,

@@ -1,0 +1,203 @@
+"""General-molecule chemistry frontend: multi-element 6-31G / cc-pVDZ
+basis data and open-shell (ROHF/UHF) SCF.
+
+Closes the round-1 gap vs the reference, which gets arbitrary
+elements/bases for free from PySCFDriver
+(/root/reference/electronic_structure_algorithms/orbital_optimization/
+base_opt_orb_solver.py:87-91).  Literature anchors:
+
+- H2O/6-31G RHF at the experimental geometry (0.9572 A, 104.52 deg):
+  -75.98398 Ha (CCCBDB / Hehre-Pople basis papers).
+- N2/6-31G RHF at 1.0977 A: -108.8678 Ha.
+- LiH/cc-pVDZ RHF at 1.5949 A: -7.98368 Ha.
+- Atomic ROHF values sit between the numerical Hartree-Fock limits
+  (C.F. Fischer) and limit + basis-incompleteness error.
+- O atom UHF/cc-pVDZ: -74.792166 Ha.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from esoo_tpu.chem import MoleculeDriver
+
+HF_LIMIT = {
+    "Li": -7.432727, "Be": -14.573023, "B": -24.529061, "C": -37.688619,
+    "N": -54.400934, "O": -74.809398, "F": -99.409349,
+}
+ATOM_SPIN = {"Li": 1, "Be": 0, "B": 1, "C": 2, "N": 3, "O": 2, "F": 1}
+
+
+def _water_geom():
+    r, ang = 0.9572, math.radians(104.52)
+    x, z = r * math.sin(ang / 2), r * math.cos(ang / 2)
+    return f"O 0 0 0; H {x:.6f} 0 {z:.6f}; H {-x:.6f} 0 {z:.6f}"
+
+
+def test_h2o_631g_rhf_literature():
+    p = MoleculeDriver(atom=_water_geom(), basis="6-31g").run()
+    assert p.scf.converged
+    np.testing.assert_allclose(p.scf.energy_total, -75.98398, atol=2e-4)
+    assert p.num_spatial_orbitals == 13
+
+
+def test_n2_631g_rhf_literature():
+    p = MoleculeDriver(atom="N 0 0 0; N 0 0 1.0977", basis="6-31g").run()
+    assert p.scf.converged
+    np.testing.assert_allclose(p.scf.energy_total, -108.8678, atol=5e-4)
+
+
+def test_lih_ccpvdz_rhf_literature():
+    p = MoleculeDriver(atom="Li 0 0 0; H 0 0 1.5949", basis="cc-pvdz").run()
+    assert p.scf.converged
+    np.testing.assert_allclose(p.scf.energy_total, -7.98368, atol=5e-4)
+    assert p.num_spatial_orbitals == 19   # Li (3s2p1d)=14 + H (2s1p)=5
+
+
+@pytest.mark.parametrize("el", ["Li", "C", "O", "F"])
+def test_atomic_rohf_brackets_hf_limit(el):
+    """ROHF/cc-pVDZ must lie between the numerical HF limit (variational
+    lower bound for any finite basis) and limit + incompleteness error."""
+    p = MoleculeDriver(atom=f"{el} 0 0 0", basis="cc-pvdz",
+                       spin=ATOM_SPIN[el]).run()
+    assert p.scf.converged
+    e = p.scf.energy_total
+    assert HF_LIMIT[el] - 1e-6 < e < HF_LIMIT[el] + 0.06
+    na, nb = p.num_particles
+    assert na - nb == ATOM_SPIN[el]
+
+
+def test_oxygen_uhf_literature_and_bound():
+    from esoo_tpu.chem.basis import build_shells
+    from esoo_tpu.chem.integrals import IntegralEngine
+    from esoo_tpu.chem.scf import rohf, uhf
+
+    shells, _, coords = build_shells("O 0 0 0", "cc-pvdz")
+    ch = np.array([8.0])
+    eng = IntegralEngine(shells, ch, coords)
+    S, T, V = eng.one_electron()
+    eri = eng.eri()
+    u = uhf(S, T + V, eri, 5, 3, ch, coords)
+    r = rohf(S, T + V, eri, 5, 3, ch, coords)
+    assert u.converged and r.converged
+    np.testing.assert_allclose(u.energy_total, -74.792166, atol=5e-4)
+    assert u.energy_total <= r.energy_total + 1e-9  # UHF is a superset
+    assert abs(u.spin_squared - 2.0) < 0.05          # <S^2> for 3P oxygen
+
+
+def test_open_shell_fci_orbital_invariance():
+    """FCI is invariant to the orbital basis: diagonalizing the Hamiltonian
+    built from ROHF orbitals and from Lowdin-orthogonalized AOs must give
+    the same energy to machine precision — validates the full open-shell
+    ingestion chain (integrals -> ROHF -> MO transform -> spin tensors)."""
+    import dataclasses
+
+    from esoo_tpu.chem.basis import build_shells
+    from esoo_tpu.chem.integrals import IntegralEngine
+    from esoo_tpu.ops.hamiltonian import hamiltonian_matrix
+
+    geom = "H 0 0 0; H 0 0 0.9; H 0 0 1.8"
+    p = MoleculeDriver(atom=geom, basis="sto-3g", spin=1).run()
+    n_so = p.num_spin_orbitals
+    occ = np.array([[(i >> k) & 1 for k in range(n_so)]
+                    for i in range(2 ** n_so)])
+    nelec = occ.sum(axis=1)
+    sz = occ[:, : n_so // 2].sum(axis=1) - occ[:, n_so // 2:].sum(axis=1)
+    idx = ((nelec == 3) & (sz == 1)).nonzero()[0]
+
+    h, g = p.integral_tensors()
+    e_rohf_basis = np.linalg.eigvalsh(
+        hamiltonian_matrix(h, g)[np.ix_(idx, idx)])[0]
+
+    shells, _, coords = build_shells(geom, "sto-3g")
+    ch = np.ones(3)
+    eng = IntegralEngine(shells, ch, coords)
+    S, T, V = eng.one_electron()
+    eri = eng.eri()
+    sval, svec = np.linalg.eigh(S)
+    X = svec / np.sqrt(sval)
+    p2 = dataclasses.replace(
+        p, hcore_mo=X.T @ (T + V) @ X,
+        eri_mo=np.einsum("pqrs,pi,qj,rk,sl->ijkl", eri, X, X, X, X,
+                         optimize=True))
+    h2, g2 = p2.integral_tensors()
+    e_lowdin_basis = np.linalg.eigvalsh(
+        hamiltonian_matrix(h2, g2)[np.ix_(idx, idx)])[0]
+
+    assert abs(e_rohf_basis - e_lowdin_basis) < 1e-10
+    # ROHF is variational above FCI
+    assert p.scf.energy_electronic >= e_rohf_basis - 1e-10
+
+
+def test_driver_open_shell_validation_errors():
+    with pytest.raises(ValueError):
+        MoleculeDriver(atom="H 0 0 0", basis="sto-3g", spin=-1)
+    with pytest.raises(ValueError):
+        # 2 electrons cannot have 2S=1
+        MoleculeDriver(atom="H 0 0 0; H 0 0 0.735", basis="sto-3g",
+                       spin=1).run()
+
+
+def test_unknown_element_actionable_error():
+    with pytest.raises(ValueError, match="custom_basis"):
+        MoleculeDriver(atom="Na 0 0 0; Cl 0 0 2.36", basis="cc-pvdz").run()
+
+
+@pytest.mark.slow
+def test_open_shell_optorbvqe_e2e():
+    """Doublet H3 in 6-31G (12 spin orbitals) reduced to 6: the whole
+    OptOrb stack (HF state, UCCSD, VQE, RDMs, Stiefel descent) on an
+    open-shell (2, 1) reference.  The VQE optimum must equal the exact
+    ground state of the final rotated Hamiltonian, and beat the best
+    STO-3G full-space energy (-3.0399 electronic, larger basis wins)."""
+    from esoo_tpu.orbital_optimization import (OptOrbVQE,
+                                               PartialUnitaryProjectionOptimizer)
+    from esoo_tpu.ops.hamiltonian import hamiltonian_matrix
+    from esoo_tpu.sim import Estimator, HartreeFock, UCCSD
+    from esoo_tpu.solvers import L_BFGS_B, VQE
+
+    p = MoleculeDriver(atom="H 0 0 0; H 0 0 0.9; H 0 0 1.8",
+                       basis="6-31g", spin=1).run()
+    ans = UCCSD(3, (2, 1), initial_state=HartreeFock(3, (2, 1)))
+    vqe = VQE(Estimator(), ans, L_BFGS_B(maxiter=300),
+              initial_point=np.zeros(ans.num_parameters))
+    pupo = PartialUnitaryProjectionOptimizer(1e-3, 1e-5, 10000)
+    sol = OptOrbVQE(num_spin_orbitals=6, ground_state_solver=vqe,
+                    partial_unitary_optimizer=pupo, problem=p, maxiter=15)
+    r = sol.compute_minimum_energy()
+    e = float(r.eigenvalue)
+    assert e < -3.0399                              # beats STO-3G full space
+    H = sol.get_rotated_hamiltonian(r.optimal_partial_unitary)
+    w = np.linalg.eigvalsh(H.to_matrix())
+    np.testing.assert_allclose(e, w[0], atol=2e-5)
+
+
+@pytest.mark.slow
+def test_lih_ccpvdz_optorbvqe_e2e():
+    """VERDICT r1 acceptance: LiH cc-pVDZ (M=38 spin orbitals) reduced to
+    6 spin orbitals by OptOrbVQE.  Quality gates: strictly below RHF
+    (captures correlation), above the full-space FCI (~-8.0087 total),
+    and equal to the exact ground state of the final rotated Hamiltonian
+    (VQE found the subspace optimum)."""
+    from esoo_tpu.orbital_optimization import (OptOrbVQE,
+                                               PartialUnitaryProjectionOptimizer)
+    from esoo_tpu.sim import Estimator, HartreeFock, UCCSD
+    from esoo_tpu.solvers import L_BFGS_B, VQE
+
+    p = MoleculeDriver(atom="Li 0 0 0; H 0 0 1.5949", basis="cc-pvdz").run()
+    ans = UCCSD(3, (2, 2), initial_state=HartreeFock(3, (2, 2)))
+    vqe = VQE(Estimator(), ans, L_BFGS_B(maxiter=300),
+              initial_point=np.zeros(ans.num_parameters))
+    pupo = PartialUnitaryProjectionOptimizer(1e-3, 1e-5, 10000)
+    sol = OptOrbVQE(num_spin_orbitals=6, ground_state_solver=vqe,
+                    partial_unitary_optimizer=pupo, problem=p, maxiter=20)
+    r = sol.compute_minimum_energy()
+    e_tot = float(r.eigenvalue) + p.nuclear_repulsion_energy
+
+    assert e_tot < p.scf.energy_total - 5e-5        # below RHF
+    assert e_tot > -8.0087 - 1e-3                   # above full FCI
+    # VQE energy == exact ground state of the final active Hamiltonian
+    H = sol.get_rotated_hamiltonian(r.optimal_partial_unitary)
+    w = np.linalg.eigvalsh(H.to_matrix())
+    np.testing.assert_allclose(float(r.eigenvalue), w[0], atol=2e-5)
