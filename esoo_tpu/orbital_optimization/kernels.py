@@ -145,6 +145,22 @@ def rotate_two_body_kron(g: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(n, n, n, n)
 
 
+def rotate_two_body_minor(g: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """4-index transform contracting the MINOR axis first.
+
+    Identical math to `rotate_two_body`, but stage 1 is
+    g.reshape(m^3, m) @ u — the m^4 tensor is read in layout order with no
+    leading-axis transpose (contracting axis 0 first can make XLA
+    physically transpose the full m^4 tensor, doubling HBM traffic of the
+    dominant stage).
+    """
+    t = jnp.tensordot(g, u, axes=[[3], [0]])        # (p, q, r, l)
+    t = jnp.tensordot(t, u, axes=[[2], [0]])        # (p, q, l, k)
+    t = jnp.tensordot(t, u, axes=[[1], [0]])        # (p, l, k, j)
+    t = jnp.tensordot(t, u, axes=[[0], [0]])        # (l, k, j, i)
+    return t.transpose(3, 2, 1, 0)
+
+
 def rotate_two_body(g: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """4-index transform as four staged GEMMs (MXU-shaped).
 

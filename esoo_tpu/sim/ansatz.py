@@ -17,6 +17,7 @@ uses).  Ordering between excitations matches the enumeration order below.
 from __future__ import annotations
 
 import itertools
+import math
 from typing import Optional, Tuple
 
 from ..ops.fermion import FermionicOp
@@ -196,6 +197,8 @@ def TwoLocal(num_qubits: int,
             getattr(qc, entanglement_blocks)(a, b)
     if not skip_final_rotation_layer:
         rotation_layer()
+    # rotation angles are 2*pi-periodic (qiskit TwoLocal exposes the same)
+    qc.parameter_bounds = [(-2 * math.pi, 2 * math.pi)] * qc.num_parameters
     return qc
 
 

@@ -90,6 +90,10 @@ class QuantumCircuit:
         self.num_qubits = num_qubits
         self.gates: List[Gate] = []
         self._num_parameters = 0
+        # optional per-parameter (low, high) bounds, as on qiskit ansatz
+        # circuits (consumed by SSVQE._validate_bounds, reference
+        # ssvqe.py:596-640); None = unbounded
+        self.parameter_bounds = None
 
     # -- parameters ------------------------------------------------------
     @property
@@ -176,6 +180,12 @@ class QuantumCircuit:
         else:
             out.gates = shifted(self.gates, 0) + shifted(other.gates, shift)
         out._num_parameters = self._num_parameters + other._num_parameters
+        if self.parameter_bounds is not None or other.parameter_bounds is not None:
+            mine = self.parameter_bounds or [(None, None)] * self._num_parameters
+            theirs = (other.parameter_bounds
+                      or [(None, None)] * other._num_parameters)
+            out.parameter_bounds = (list(theirs) + list(mine) if front
+                                    else list(mine) + list(theirs))
         return out
 
     def copy(self) -> "QuantumCircuit":

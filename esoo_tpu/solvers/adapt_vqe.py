@@ -247,7 +247,7 @@ class AdaptVQE:
         result.final_maximum_gradient = max_grad_val
         result.termination_criterion = criterion
         result.eigenvalue_history = history
-        if aux_operators is not None:
+        if aux_operators:  # empty list/dict -> None (reference semantics)
             from ..sim.statevector import compile_circuit
             state = compile_circuit(compact).state(alpha)
             result.aux_operators_evaluated = _eval_aux_ops(state,

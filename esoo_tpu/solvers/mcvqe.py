@@ -47,19 +47,25 @@ class MCVQE(SSVQE):
                  callback: Optional[Callable] = None,
                  check_input_states_orthogonality: bool = True,
                  excitations: str = None,
-                 initial_states: Optional[List[QuantumCircuit]] = None):
+                 initial_states: Optional[List[QuantumCircuit]] = None,
+                 max_evals_grouped: int = 1):
         super().__init__(estimator=estimator, k=k, ansatz=ansatz,
                          optimizer=optimizer, initial_point=initial_point,
                          initial_states=initial_states,
                          weight_vector=weight_vector, gradient=gradient,
                          callback=callback,
-                         check_input_states_orthogonality=check_input_states_orthogonality)
+                         check_input_states_orthogonality=check_input_states_orthogonality,
+                         max_evals_grouped=max_evals_grouped)
         self.num_particles = num_particles
         self.one_body_integrals = (None if one_body_integrals is None
                                    else np.asarray(one_body_integrals))
         self.two_body_integrals = (None if two_body_integrals is None
                                    else np.asarray(two_body_integrals))
-        self.excitations = excitations or "s"
+        # None (+ no initial_states) falls back to computational-basis
+        # initial states, like the reference (mcvqe.py:256-290 runs the CI
+        # branches only for 's'/'sd'; _check_operator_initial_states
+        # supplies the defaults otherwise)
+        self.excitations = excitations
         self._ci_vectors: Optional[List[np.ndarray]] = None
 
     # -- CI-state preparation ---------------------------------------------
@@ -70,6 +76,13 @@ class MCVQE(SSVQE):
                 np.asarray(compile_circuit(st).state())
                 for st in self.initial_states
             ]
+            return
+        if self.excitations is None:
+            # computational-basis defaults (SSVQE default states)
+            states = self._resolved_initial_states(self._num_qubits_hint)
+            self._ci_vectors = [
+                np.asarray(compile_circuit(st).state()) for st in states]
+            self.initial_states = states
             return
         if self.one_body_integrals is None or self.two_body_integrals is None:
             raise AlgorithmError(

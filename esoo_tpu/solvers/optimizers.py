@@ -39,6 +39,7 @@ class Optimizer:
 class _ScipyOptimizer(Optimizer):
     method: str = ""
     uses_jac: bool = True
+    supports_bounds: bool = True
 
     def __init__(self, maxiter: Optional[int] = None, tol: Optional[float] = None,
                  options: Optional[dict] = None, **kwargs):
@@ -53,7 +54,7 @@ class _ScipyOptimizer(Optimizer):
             fun,
             np.asarray(x0, dtype=np.float64),
             jac=jac if self.uses_jac else None,
-            bounds=bounds,
+            bounds=bounds if self.supports_bounds else None,
             method=self.method,
             tol=self._tol,
             options=self._options or None,
@@ -91,6 +92,7 @@ class POWELL(_ScipyOptimizer):
 
 class CG(_ScipyOptimizer):
     method = "CG"
+    supports_bounds = False  # scipy CG is unconstrained
 
 
 class GradientDescent(Optimizer):

@@ -110,7 +110,40 @@ def _batched_evaluators(ansatz, init_states, operator, weights):
     def weighted(theta):
         return jnp.dot(w_j, energies(theta))
 
-    return jax.jit(energies), jax.jit(jax.value_and_grad(weighted))
+    def energies_batch(thetas):
+        """(B, P) parameter sets -> (B, k) energies in ONE device call —
+        the real `max_evals_grouped` batching (reference ssvqe.py:352-365
+        reshapes flat concatenated sets and runs one estimator batch)."""
+        thetas = jnp.asarray(thetas, dtype=jnp.float64)
+        return jax.vmap(lambda t: energies(t))(thetas)
+
+    def variances(theta):
+        """Per-state Var[H] = <H^2> - <H>^2, used for the shot-noise
+        std-dev callback metadata (Aer estimator metadata parity)."""
+        h2 = (operator @ operator).simplify()
+        xs, zs, ys, coeffs = h2.mask_arrays()
+        phases = np.power(1j, ys % 4)
+        c_j = jnp.asarray(coeffs * phases)
+        xs_j, zs_j = jnp.asarray(xs), jnp.asarray(zs)
+
+        def expect_h2(s0, theta):
+            s = apply(s0, theta).astype(jnp.complex128)
+            idx = jnp.arange(s.shape[0])
+
+            def one(x, z):
+                perm = idx ^ x
+                par = jax.lax.population_count(perm & z) & 1
+                sign = (1 - 2 * par).astype(jnp.float64)
+                return jnp.sum(jnp.conj(s) * sign * s[perm])
+
+            return jnp.real(jnp.sum(c_j * jax.vmap(one)(xs_j, zs_j)))
+
+        theta = jnp.asarray(theta, dtype=jnp.float64)
+        e2 = jax.vmap(expect_h2, in_axes=(0, None))(init_mat, theta)
+        return e2 - energies(theta) ** 2
+
+    return (jax.jit(energies), jax.jit(jax.value_and_grad(weighted)),
+            jax.jit(energies_batch), variances)
 
 
 class SSVQE:
@@ -138,8 +171,10 @@ class SSVQE:
         self.gradient = gradient
         self.callback = callback
         self.check_initial_states_orthogonal = check_input_states_orthogonality
-        # parity knob (reference ssvqe.py:352-365): grouped evaluation is
-        # subsumed by the vmapped k-state batch; accepted and recorded.
+        # grouped evaluation (reference ssvqe.py:352-365): the objective
+        # accepts flat concatenations of several parameter sets and runs
+        # them as one vmapped device batch; this records the group size
+        # for optimizers that consult it.
         self.max_evals_grouped = max_evals_grouped
 
     # -- setup helpers ---------------------------------------------------
@@ -181,6 +216,19 @@ class SSVQE:
                             f"initial states {i} and {j} are not orthogonal")
         return states
 
+    def _validate_bounds(self, ansatz):
+        """Optimizer bounds from the ansatz (reference ssvqe.py:596-640):
+        None when the ansatz defines none; otherwise one (low, high) pair
+        per parameter."""
+        pb = getattr(ansatz, "parameter_bounds", None)
+        if pb is None:
+            return None
+        if len(pb) != ansatz.num_parameters:
+            raise AlgorithmError(
+                f"ansatz.parameter_bounds has {len(pb)} entries, expected "
+                f"{ansatz.num_parameters}")
+        return [(None, None) if b is None else tuple(b) for b in pb]
+
     # -- main ------------------------------------------------------------
     def compute_eigenvalues(self, operator: SparsePauliOp,
                             aux_operators=None) -> SSVQEResult:
@@ -197,36 +245,67 @@ class SSVQE:
         weights = self._resolved_weights()
         init_states = self._resolved_initial_states(ansatz.num_qubits)
         circuits = [st.compose(ansatz) for st in init_states]
-        energies_fn, weighted_vag = _batched_evaluators(
-            ansatz, init_states, operator, weights)
+        energies_fn, weighted_vag, energies_batch_fn, variances_fn = \
+            _batched_evaluators(ansatz, init_states, operator, weights)
 
         x0 = self.initial_point
         if x0 is None:
             x0 = np.random.default_rng(0).uniform(
                 -np.pi, np.pi, ansatz.num_parameters)
         x0 = np.asarray(x0, dtype=np.float64)
-        if x0.shape[0] != ansatz.num_parameters:
+        nparams = ansatz.num_parameters
+        if x0.shape[0] != nparams:
             raise AlgorithmError(
                 f"initial point has {x0.shape[0]} entries, ansatz expects "
-                f"{ansatz.num_parameters}")
+                f"{nparams}")
+        bounds = self._validate_bounds(ansatz)
 
         evals = {"n": 0}
+        shots = getattr(self.estimator, "shots", None) \
+            if self.estimator is not None else None
+
+        def _metadata(theta):
+            if shots is None:
+                return {}
+            var = np.maximum(np.asarray(variances_fn(theta)), 0.0)
+            return {"shots": shots, "variance": var,
+                    "std_dev": np.sqrt(var / shots)}
 
         def fun(theta):
-            evals["n"] += 1
-            energies = np.asarray(energies_fn(theta))
-            if self.callback is not None:
-                self.callback(evals["n"], np.asarray(theta), energies, {})
-            return float(weights @ energies)
+            """Weighted energy sum; accepts one parameter set or the flat
+            concatenation of several (reference `max_evals_grouped`
+            semantics, ssvqe.py:352-365) — batched sets run as ONE vmapped
+            device call."""
+            theta = np.asarray(theta, dtype=np.float64)
+            sets = theta.reshape(-1, nparams)
+            if sets.shape[0] == 1:
+                energies = np.asarray(energies_fn(sets[0]))[None, :]
+            else:
+                energies = np.asarray(energies_batch_fn(sets))
+            values = energies @ weights
+            for pt, en in zip(sets, energies):
+                evals["n"] += 1
+                if self.callback is not None:
+                    self.callback(evals["n"], pt, en, _metadata(pt))
+            return float(values[0]) if values.shape[0] == 1 else values
 
-        def jac(theta):
-            return np.asarray(weighted_vag(theta)[1])
+        if self.gradient is not None:
+            if not callable(self.gradient):
+                raise AlgorithmError(
+                    "gradient must be a callable theta -> d(weighted sum)/d theta")
+
+            def jac(theta):
+                return np.asarray(self.gradient(np.asarray(theta)))
+        else:
+            def jac(theta):
+                return np.asarray(weighted_vag(theta)[1])
 
         t0 = time.perf_counter()
         if callable(self.optimizer) and not isinstance(self.optimizer, Optimizer):
-            opt_result = self.optimizer(fun=fun, x0=x0, jac=jac, bounds=None)
+            opt_result = self.optimizer(fun=fun, x0=x0, jac=jac, bounds=bounds)
         else:
-            opt_result = self.optimizer.minimize(fun, x0, jac=jac)
+            opt_result = self.optimizer.minimize(fun, x0, jac=jac,
+                                                 bounds=bounds)
         t1 = time.perf_counter()
 
         final_energies = np.asarray(energies_fn(opt_result.x))
@@ -240,7 +319,7 @@ class SSVQE:
         result.cost_function_evals = evals["n"]
         result.optimizer_time = t1 - t0
         result.optimizer_result = opt_result
-        if aux_operators is not None:
+        if aux_operators:  # empty list/dict -> None (reference semantics)
             result.aux_operators_evaluated = [
                 _eval_aux_ops(compile_circuit(c).state(opt_result.x),
                               aux_operators)

@@ -172,7 +172,7 @@ class VQD:
             eigenvalues.append(energy)
             prev_states.append(np.asarray(compiled.state(opt_result.x)))
 
-            if aux_operators is not None:
+            if aux_operators:  # empty list/dict -> None (reference semantics)
                 from .vqe import _eval_aux_ops
                 if result.aux_operators_evaluated is None:
                     result.aux_operators_evaluated = []

@@ -124,18 +124,21 @@ class VQE:
         result.optimizer_time = t1 - t0
         result.optimizer_result = opt_result
 
-        if aux_operators is not None:
+        if aux_operators:  # empty list/dict -> None (reference semantics)
             state = compile_circuit(ansatz).state(opt_result.x)
             result.aux_operators_evaluated = _eval_aux_ops(state, aux_operators)
         return result
 
 
 def _eval_aux_ops(state, aux_operators):
-    """Evaluate auxiliary operators (list or dict) on a statevector."""
+    """Evaluate auxiliary operators (list or dict) on a statevector.
+
+    Reference semantics (qiskit_algorithms estimate_observables, exercised
+    by /root/reference/tests/test_ssvqe.py:264-371): list entries that are
+    None evaluate to (0.0, dict) in place; dict entries that are None are
+    dropped; numeric zero operators evaluate to (0.0, dict)."""
     def ev(op):
-        if op is None:
-            return None
-        if isinstance(op, (int, float)) and op == 0:
+        if op is None or (isinstance(op, (int, float)) and op == 0):
             return (0.0, {})
         xs, zs, ys, coeffs = op.mask_arrays()
         val = expectation_pauli(state, xs, zs, ys, coeffs)

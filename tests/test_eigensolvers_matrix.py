@@ -1,0 +1,299 @@
+"""Behavioral test matrix for SSVQE and MCVQE (reference tier-1 depth).
+
+Port of the reference's per-solver behavioral suites
+(/root/reference/tests/test_ssvqe.py:101-492, test_mcvqe.py:96-489): the
+fixed 2-qubit H2 Pauli Hamiltonian built inline, callback histories with
+exact eval counts, multiple gradient optimizers at decimal=5, optimizer
+reuse/swap, aux-operator list/dict/None/zero handling, std-dev/shots
+metadata, gradient pass-through via a mock optimizer, and grouped
+(batched) parameter-set evaluation.
+"""
+
+import numpy as np
+import pytest
+
+from esoo_tpu.ops import SparsePauliOp
+from esoo_tpu.sim import (Estimator, QuantumCircuit, RealAmplitudes,
+                          TwoLocal)
+from esoo_tpu.solvers import (CG, L_BFGS_B, MCVQE, SLSQP, SSVQE,
+                              AlgorithmError, COBYLA, GradientDescent,
+                              OptimizerResult)
+
+# the reference's inline 2-qubit H2 Hamiltonian (test_ssvqe.py:65-75)
+H2_PAULI = SparsePauliOp.from_list([
+    ("II", -1.052373245772859),
+    ("IZ", 0.39793742484318045),
+    ("ZI", -0.39793742484318045),
+    ("ZZ", -0.01128010425623538),
+    ("XX", 0.18093119978423156),
+])
+H2_ENERGIES = [-1.85727503, -1.24458455]
+
+AUX_OP1 = SparsePauliOp.from_list([("II", 2.0)])
+AUX_OP2 = SparsePauliOp.from_list(
+    [("II", 0.5), ("ZZ", 0.5), ("YY", 0.5), ("XX", -0.5)])
+
+
+def ryrz():
+    return TwoLocal(2, ["ry", "rz"], "cz", reps=1)
+
+
+def ry():
+    return TwoLocal(2, "ry", "cz")
+
+
+def make_solver(cls, **kw):
+    kw.setdefault("estimator", Estimator())
+    kw.setdefault("k", 2)
+    kw.setdefault("optimizer", SLSQP())
+    kw.setdefault("initial_point",
+                  np.linspace(0.1, 1.0, kw["ansatz"].num_parameters))
+    return cls(**kw)
+
+
+def _mock_optimizer(fun, x0, jac=None, bounds=None, inputs=None):
+    """Records the arguments it was given and returns x0 (reference
+    test_ssvqe.py:49-58)."""
+    inputs.update({"fun": fun, "x0": x0, "jac": jac, "bounds": bounds})
+    return OptimizerResult(x=np.asarray(x0), fun=float(fun(x0)), nfev=1)
+
+
+@pytest.mark.parametrize("cls", [SSVQE, MCVQE])
+class TestSolverMatrix:
+    def test_basic_operator(self, cls):
+        solver = make_solver(cls, ansatz=ryrz(), optimizer=COBYLA(),
+                             initial_point=None)
+        result = solver.compute_eigenvalues(H2_PAULI)
+        np.testing.assert_array_almost_equal(
+            np.real(result.eigenvalues), H2_ENERGIES, decimal=1)
+        assert len(result.optimal_point) == 8
+        assert result.cost_function_evals is not None
+        assert result.optimizer_time is not None
+
+    def test_mismatching_num_qubits(self, cls):
+        qc = QuantumCircuit(1)
+        qc.ry(qc.parameter(), 0)
+        solver = make_solver(cls, k=1, ansatz=qc, initial_point=[0.0])
+        with pytest.raises(AlgorithmError):
+            solver.compute_eigenvalues(H2_PAULI)
+
+    def test_missing_ansatz_params(self, cls):
+        solver = make_solver(cls, ansatz=QuantumCircuit(2),
+                             initial_point=None)
+        with pytest.raises(AlgorithmError):
+            solver.compute_eigenvalues(H2_PAULI)
+
+    def test_wrong_initial_point_size_raises(self, cls):
+        solver = make_solver(cls, ansatz=ry(), initial_point=[0.1, 0.2])
+        with pytest.raises(AlgorithmError):
+            solver.compute_eigenvalues(H2_PAULI)
+
+    def test_callback_history(self, cls):
+        history = {"count": [], "params": [], "energies": [], "meta": []}
+
+        def cb(count, params, energies, metadata):
+            history["count"].append(count)
+            history["params"].append(params)
+            history["energies"].append(energies)
+            history["meta"].append(metadata)
+
+        solver = make_solver(cls, ansatz=ry(), optimizer=COBYLA(maxiter=3),
+                             callback=cb)
+        solver.compute_eigenvalues(H2_PAULI)
+        n = len(history["count"])
+        assert n >= 3
+        assert history["count"] == list(range(1, n + 1))  # exact eval counts
+        for params in history["params"]:
+            assert params.shape == (ry().num_parameters,)
+        for en in history["energies"]:
+            assert np.asarray(en).shape == (2,)
+            assert np.all(np.isfinite(en))
+        assert all(isinstance(m, dict) for m in history["meta"])
+
+    def test_optimizer_reuse_and_swap(self, cls):
+        solver = make_solver(cls, ansatz=RealAmplitudes(2, reps=6),
+                             optimizer=SLSQP(), initial_point=None)
+
+        def run_check():
+            result = solver.compute_eigenvalues(H2_PAULI)
+            np.testing.assert_array_almost_equal(
+                np.real(result.eigenvalues), H2_ENERGIES, decimal=3)
+
+        run_check()
+        run_check()                       # optimizer re-use
+        solver.optimizer = L_BFGS_B()     # optimizer replace
+        run_check()
+
+    @pytest.mark.parametrize("optimizer_cls", [CG, L_BFGS_B, SLSQP])
+    def test_gradient_optimizers_decimal5(self, cls, optimizer_cls):
+        solver = make_solver(cls, ansatz=ry(), optimizer=optimizer_cls(),
+                             weight_vector=[2, 1])
+        result = solver.compute_eigenvalues(H2_PAULI)
+        np.testing.assert_array_almost_equal(
+            np.real(result.eigenvalues), H2_ENERGIES, decimal=5)
+
+    def test_gradient_descent_run(self, cls):
+        solver = make_solver(
+            cls, ansatz=ry(),
+            optimizer=GradientDescent(maxiter=300, learning_rate=0.1))
+        result = solver.compute_eigenvalues(H2_PAULI)
+        np.testing.assert_array_almost_equal(
+            np.real(result.eigenvalues), H2_ENERGIES, decimal=4)
+
+    def test_gradient_passed_to_optimizer(self, cls):
+        """A user-supplied gradient must reach the optimizer as jac
+        (reference test_ssvqe.py:450-463 with the mock optimizer)."""
+        inputs = {}
+        marker = []
+
+        def my_gradient(theta):
+            marker.append(1)
+            return np.zeros_like(np.asarray(theta))
+
+        import functools
+        solver = make_solver(
+            cls, ansatz=ry(),
+            optimizer=functools.partial(_mock_optimizer, inputs=inputs),
+            gradient=my_gradient)
+        solver.compute_eigenvalues(H2_PAULI)
+        assert inputs["jac"] is not None
+        np.testing.assert_array_equal(
+            inputs["jac"](np.zeros(ry().num_parameters)),
+            np.zeros(ry().num_parameters))
+        assert marker  # the user's gradient callable was actually invoked
+
+    def test_bounds_passed_to_optimizer(self, cls):
+        """Ansatz-derived parameter bounds reach the optimizer
+        (reference _validate_bounds, ssvqe.py:596-640)."""
+        inputs = {}
+        import functools
+        ansatz = ry()
+        solver = make_solver(
+            cls, ansatz=ansatz,
+            optimizer=functools.partial(_mock_optimizer, inputs=inputs))
+        solver.compute_eigenvalues(H2_PAULI)
+        assert inputs["bounds"] is not None
+        assert len(inputs["bounds"]) == ansatz.num_parameters
+        lo, hi = inputs["bounds"][0]
+        assert lo < 0 < hi
+
+    def test_max_evals_grouped_batch(self, cls):
+        """The objective accepts a flat concatenation of parameter sets and
+        returns one value per set from a single batched evaluation
+        (reference ssvqe.py:352-365)."""
+        captured = {}
+
+        def grouped_optimizer(fun, x0, jac=None, bounds=None):
+            batch = np.concatenate([x0, x0 + 0.1, x0 - 0.1])
+            vals = fun(batch)
+            captured["vals"] = np.asarray(vals)
+            captured["singles"] = [fun(x0), fun(x0 + 0.1), fun(x0 - 0.1)]
+            return OptimizerResult(x=np.asarray(x0),
+                                   fun=float(captured["singles"][0]),
+                                   nfev=6)
+
+        solver = make_solver(cls, ansatz=ry(),
+                             optimizer=grouped_optimizer,
+                             max_evals_grouped=3)
+        solver.compute_eigenvalues(H2_PAULI)
+        assert captured["vals"].shape == (3,)
+        np.testing.assert_allclose(captured["vals"], captured["singles"],
+                                   atol=1e-12)
+
+    def test_max_evals_grouped_slsqp(self, cls):
+        solver = make_solver(cls, ansatz=RealAmplitudes(2, reps=6),
+                             optimizer=SLSQP(), max_evals_grouped=5,
+                             initial_point=None)
+        result = solver.compute_eigenvalues(H2_PAULI)
+        np.testing.assert_array_almost_equal(
+            np.real(result.eigenvalues), H2_ENERGIES, decimal=5)
+
+    def test_aux_operators_list(self, cls):
+        solver = make_solver(cls, ansatz=ry())
+        # empty list -> None
+        result = solver.compute_eigenvalues(H2_PAULI, aux_operators=[])
+        np.testing.assert_array_almost_equal(
+            np.real(result.eigenvalues), H2_ENERGIES, decimal=2)
+        assert result.aux_operators_evaluated is None
+
+        result = solver.compute_eigenvalues(
+            H2_PAULI, aux_operators=[AUX_OP1, AUX_OP2])
+        per_state = result.aux_operators_evaluated
+        assert len(per_state) == 2           # one entry per state
+        assert len(per_state[0]) == 2
+        np.testing.assert_allclose(per_state[0][0][0], 2.0, atol=1e-2)
+        np.testing.assert_allclose(per_state[0][1][0], 0.0, atol=2e-1)
+        assert isinstance(per_state[0][0][1], dict)
+
+        # None and zero entries evaluate to (0.0, dict) in place
+        result = solver.compute_eigenvalues(
+            H2_PAULI, aux_operators=[AUX_OP1, AUX_OP2, None, 0])
+        per_state = result.aux_operators_evaluated
+        assert len(per_state[0]) == 4
+        assert per_state[0][2][0] == 0.0
+        assert per_state[0][3][0] == 0.0
+        assert isinstance(per_state[0][2][1], dict)
+        assert isinstance(per_state[0][3][1], dict)
+
+    def test_aux_operators_dict(self, cls):
+        solver = make_solver(cls, ansatz=ry())
+        result = solver.compute_eigenvalues(H2_PAULI, aux_operators={})
+        assert result.aux_operators_evaluated is None
+
+        aux = {"aux_op1": AUX_OP1, "aux_op2": AUX_OP2,
+               "None_operator": None, "zero_operator": 0}
+        result = solver.compute_eigenvalues(H2_PAULI, aux_operators=aux)
+        per_state = result.aux_operators_evaluated
+        assert len(per_state) == 2
+        assert len(per_state[0]) == 3        # None entry dropped
+        np.testing.assert_allclose(per_state[0]["aux_op1"][0], 2.0,
+                                   atol=1e-6)
+        assert per_state[0]["zero_operator"][0] == 0.0
+        assert "None_operator" not in per_state[0]
+        assert isinstance(per_state[0]["zero_operator"][1], dict)
+
+    def test_shots_std_dev_metadata(self, cls):
+        """With a shots-limited estimator the callback metadata carries
+        shots / variance / std_dev (reference test_ssvqe.py:375-426)."""
+        meta = []
+
+        def cb(count, params, energies, metadata):
+            meta.append(metadata)
+
+        solver = make_solver(cls, ansatz=ry(),
+                             estimator=Estimator(shots=2048, seed=50),
+                             optimizer=COBYLA(maxiter=2), callback=cb)
+        solver.compute_eigenvalues(H2_PAULI)
+        assert meta
+        for m in meta:
+            assert m["shots"] == 2048
+            assert np.asarray(m["variance"]).shape == (2,)
+            assert np.all(np.asarray(m["variance"]) >= 0.0)
+            assert np.asarray(m["std_dev"]).shape == (2,)
+
+
+class TestSSVQESpecific:
+    def test_nonpositive_weights_raise(self):
+        solver = make_solver(SSVQE, ansatz=ry(), weight_vector=[1, -1])
+        with pytest.raises(AlgorithmError):
+            solver.compute_eigenvalues(H2_PAULI)
+
+    def test_weighted_ordering(self):
+        """Larger weight pins the lower state: eigenvalues come out
+        ascending regardless of initial-state order."""
+        solver = make_solver(SSVQE, ansatz=ry(), weight_vector=[5, 1],
+                             optimizer=L_BFGS_B())
+        result = solver.compute_eigenvalues(H2_PAULI)
+        assert result.eigenvalues[0] < result.eigenvalues[1]
+
+
+class TestMCVQESpecific:
+    def test_contracted_hamiltonian_shape_and_symmetry(self):
+        solver = make_solver(MCVQE, ansatz=ry(), optimizer=L_BFGS_B())
+        result = solver.compute_eigenvalues(H2_PAULI)
+        Hc = result.contracted_hamiltonian
+        assert Hc.shape == (2, 2)
+        np.testing.assert_allclose(Hc, Hc.T, atol=1e-12)
+        np.testing.assert_array_almost_equal(
+            np.sort(np.linalg.eigvalsh(Hc)), np.real(result.eigenvalues),
+            decimal=10)
