@@ -96,6 +96,10 @@ class OptOrbEigensolver(BaseOptOrbSolver):
             elif "optimal_point" in ck:
                 for s in self._excited_states_solver_list:
                     s.initial_point = ck["optimal_point"]
+            rng_state = (ck.get("extra") or {}).get("rng_state")
+            if rng_state is not None:
+                # resume replays the same perturbation noise stream
+                self._rng.bit_generator.state = rng_state
 
     def _check_weight_vector(self, weight_vector) -> np.ndarray:
         """ref opt_orb_eigensolver.py:99-108."""
@@ -194,7 +198,8 @@ class OptOrbEigensolver(BaseOptOrbSolver):
                     partial_unitary=self._current_partial_unitary,
                     energy_convergence_list=self._energy_convergence_list,
                     optimal_point=getattr(result, "optimal_point", None),
-                    optimal_points=pts)
+                    optimal_points=pts,
+                    extra={"rng_state": self._rng.bit_generator.state})
 
             if self.stopping_condition(iteration):
                 break

@@ -79,6 +79,10 @@ class OptOrbMinimumEigensolver(BaseOptOrbSolver):
             if "optimal_point" in ck:
                 for s in self._ground_state_solver_list:
                     s.initial_point = ck["optimal_point"]
+            rng_state = (ck.get("extra") or {}).get("rng_state")
+            if rng_state is not None:
+                # resume replays the same perturbation noise stream
+                self._rng.bit_generator.state = rng_state
 
     @property
     def ground_state_solver_list(self):
@@ -142,7 +146,8 @@ class OptOrbMinimumEigensolver(BaseOptOrbSolver):
                     iteration=iteration,
                     partial_unitary=self._current_partial_unitary,
                     energy_convergence_list=self._energy_convergence_list,
-                    optimal_point=result.optimal_point)
+                    optimal_point=result.optimal_point,
+                    extra={"rng_state": self._rng.bit_generator.state})
 
             if self.stopping_condition(iteration):
                 break
@@ -176,5 +181,20 @@ class OptOrbMinimumEigensolver(BaseOptOrbSolver):
                 time.perf_counter() - t0)
             iteration += 1
             self.parameter_update_rule(result, iteration)
+
+            if self.checkpoint_dir is not None:
+                # overwrite the iteration's snapshot with the POST-rotation
+                # state (rotated U, warm-started next initial point, RNG
+                # stream position) so `resume_from=` replays the
+                # uninterrupted run exactly
+                save_checkpoint(
+                    os.path.join(self.checkpoint_dir,
+                                 f"optorb_iter_{iteration - 1:04d}.npz"),
+                    iteration=iteration - 1,
+                    partial_unitary=self._current_partial_unitary,
+                    energy_convergence_list=self._energy_convergence_list,
+                    optimal_point=self._ground_state_solver_list[
+                        iteration].initial_point,
+                    extra={"rng_state": self._rng.bit_generator.state})
 
         return optorb_result

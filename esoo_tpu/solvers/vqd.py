@@ -48,6 +48,85 @@ class VQDResult:
         self.aux_operators_evaluated: Optional[List] = None
 
 
+def _deflated_cost_vag(compiled, operator, prev_states, betas):
+    """Jitted value_and_grad of the FULLY fused deflated cost
+
+        C(theta) = <psi(theta)|H|psi(theta)>
+                   + sum_j beta_j |<psi(theta)|psi_j>|^2
+
+    — energy, penalties, and the gradient of their sum in one XLA
+    executable (reference semantics: vqd.py:353-426 recombines estimator
+    and fidelity primitive results per evaluation on the host).
+    """
+    state_fn = compiled.state_fn
+
+    if getattr(operator, "fermionic", None) is not None:
+        from ..sim.rdm import rdm_energy
+        h, g = operator.fermionic
+        h_j, g_j = jnp.asarray(h), jnp.asarray(g)
+
+        def energy_of(s):
+            return rdm_energy(s, h_j, g_j)
+    else:
+        xs, zs, ys, coeffs = operator.mask_arrays()
+        if compiled.is_real:
+            keep = ys % 2 == 0
+            w_j = jnp.asarray(
+                np.real(coeffs[keep] * np.power(1j, ys[keep] % 4)))
+            xs_j, zs_j = jnp.asarray(xs[keep]), jnp.asarray(zs[keep])
+
+            def energy_of(s):
+                idx = jnp.arange(s.shape[0])
+
+                def one(x, z):
+                    perm = idx ^ x
+                    par = jax.lax.population_count(perm & z) & 1
+                    sign = (1 - 2 * par).astype(s.dtype)
+                    return jnp.sum(s * sign * s[perm])
+
+                return jnp.sum(w_j * jax.vmap(one)(xs_j, zs_j))
+        else:
+            c_j = jnp.asarray(coeffs * np.power(1j, ys % 4))
+            xs_j, zs_j = jnp.asarray(xs), jnp.asarray(zs)
+
+            def energy_of(s):
+                idx = jnp.arange(s.shape[0])
+
+                def one(x, z):
+                    perm = idx ^ x
+                    par = jax.lax.population_count(perm & z) & 1
+                    sign = (1 - 2 * par).astype(s.dtype)
+                    return jnp.sum(jnp.conj(s) * sign * s[perm])
+
+                return jnp.real(jnp.sum(c_j * jax.vmap(one)(xs_j, zs_j)))
+
+    if prev_states:
+        all_real = all(np.allclose(np.imag(s), 0.0) for s in prev_states)
+        if all_real:
+            prev_mat = jnp.asarray(np.real(np.stack(prev_states)))
+        else:
+            prev_mat = jnp.asarray(np.stack(prev_states),
+                                   dtype=jnp.complex128)
+        b_j = jnp.asarray(np.asarray(betas, dtype=np.float64))
+
+        def cost(theta):
+            s = state_fn(theta)
+            if jnp.issubdtype(s.dtype, jnp.floating) and \
+                    jnp.issubdtype(prev_mat.dtype, jnp.floating):
+                ov = prev_mat @ s
+                pen = jnp.sum(b_j * ov * ov)
+            else:
+                ov = jnp.conj(prev_mat.astype(jnp.complex128)) @ \
+                    s.astype(jnp.complex128)
+                pen = jnp.sum(b_j * jnp.abs(ov) ** 2)
+            return energy_of(s) + pen
+    else:
+        def cost(theta):
+            return energy_of(state_fn(theta))
+
+    return jax.jit(jax.value_and_grad(cost))
+
+
 class VQD:
     def __init__(self,
                  estimator: Optional[Estimator] = None,
@@ -114,30 +193,14 @@ class VQD:
         for step in range(k):
             ansatz = ansatze[step]
             compiled = compile_circuit(ansatz)
-            e_fn, e_vag = make_evaluators(ansatz, operator)
-            state_fn = compiled.state_fn
+            e_fn, _ = make_evaluators(ansatz, operator)
 
-            if prev_states:
-                prev = [jnp.asarray(s) for s in prev_states]
-                b = betas[: len(prev)]
-
-                def penalty(theta):
-                    s = state_fn(theta)
-                    total = 0.0
-                    for bj, sj in zip(b, prev):
-                        if jnp.issubdtype(s.dtype, jnp.floating) and \
-                           jnp.issubdtype(sj.dtype, jnp.floating):
-                            ov = jnp.dot(sj, s)
-                            total = total + bj * ov * ov
-                        else:
-                            ov = jnp.vdot(sj.astype(jnp.complex128),
-                                          s.astype(jnp.complex128))
-                            total = total + bj * jnp.real(ov * jnp.conj(ov))
-                    return total
-
-                pen_vag = jax.jit(jax.value_and_grad(penalty))
-            else:
-                pen_vag = None
+            # ONE jitted deflated cost: energy + beta-weighted overlap
+            # penalties evaluated and differentiated in a single device
+            # dispatch per optimizer iterate (the round-1 path recombined
+            # two jitted calls on the host per iterate)
+            cost_vag = _deflated_cost_vag(
+                compiled, operator, prev_states, betas[: len(prev_states)])
 
             evals = {"n": 0}
 
@@ -149,12 +212,8 @@ class VQD:
                 return v
 
             def vag(theta):
-                v, g = e_vag(theta)
-                if pen_vag is not None:
-                    pv, pg = pen_vag(jnp.asarray(theta))
-                    v = v + float(pv)
-                    g = g + np.asarray(pg)
-                return v, g
+                v, g = cost_vag(jnp.asarray(theta, dtype=jnp.float64))
+                return float(v), np.asarray(g)
 
             def jac(theta):
                 return vag(theta)[1]
