@@ -1,9 +1,9 @@
 from .base import BaseOptOrbResult, BaseOptOrbSolver
 from .checkpoint import load_checkpoint, save_checkpoint
 from .eigensolver import OptOrbEigensolver, OptOrbEigensolverResult
-from .fused import (FusedOptOrbEigensolverResult, FusedOptOrbMCVQE,
-                    FusedOptOrbResult, FusedOptOrbSSVQE, FusedOptOrbVQD,
-                    FusedOptOrbVQE)
+from .fused import (FusedOptOrbAdaptVQE, FusedOptOrbEigensolverResult,
+                    FusedOptOrbMCVQE, FusedOptOrbResult, FusedOptOrbSSVQE,
+                    FusedOptOrbVQD, FusedOptOrbVQE)
 from .kernels import (
     expand_spin,
     rotate_one_body,
@@ -27,7 +27,7 @@ __all__ = [
     "BaseOptOrbResult", "BaseOptOrbSolver",
     "load_checkpoint", "save_checkpoint",
     "OptOrbEigensolver", "OptOrbEigensolverResult",
-    "FusedOptOrbResult", "FusedOptOrbVQE",
+    "FusedOptOrbResult", "FusedOptOrbVQE", "FusedOptOrbAdaptVQE",
     "FusedOptOrbEigensolverResult", "FusedOptOrbMCVQE", "FusedOptOrbSSVQE",
     "FusedOptOrbVQD",
     "OptOrbMinimumEigensolver", "OptOrbMinimumEigensolverResult",

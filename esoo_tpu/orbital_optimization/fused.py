@@ -661,6 +661,131 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
         return result
 
 
+@partial(jax.jit, static_argnames=(
+    "state_fn", "n_active", "R", "P", "outer_maxiter", "inner_maxiter",
+    "vqe_maxiter"))
+def _fused_optorb_adapt_vqe(state_fn: Callable,
+                            n_active: int,
+                            R: int,                 # growth slots
+                            P: int,                 # pool size
+                            U0: jnp.ndarray,
+                            h_sp: jnp.ndarray,
+                            g_sp: jnp.ndarray,
+                            grad_tol: jnp.ndarray,
+                            eig_tol: jnp.ndarray,
+                            outer_tol: jnp.ndarray,
+                            inner_tol: jnp.ndarray,
+                            bb_stepsize: jnp.ndarray,
+                            decay: jnp.ndarray,
+                            outer_maxiter: int = 20,
+                            inner_maxiter: int = 10000,
+                            vqe_maxiter: int = 200):
+    """Fused ADAPT-VQE OptOrb loop: (E, theta, mask, U, n_outer, trace).
+
+    ADAPT growth runs entirely on device as masking over a fixed padded
+    circuit of R slots x P pool groups (`theta` has R*P entries, unselected
+    angles pinned to zero): per growth step the pool is screened by one
+    backward pass (dE/dtheta of slot r at zero IS the commutator gradient),
+    the argmax operator's mask bit is set, and a BFGS solve optimizes the
+    unmasked angles.  Growth terminates on gradient threshold, immediate
+    repeat selection (cyclicity), or energy-improvement threshold — all as
+    lax control flow, so the whole OptOrb run stays one dispatch.
+
+    The ansatz re-grows from scratch every outer iteration (reference
+    OptOrbAdaptVQE.parameter_update_rule is a no-op, opt_orb_adapt_vqe.py:86-89).
+    """
+    dtype = h_sp.dtype
+    N = 2 * n_active
+    gtol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-5
+
+    def vqe_energy(theta, h_act, g_act):
+        h_so, g_so = expand_spin_tensors(h_act, g_act)
+        return rdm_energy(state_fn(theta), h_so, g_so)
+
+    e_vag = jax.value_and_grad(vqe_energy)
+
+    def run_adapt(h_act, g_act):
+        def masked_cost(theta, mask):
+            return vqe_energy(theta * mask, h_act, g_act)
+
+        def grow_cond(c):
+            r, theta, mask, prev_sel, E_g, done_g = c
+            return jnp.logical_and(r < R, jnp.logical_not(done_g))
+
+        def grow_body(c):
+            r, theta, mask, prev_sel, E_g, done_g = c
+            # screening: raw gradient at theta (zeros in unselected slots)
+            _, grad = e_vag(theta, h_act, g_act)
+            pg = jnp.abs(jax.lax.dynamic_slice(grad, (r * P,), (P,)))
+            best = jnp.argmax(pg)
+            max_g = pg[best]
+            stop_grad = max_g < grad_tol
+            cyclic = jnp.logical_and(r > 0, best == prev_sel)
+            grow = jnp.logical_not(jnp.logical_or(stop_grad, cyclic))
+
+            mask_new = jnp.where(grow,
+                                 mask.at[r * P + best].set(
+                                     jnp.asarray(1.0, dtype)),
+                                 mask)
+            res = jax_minimize(masked_cost, theta, args=(mask_new,),
+                               method="BFGS",
+                               options={"maxiter": vqe_maxiter,
+                                        "gtol": gtol})
+            theta_new = jnp.where(grow, res.x * mask_new, theta)
+            E_new = jnp.where(grow, res.fun, E_g)
+            small_gain = jnp.logical_and(
+                r > 0, jnp.abs(E_new - E_g) < eig_tol)
+            done_new = jnp.logical_or(
+                jnp.logical_or(stop_grad, cyclic),
+                jnp.logical_and(grow, small_gain))
+            return (r + 1, theta_new, mask_new, best, E_new, done_new)
+
+        theta0 = jnp.zeros((R * P,), dtype=dtype)
+        mask0 = jnp.zeros((R * P,), dtype=dtype)
+        E0 = vqe_energy(theta0, h_act, g_act)
+        c = (jnp.asarray(0), theta0, mask0, jnp.asarray(-1), E0,
+             jnp.asarray(False))
+        _, theta, mask, _, E, _ = jax.lax.while_loop(grow_cond, grow_body, c)
+        return theta, mask, E
+
+    vag = _ORBITAL_VAG
+
+    def outer_cond(c):
+        return jnp.logical_not(c[-1])
+
+    def outer_body(c):
+        it, theta, mask, U, E_prev, _, trace, done = c
+        h_act = rotate_one_body(h_sp, U)
+        g_act = rotate_two_body(g_sp, U)
+        theta, mask, E = run_adapt(h_act, g_act)
+        trace = trace.at[it].set(E)
+
+        state = state_fn(theta * mask)
+        gamma = one_rdm(state, N)
+        Gamma = two_rdm(state, N)
+        gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
+        U_new = _inner_bb(vag, U, (gamma_s, Gamma_s, h_sp, g_sp),
+                          bb_stepsize, inner_tol, decay, inner_maxiter)
+        converged = jnp.abs(E - E_prev) < outer_tol
+        hit_max = it + 1 >= outer_maxiter
+        U_out = jnp.where(converged, U, U_new)
+        return (it + 1, theta, mask, U_out, E, E, trace,
+                jnp.logical_or(converged, hit_max))
+
+    trace0 = jnp.full((outer_maxiter,), jnp.nan, dtype=dtype)
+    c0 = (jnp.asarray(0), jnp.zeros((R * P,), dtype=dtype),
+          jnp.zeros((R * P,), dtype=dtype), orth(U0),
+          jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
+          trace0, jnp.asarray(False))
+    it, theta, mask, U, _, E, trace, _ = jax.lax.while_loop(
+        outer_cond, outer_body, c0)
+    # re-grow at the final U so (E, theta, U) are mutually consistent
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    theta, mask, E = run_adapt(h_act, g_act)
+    return E, theta * mask, mask, U, it, trace
+
+
 class FusedOptOrbVQE:
     """One-dispatch OptOrbVQE (see module docstring).
 
@@ -770,3 +895,73 @@ class FusedOptOrbVQE:
             outer_iterations=it,
             optimal_circuit=self.ansatz,
         )
+
+
+class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
+    """One-dispatch ADAPT-VQE OptOrb loop.
+
+    The ansatz template must be built by sim.ansatz.UCC/UCCSD (carrying its
+    excitation pool); growth happens on device as masking over a padded
+    R-slot x P-pool circuit (see _fused_optorb_adapt_vqe).  Completes the
+    FusedOptOrb* family (round-1 verdict item 7).
+
+    Args beyond FusedOptOrbVQE:
+        gradient_threshold / eigenvalue_threshold: ADAPT termination.
+        max_adapt_iterations: growth-slot count R (default: pool size).
+    """
+
+    def __init__(self, num_spin_orbitals: int, ansatz: QuantumCircuit,
+                 gradient_threshold: float = 1e-5,
+                 eigenvalue_threshold: float = 1e-5,
+                 max_adapt_iterations: Optional[int] = None,
+                 **kwargs):
+        pool = getattr(ansatz, "_ucc_pool", None)
+        if pool is None:
+            raise ValueError(
+                "FusedOptOrbAdaptVQE requires an ansatz built by "
+                "sim.ansatz.UCC/UCCSD (carrying its excitation pool)")
+        initial = getattr(ansatz, "_ucc_initial_state", None)
+        self._P = len(pool)
+        self._R = min(max_adapt_iterations or self._P, self._P)
+        padded = (initial.copy() if initial is not None
+                  else QuantumCircuit(num_spin_orbitals))
+        if padded.num_parameters:
+            raise ValueError(
+                "AdaptVQE initial state must be parameter-free")
+        from ..solvers.adapt_vqe import _append_group
+        for _ in range(self._R):
+            for group in pool:
+                _append_group(padded, group)
+        super().__init__(num_spin_orbitals, padded, **kwargs)
+        self.gradient_threshold = gradient_threshold
+        self.eigenvalue_threshold = eigenvalue_threshold
+        self._template = ansatz
+
+    def _run(self, dtype) -> FusedOptOrbResult:
+        E, theta, mask, U, it, trace = _fused_optorb_adapt_vqe(
+            self._compiled.state_fn,
+            self.num_spin_orbitals // 2,
+            self._R, self._P,
+            self._U0, self._h_sp, self._g_sp,
+            jnp.asarray(self.gradient_threshold, dtype),
+            jnp.asarray(self.eigenvalue_threshold, dtype),
+            jnp.asarray(self.stopping_tolerance, dtype),
+            jnp.asarray(self.inner_stopping_tolerance, dtype),
+            jnp.asarray(self.initial_BBstepsize, dtype),
+            jnp.asarray(self.decay_factor, dtype),
+            outer_maxiter=self.maxiter,
+            inner_maxiter=self.inner_maxiter,
+            vqe_maxiter=self.vqe_maxiter,
+        )
+        it = int(it)
+        trace = np.asarray(trace)[:it]
+        result = FusedOptOrbResult(
+            eigenvalue=float(E),
+            optimal_point=np.asarray(theta),
+            optimal_partial_unitary=np.asarray(U),
+            energy_convergence_list=[float(e) for e in trace],
+            outer_iterations=it,
+            optimal_circuit=self.ansatz,
+        )
+        result.selection_mask = np.asarray(mask)
+        return result

@@ -143,11 +143,17 @@ class AdaptVQE:
             if pool is not None:
                 P = len(pool)
                 R = self.max_iterations or P
-                # the padded circuit simulates R*P rotation blocks per
-                # energy evaluation; past a few hundred blocks the
-                # recompile-free win is swamped by per-evaluation cost,
-                # so fall back to grow-and-recompile
-                if R * P <= 256:
+                # Measured (CPU, H-chain Hamiltonians): at R*P = 676 the
+                # padded circuit costs ~34x more per evaluation than a
+                # half-grown circuit (29.5 ms vs 0.86 ms) while a growth
+                # recompile costs ~1 s, so grow-and-recompile wins beyond a
+                # few hundred blocks ON CPU.  Over a remote-TPU tunnel the
+                # economics invert: every growth step's recompile is a
+                # minutes-scale server-side compile, so the single-compile
+                # padded path wins until far larger R*P.
+                import jax as _jax
+                local = _jax.default_backend() == "cpu"
+                if R * P <= (256 if local else 4096):
                     return self._compute_static(operator, aux_operators)
         return self._compute_growing(operator, aux_operators)
 

@@ -133,3 +133,21 @@ def test_fused_mesh_divisibility_error(h2_631g):
         # m=4 spatial not divisible by 3 devices
         FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz, problem=h2_631g,
                        mesh=make_orbital_mesh(3))
+
+
+def test_fused_adapt_vqe_matches_reference(h2_631g):
+    """FusedOptOrbAdaptVQE reproduces the reference OptOrbAdaptVQE energy
+    (-1.866104213792463 at decimal 3, tests/test_optorbadaptvqe.py:64) and
+    agrees with the class-based AdaptVQE OptOrb path."""
+    from esoo_tpu.orbital_optimization import FusedOptOrbAdaptVQE
+
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    r = FusedOptOrbAdaptVQE(num_spin_orbitals=4, ansatz=ansatz,
+                            problem=h2_631g,
+                            maxiter=20).compute_minimum_energy()
+    np.testing.assert_array_almost_equal(r.eigenvalue, -1.866104213792463,
+                                         decimal=3)
+    # H2 singlet ground state needs exactly the double excitation
+    assert int(r.selection_mask.sum()) >= 1
+    U = r.optimal_partial_unitary
+    np.testing.assert_allclose(U.T @ U, np.eye(2), atol=1e-6)
