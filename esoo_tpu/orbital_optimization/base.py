@@ -62,6 +62,16 @@ def _so_objective(U, gamma, Gamma, h_so, g_so):
     return rotated_energy_so(U, gamma, Gamma, h_so, g_so)
 
 
+def _spatial_objective_complex(U, gamma_s, Gamma_s, h_sp, g_sp):
+    from .kernels import rotated_energy_spatial_complex
+    return rotated_energy_spatial_complex(U, gamma_s, Gamma_s, h_sp, g_sp)
+
+
+def _so_objective_complex(U, gamma, Gamma, h_so, g_so):
+    from .kernels import rotated_energy_so_complex
+    return rotated_energy_so_complex(U, gamma, Gamma, h_so, g_so)
+
+
 _hamiltonian_builder_cache: Dict[int, ActiveSpaceHamiltonianBuilder] = {}
 
 
@@ -293,22 +303,52 @@ class BaseOptOrbSolver:
 
     @staticmethod
     def _combined_rdms(gammas, Gammas,
-                       weights: Optional[Sequence[float]] = None):
+                       weights: Optional[Sequence[float]] = None,
+                       keep_complex: bool = False):
         """Weight-combine multi-state RDMs.  The weighted sum
         sum_i w_i E(U; RDM_i) is linear in the RDMs, so it collapses to ONE
         energy evaluation with combined RDMs — k-fold cheaper than the
-        reference's per-state loop (opt_orb_eigensolver.py:149-169)."""
+        reference's per-state loop (opt_orb_eigensolver.py:149-169).
+
+        keep_complex=True preserves complex128 RDMs (reference parity:
+        base_opt_orb_solver.py:575 casts to complex128 whenever
+        wavefuntion_real is False)."""
         if weights is None:
             weights = [1.0] * len(gammas)
         w = np.asarray(weights, dtype=np.float64)
+        if keep_complex and any(np.iscomplexobj(gi) for gi in gammas):
+            gamma = sum(wi * np.asarray(gi, dtype=np.complex128)
+                        for wi, gi in zip(w, gammas))
+            Gamma = sum(wi * np.asarray(Gi, dtype=np.complex128)
+                        for wi, Gi in zip(w, Gammas))
+            return gamma, Gamma
         gamma = sum(wi * np.real(np.asarray(gi)) for wi, gi in zip(w, gammas))
         Gamma = sum(wi * np.real(np.asarray(Gi)) for wi, Gi in zip(w, Gammas))
         return gamma, Gamma
 
     def _inner_objective_and_data(self, gammas, Gammas,
                                   weights: Optional[Sequence[float]] = None):
-        """(objective_fn, data tuple) for the Stiefel optimizer."""
-        gamma, Gamma = self._combined_rdms(gammas, Gammas, weights)
+        """(objective_fn, data tuple) for the Stiefel optimizer.
+
+        Complex-RDM path (reference base_opt_orb_solver.py:575-580): when
+        `wavefuntion_real` is False and the measured RDMs are complex, the
+        complex128 tensors are kept through the inner objective, whose
+        value is the real part of the physically correct E1 + E2 (the
+        reference branch's two-body sign quirk is deliberately not
+        reproduced; see kernels.rotated_energy_spatial_complex)."""
+        gamma, Gamma = self._combined_rdms(
+            gammas, Gammas, weights,
+            keep_complex=not self.wavefunction_real)
+        if np.iscomplexobj(gamma):
+            from .kernels import spin_reduce_rdms_complex
+            if self._spatial_path:
+                gamma_s, Gamma_s = spin_reduce_rdms_complex(
+                    jnp.asarray(gamma), jnp.asarray(Gamma))
+                return _spatial_objective_complex, (gamma_s, Gamma_s,
+                                                    self._h_sp, self._g_sp)
+            return _so_objective_complex, (jnp.asarray(gamma),
+                                           jnp.asarray(Gamma),
+                                           self._h_so, self._g_so)
         if self._spatial_path:
             gamma_s, Gamma_s = spin_reduce_rdms(jnp.asarray(gamma),
                                                 jnp.asarray(Gamma))
