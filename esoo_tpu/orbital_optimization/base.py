@@ -486,12 +486,15 @@ class BaseOptOrbSolver:
         N = self.num_spin_orbitals
         dtype = np.float64 if self.wavefunction_real else np.complex128
         gamma = np.zeros((N, N), dtype=dtype)
+        vals = []
         for key, terms in self._rdm_decompositions.items():
             if key[0] != "one":
                 continue
             _, p, q = key
             val = sum(c * expectval_dict[lb] for lb, c in terms)
+            vals.append(val)
             gamma[p, q] = val.real if self.wavefunction_real else val
+        self._assembly_residue_check(vals, "1-RDM")
         return gamma
 
     def get_two_RDM_tensor(self, expectval_dict: Dict[str, complex],
@@ -500,12 +503,15 @@ class BaseOptOrbSolver:
         N = self.num_spin_orbitals
         dtype = np.float64 if self.wavefunction_real else np.complex128
         Gamma = np.zeros((N, N, N, N), dtype=dtype)
+        vals = []
         for key, terms in self._rdm_decompositions.items():
             if key[0] != "two":
                 continue
             _, p, q, r, s = key
             val = sum(c * expectval_dict[lb] for lb, c in terms)
+            vals.append(val)
             Gamma[p, q, r, s] = val.real if self.wavefunction_real else val
+        self._assembly_residue_check(vals, "2-RDM")
         return Gamma
 
     # -- shared outer-loop helpers ----------------------------------------
@@ -523,11 +529,14 @@ class BaseOptOrbSolver:
         module-global flag mechanism, base_opt_orb_solver.py:380-401)
         before the real parts feed the orbital objective."""
         from ..utils.debug import check_imaginary_residue
+        strip = self.wavefunction_real
         gammas, Gammas = [], []
         for sv in state_vectors:
             g1, g2 = self.measure_rdms_direct(sv)
-            gammas.append(check_imaginary_residue(g1, what="1-RDM"))
-            Gammas.append(check_imaginary_residue(g2, what="2-RDM"))
+            gammas.append(check_imaginary_residue(g1, what="1-RDM",
+                                                  strip=strip))
+            Gammas.append(check_imaginary_residue(g2, what="2-RDM",
+                                                  strip=strip))
         return gammas, Gammas
 
     def _rdms_via_pauli(self, circuits_and_params) -> Tuple[list, list]:
@@ -537,6 +546,21 @@ class BaseOptOrbSolver:
             gammas.append(self.get_one_RDM_tensor(vals))
             Gammas.append(self.get_two_RDM_tensor(vals))
         return gammas, Gammas
+
+    def _assembly_residue_check(self, values, what: str) -> None:
+        """Reference flag-mechanism parity for the Pauli assembly path
+        (base_opt_orb_solver.py:380-401): when `wavefuntion_real` claims a
+        real wavefunction, detect and warn about imaginary residue in the
+        measured element values being stripped."""
+        if not self.wavefunction_real:
+            return
+        import warnings
+        resid = max((abs(complex(v).imag) for v in values), default=0.0)
+        if resid > 1e-8:
+            warnings.warn(
+                f"{what} elements have imaginary residue {resid:.2e} with "
+                f"wavefuntion_real=True; wavefunction may not be real",
+                stacklevel=3)
 
     def stopping_condition(self, iteration: int) -> bool:
         """ref opt_orb_minimum_eigensolver.py:125-138."""

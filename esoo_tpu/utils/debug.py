@@ -29,12 +29,19 @@ def nan_checks() -> Iterator[None]:
 
 
 def check_imaginary_residue(tensor, atol: float = 1e-8,
-                            what: str = "RDM") -> np.ndarray:
-    """Warn-and-strip imaginary parts (reference semantics: flags flipped
-    when any RDM element has imaginary residue)."""
+                            what: str = "RDM", strip: bool = True) -> np.ndarray:
+    """Imaginary-residue detection (reference semantics: flags flipped when
+    any RDM element has imaginary residue, base_opt_orb_solver.py:380-401).
+
+    strip=True (the `wavefuntion_real` path) warns when residue exceeds
+    atol and returns the real part; strip=False returns the tensor intact
+    (complex-RDM objective path) without warning — the user never claimed
+    the wavefunction was real."""
     import warnings
     t = np.asarray(tensor)
     if np.iscomplexobj(t):
+        if not strip:
+            return t
         resid = float(np.abs(t.imag).max(initial=0.0))
         if resid > atol:
             warnings.warn(

@@ -61,23 +61,25 @@ def time_fwd(fn, g, u, iters=30):
 
 
 def time_vag(fn, g, u, Gam, iters=30):
-    def energy(u):
+    def energy(u, g, Gam):
         return jnp.sum(fn(g, u) * Gam)
 
     vag = jax.value_and_grad(energy)
 
     @jax.jit
-    def chain(u, s):
+    def chain(g, u, Gam, s):
+        # g/Gam passed as arguments: closing over them would embed the
+        # m^4 tensor as a program constant (HTTP 413 on remote compile)
         def body(carry, _):
-            e, gr = vag(u + 1e-9 * carry)
+            e, gr = vag(u + 1e-9 * carry, g, Gam)
             return e * 1e-20 + jnp.sum(gr) * 1e-20, None
         s, _ = jax.lax.scan(body, s, None, length=iters)
         return s
 
     s = jnp.zeros((), dtype=u.dtype)
-    np.asarray(chain(u, s))
+    np.asarray(chain(g, u, Gam, s))
     t0 = time.perf_counter()
-    np.asarray(chain(u, s))
+    np.asarray(chain(g, u, Gam, s))
     return (time.perf_counter() - t0) / iters
 
 
