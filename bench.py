@@ -41,6 +41,37 @@ REF_H2_ENERGY = -1.8712471686505392
 BASELINE_BUDGET_S = 600.0
 
 
+def measure_transform_tflops(m: int, n: int, iters: int = 20):
+    """ms/transform and TFLOP/s of the production two-electron transform
+    at spatial size m -> n (BASELINE.md first-class metric).  Timed with a
+    data-dependent scan chain; materialization via np.asarray (the axon
+    backend does not round-trip block_until_ready)."""
+    import jax
+    import jax.numpy as jnp
+    from esoo_tpu.orbital_optimization.kernels import rotate_two_body
+
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.normal(size=(m, m, m, m)) / m, dtype=jnp.float32)
+    u = jnp.asarray(np.linalg.qr(rng.normal(size=(m, n)))[0],
+                    dtype=jnp.float32)
+
+    @jax.jit
+    def chain(g, u, s):
+        def body(carry, _):
+            out = rotate_two_body(g, u + 1e-9 * carry)
+            return jnp.sum(out * out) * 1e-20, None
+        s, _ = jax.lax.scan(body, s, None, length=iters)
+        return s
+
+    s = jnp.zeros((), dtype=u.dtype)
+    np.asarray(chain(g, u, s))            # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(chain(g, u, s))
+    dt = (time.perf_counter() - t0) / iters
+    flops = 2.0 * (m**4 * n + m**3 * n**2 + m**2 * n**3 + m * n**4)
+    return dict(ms=round(dt * 1e3, 3), tflops=round(flops / dt / 1e12, 3))
+
+
 def build_problem(atoms: str):
     from esoo_tpu.chem import MoleculeDriver
     return MoleculeDriver(atom=atoms, basis="cc-pvtz").run()
@@ -305,6 +336,37 @@ def main():
     h2 = build_problem(H2_GEOM)
     h2_ours = run_ours(h2, 4, maxiter=30, tol=1e-6)
 
+    # BASELINE.md first-class speed metrics: 2e-transform TFLOP/s at the
+    # bench scale (m=56, H4 cc-pVTZ) and at the m=120 roofline point
+    tf56 = measure_transform_tflops(56, 4)
+    tf120 = measure_transform_tflops(120, 8)
+
+    # GSPMD sharded-program path on REAL hardware: the identical fused
+    # program with the g tensor placed through a 1-device named mesh
+    # (collective-free degenerate case of the multi-chip layout)
+    sharded_wall = None
+    sharded_energy = None
+    try:
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from esoo_tpu.sim import UCCSD, HartreeFock
+        from esoo_tpu.orbital_optimization import FusedOptOrbVQE
+        mesh = Mesh(np.array(jax.devices()[:1]), ("orb",))
+        parts = h4.num_particles
+        ansatz = UCCSD(4, parts, initial_state=HartreeFock(4, parts))
+        solver = FusedOptOrbVQE(num_spin_orbitals=8, ansatz=ansatz,
+                                problem=h4, maxiter=20,
+                                stopping_tolerance=1e-5,
+                                dtype=jnp.float32, mesh=mesh)
+        r = solver.compute_minimum_energy()       # compile + warm
+        t0 = time.perf_counter()
+        r = solver.compute_minimum_energy()
+        sharded_wall = round(time.perf_counter() - t0, 3)
+        sharded_energy = r.eigenvalue
+    except Exception as e:  # record, don't fail the bench
+        sharded_wall = f"failed: {type(e).__name__}"
+
     line = {
         "metric": "optorb_vqe_h4_ccpvtz_to_8so_time_to_baseline_quality_s",
         "value": round(ours_wall, 3),
@@ -313,6 +375,11 @@ def main():
         if quality_achieved else 0.0,
         "quality_gate_f32_below_baseline": bool(quality_gate),
         "quality_achieved": quality_achieved,
+        "outer_iters_per_sec": round(ours["outer_iters"] / ours["warm_s"], 3),
+        "transform_ms_m56_n4": tf56["ms"],
+        "transform_tflops_m56_n4": tf56["tflops"],
+        "transform_ms_m120_n8": tf120["ms"],
+        "transform_tflops_m120_n8": tf120["tflops"],
         "h4_energy_f32": ours["energy_f32"],
         "h4_energy_refined_f64": ours["energy"],
         "h4_refine_s": round(ours["refine_s"], 2),
@@ -320,9 +387,15 @@ def main():
         "h4_baseline_wall_s": round(base["wall_s"], 2),
         "h4_baseline_budget_hit": base["budget_hit"],
         "h4_cold_wall_s": round(ours["cold_s"], 2),
+        "h4_sharded_mesh1_wall_s": sharded_wall,
+        "h4_sharded_mesh1_energy": sharded_energy,
         "h2_energy": h2_ours["energy"],
         "h2_ref_energy": REF_H2_ENERGY,
         "h2_delta_e_vs_ref": h2_ours["energy"] - REF_H2_ENERGY,
+        # signed quality gate (round-1 verdict weak #4): at or below the
+        # published reference optimum within 1e-6 Ha
+        "h2_quality_gate_signed": bool(
+            h2_ours["energy"] <= REF_H2_ENERGY + 1e-6),
     }
     print(json.dumps(line))
 

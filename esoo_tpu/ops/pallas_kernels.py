@@ -54,13 +54,18 @@ def _matmul_kernel(x_ref, y_ref, o_ref, acc_ref, *, k_tiles: int):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tk", "tn"))
+@functools.partial(jax.jit, static_argnames=("tm", "tk", "tn", "interpret"))
 def matmul_pallas(x: jnp.ndarray, y: jnp.ndarray,
-                  tm: int = 256, tk: int = 512, tn: int = 128) -> jnp.ndarray:
+                  tm: int = 256, tk: int = 512, tn: int = 128,
+                  interpret: bool = False) -> jnp.ndarray:
     """Tiled (M, K) @ (K, N) with f32 accumulation on the MXU.
 
     f64 inputs dispatch to the XLA path: the f32 VMEM accumulator would
     silently degrade f64 chemistry tensors to f32 accuracy (ADVICE r1).
+
+    interpret=True runs the kernel BODY through the Pallas interpreter
+    (any backend) — the CI correctness gate for the kernel itself, not
+    just its fallback.
     """
     M, K = x.shape
     K2, N = y.shape
@@ -91,6 +96,7 @@ def matmul_pallas(x: jnp.ndarray, y: jnp.ndarray,
             flops=2 * Mp * Kp * Np,
             bytes_accessed=(Mp * Kp + Kp * Np + Mp * Np) * x.dtype.itemsize,
             transcendentals=0),
+        interpret=interpret,
     )(xp, yp)
     return out[:M, :N]
 
