@@ -79,6 +79,55 @@ def build_problem(atoms: str):
 
 H4_GEOM = "H 0 0 0; H 0 0 1.23; H 0 0 2.46; H 0 0 3.69"
 H2_GEOM = "H 0 0 0; H 0 0 0.735"
+H8_GEOM = "; ".join(f"H 0 0 {1.23 * i:.2f}" for i in range(8))
+
+
+def h8_spatial_tensors():
+    """H8 cc-pVTZ spatial MO tensors (m=112), disk-cached: the integrals
+    + RHF + MO transform cost ~2-3 min and are geometry-deterministic."""
+    cache = os.path.expanduser("~/.cache/esoo_jax/h8_ccpvtz_mo.npz")
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            return z["h_sp"], z["g_sp"], tuple(z["parts"]), float(z["e_nn"])
+    p = build_problem(H8_GEOM)
+    h_sp, g_sp = p.spatial_integral_tensors()
+    np.savez(cache, h_sp=h_sp, g_sp=g_sp,
+             parts=np.asarray(p.num_particles),
+             e_nn=p.nuclear_repulsion_energy)
+    return h_sp, g_sp, p.num_particles, p.nuclear_repulsion_energy
+
+
+def run_h8_scale(n_red_so=16, maxiter=10):
+    """Production-scale fused run on the default device: H8 cc-pVTZ
+    M=224 spin orbitals (m=112 spatial, the sharded-relevant size)
+    reduced to `n_red_so`.  Returns wall times + energies."""
+    import jax.numpy as jnp
+    from esoo_tpu.sim import UCCSD, HartreeFock
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQE
+
+    h_sp, g_sp, parts, e_nn = h8_spatial_tensors()
+    parts = (int(parts[0]), int(parts[1]))
+    n_act = n_red_so // 2
+    ansatz = UCCSD(n_act, parts, initial_state=HartreeFock(n_act, parts))
+
+    class _P:  # minimal problem shim carrying the spatial tensors
+        def spatial_integral_tensors(self):
+            return h_sp, g_sp
+
+    def make():
+        return FusedOptOrbVQE(num_spin_orbitals=n_red_so, ansatz=ansatz,
+                              problem=_P(), maxiter=maxiter,
+                              stopping_tolerance=1e-5, dtype=jnp.float32)
+
+    t0 = time.perf_counter()
+    r = make().compute_minimum_energy()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = make().compute_minimum_energy()
+    warm = time.perf_counter() - t0
+    return dict(energy=r.eigenvalue, cold_s=round(cold, 2),
+                warm_s=round(warm, 2), outer_iters=r.outer_iterations,
+                e_nn=e_nn)
 
 
 # --------------------------------------------------------------------------
@@ -367,6 +416,14 @@ def main():
     except Exception as e:  # record, don't fail the bench
         sharded_wall = f"failed: {type(e).__name__}"
 
+    # production-scale demonstration at the sharded-relevant size
+    # (round-1 verdict item 9): H8 cc-pVTZ m=112 fused on this device
+    try:
+        h8 = run_h8_scale()
+    except Exception as e:
+        h8 = dict(energy=None, cold_s=None, warm_s=f"failed: {type(e).__name__}",
+                  outer_iters=0)
+
     line = {
         "metric": "optorb_vqe_h4_ccpvtz_to_8so_time_to_baseline_quality_s",
         "value": round(ours_wall, 3),
@@ -389,6 +446,10 @@ def main():
         "h4_cold_wall_s": round(ours["cold_s"], 2),
         "h4_sharded_mesh1_wall_s": sharded_wall,
         "h4_sharded_mesh1_energy": sharded_energy,
+        "h8_m112_energy_f32": h8["energy"],
+        "h8_m112_cold_s": h8["cold_s"],
+        "h8_m112_warm_s": h8["warm_s"],
+        "h8_m112_outer_iters": h8["outer_iters"],
         "h2_energy": h2_ours["energy"],
         "h2_ref_energy": REF_H2_ENERGY,
         "h2_delta_e_vs_ref": h2_ours["energy"] - REF_H2_ENERGY,

@@ -185,6 +185,26 @@ def rotate_two_body(g: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def rotate_two_body_auto(g: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Production dispatch for the 4-index transform, chosen from TPU v5e
+    measurements (scripts/bench_transform.py, f32 `highest` precision,
+    value_and_grad of the energy — the inner-loop hot op):
+
+        m=112 n=8:  leading 3.76 ms | minor 3.59 | kron 3.34
+        m=120 n=8:  leading 5.40 ms | minor 4.08 | kron 4.01
+
+    kron reads the m^4 tensor as one MXU-ideal GEMM but costs O(m^4 n^2)
+    FLOPs, so it wins while n^2 stays small relative to the HBM-bound
+    regime; the minor-axis staged path avoids the leading-axis transpose
+    of the m^4 tensor and wins beyond that.
+    """
+    n = u.shape[1]
+    m = g.shape[0]
+    if n * n <= 2 * m:
+        return rotate_two_body_kron(g, u)
+    return rotate_two_body_minor(g, u)
+
+
 def rotated_energy_spatial(u: jnp.ndarray,
                            gamma_s: jnp.ndarray,
                            Gamma_s: jnp.ndarray,
@@ -198,7 +218,7 @@ def rotated_energy_spatial(u: jnp.ndarray,
         h_sp/g_sp: spatial blocks of the starting-basis integrals.
     """
     e1 = jnp.sum(rotate_one_body(h_sp, u) * gamma_s)
-    e2 = jnp.sum(rotate_two_body(g_sp, u) * Gamma_s)
+    e2 = jnp.sum(rotate_two_body_auto(g_sp, u) * Gamma_s)
     return e1 + e2
 
 
@@ -231,7 +251,7 @@ def rotated_energy_spatial_complex(u: jnp.ndarray,
     which tests verify against a genuinely complex wavefunction.
     """
     e1 = jnp.sum(rotate_one_body(h_sp, u) * gamma_s)
-    e2 = jnp.sum(rotate_two_body(g_sp, u) * Gamma_s)
+    e2 = jnp.sum(rotate_two_body_auto(g_sp, u) * Gamma_s)
     return jnp.real(e1 + e2)
 
 

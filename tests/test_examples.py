@@ -29,3 +29,21 @@ def test_h2_fused_and_sharded_example():
     line = [ln for ln in out.splitlines() if ln.startswith("FusedOptOrbVQE")][0]
     energy = float(line.split(":")[1].split("Ha")[0])
     np.testing.assert_allclose(energy, -1.87115, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_lih_optorbvqe_example():
+    out = _run("examples/LiH_OptOrbVQE.py")
+    tot = [ln for ln in out.splitlines()
+           if ln.startswith("OptOrbVQE total energy")][0]
+    e_total = float(tot.split(":")[1].split("Ha")[0])
+    assert -8.0087 - 1e-3 < e_total < -7.98368   # between full FCI and RHF
+
+
+@pytest.mark.slow
+def test_h3_open_shell_example():
+    out = _run("examples/H3_OpenShell_OptOrbVQE.py")
+    line = [ln for ln in out.splitlines()
+            if ln.startswith("OptOrbVQE electronic energy")][0]
+    e = float(line.split(":")[1].split("Ha")[0])
+    assert e < -3.0399   # beats the full STO-3G sector optimum
