@@ -297,3 +297,79 @@ class TestMCVQESpecific:
         np.testing.assert_array_almost_equal(
             np.sort(np.linalg.eigvalsh(Hc)), np.real(result.eigenvalues),
             decimal=10)
+
+
+class TestVQDMatrix:
+    """VQD behavioral matrix (reference vqd.py:47-453 semantics)."""
+
+    def _ry2(self):
+        return ry()
+
+    def _make(self, **kw):
+        from esoo_tpu.sim import ComputeUncompute, Sampler
+        from esoo_tpu.solvers import VQD
+        ansatz = kw.pop("ansatz", self._ry2())
+        kw.setdefault("k", 2)
+        kw.setdefault("betas", [10, 10])
+        kw.setdefault("initial_point",
+                      np.linspace(0.1, 1.0, ansatz.num_parameters))
+        return VQD(Estimator(), ComputeUncompute(Sampler()), ansatz,
+                   kw.pop("optimizer", SLSQP()), **kw)
+
+    def test_basic_two_states(self):
+        res = self._make(optimizer=L_BFGS_B()).compute_eigenvalues(H2_PAULI)
+        np.testing.assert_array_almost_equal(
+            np.real(res.eigenvalues), H2_ENERGIES, decimal=3)
+        assert len(res.optimal_points) == 2
+        assert len(res.cost_function_evals) == 2
+        assert all(t >= 0 for t in res.optimizer_times)
+
+    def test_callback_carries_step_index(self):
+        seen = {"steps": set(), "counts": []}
+
+        def cb(count, params, value, meta, step):
+            seen["steps"].add(step)
+            seen["counts"].append(count)
+            assert isinstance(meta, dict)
+
+        self._make(callback=cb, optimizer=COBYLA(maxiter=4)
+                   ).compute_eigenvalues(H2_PAULI)
+        assert seen["steps"] == {1, 2}       # reference 1-based step index
+        assert seen["counts"][0] == 1
+
+    def test_per_state_ansatz_and_optimizer_lists(self):
+        from esoo_tpu.sim import ComputeUncompute, Sampler
+        from esoo_tpu.solvers import VQD
+        ansatze = [self._ry2(), self._ry2()]
+        opts = [L_BFGS_B(), SLSQP()]
+        vqd = VQD(Estimator(), ComputeUncompute(Sampler()), ansatze, opts,
+                  k=2, betas=[10],
+                  initial_point=[np.linspace(0.1, 1.0,
+                                             a.num_parameters)
+                                 for a in ansatze])
+        res = vqd.compute_eigenvalues(H2_PAULI)
+        np.testing.assert_array_almost_equal(
+            np.real(res.eigenvalues), H2_ENERGIES, decimal=3)
+
+    def test_wrong_ansatz_count_raises(self):
+        from esoo_tpu.sim import ComputeUncompute, Sampler
+        from esoo_tpu.solvers import VQD
+        vqd = VQD(Estimator(), ComputeUncompute(Sampler()),
+                  [self._ry2()], L_BFGS_B(), k=2, betas=[10])
+        with pytest.raises(AlgorithmError):
+            vqd.compute_eigenvalues(H2_PAULI)
+
+    def test_short_betas_raises(self):
+        vqd = self._make(k=2, betas=[])
+        with pytest.raises(AlgorithmError):
+            vqd.compute_eigenvalues(H2_PAULI)
+
+    def test_aux_operators_per_state(self):
+        res = self._make(optimizer=L_BFGS_B()).compute_eigenvalues(
+            H2_PAULI, aux_operators=[AUX_OP1, None, 0])
+        per_state = res.aux_operators_evaluated
+        assert len(per_state) == 2
+        for st in per_state:
+            np.testing.assert_allclose(st[0][0], 2.0, atol=1e-8)
+            assert st[1][0] == 0.0 and st[2][0] == 0.0
+            assert isinstance(st[1][1], dict)
