@@ -5,6 +5,8 @@ from .ci import (
     get_CIS_states,
     get_CISD_energies,
     get_CISD_states,
+    get_FCI_energies,
+    get_FCI_states,
     hf_determinant,
 )
 from .hf_permutation import get_HF_permutation_matrix
@@ -16,6 +18,8 @@ __all__ = [
     "get_CIS_states",
     "get_CISD_energies",
     "get_CISD_states",
+    "get_FCI_energies",
+    "get_FCI_states",
     "hf_determinant",
     "get_HF_permutation_matrix",
 ]

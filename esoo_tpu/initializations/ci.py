@@ -314,3 +314,29 @@ def get_CISD_energies(one_body_integrals, two_body_integrals, num_particles):
     _, w = _ci_states(one_body_integrals, two_body_integrals, num_particles,
                       2, "sparse", 1e-10)
     return w
+
+
+def get_FCI_states(one_body_integrals, two_body_integrals, num_particles,
+                   state_representation: Optional[str] = "sparse",
+                   truncation_threshold: Optional[float] = 1e-10):
+    """Full-CI eigenstates of the (n_alpha, n_beta) sector.
+
+    Beyond-reference capability: exact diagonalization in the determinant
+    basis of the sector (dimension C(n, n_a) * C(n, n_b), NOT 2^N), built
+    on the same vectorized Slater-Condon machinery as CIS/CISD.  This is
+    the exact answer the eigensolvers approximate inside an active space —
+    the natural quality oracle for OptOrb runs."""
+    na, nb = num_particles
+    states, _ = _ci_states(one_body_integrals, two_body_integrals,
+                           num_particles, na + nb, state_representation,
+                           truncation_threshold)
+    return states
+
+
+def get_FCI_energies(one_body_integrals, two_body_integrals, num_particles):
+    """Full-CI eigenvalues of the (n_alpha, n_beta) sector (see
+    get_FCI_states)."""
+    na, nb = num_particles
+    _, w = _ci_states(one_body_integrals, two_body_integrals,
+                      num_particles, na + nb, "sparse", 1e-10)
+    return w

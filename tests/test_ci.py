@@ -83,3 +83,45 @@ def test_vectorized_matches_scalar_random():
     np.testing.assert_allclose(ci_matrix(dets, h, g, vectorized=True),
                                ci_matrix(dets, h, g, vectorized=False),
                                atol=1e-12)
+
+
+def test_fci_matches_fock_space_diagonalization(h2_sto3g):
+    """Sector FCI (determinant basis) == the right sector eigenvalues of
+    the full 2^N Fock-space Hamiltonian matrix."""
+    from esoo_tpu.initializations import get_FCI_energies
+    from esoo_tpu.ops.hamiltonian import hamiltonian_matrix
+
+    h, g = h2_sto3g.integral_tensors()
+    w_fci = get_FCI_energies(h, g, (1, 1))
+    mat = hamiltonian_matrix(h, g)
+    N = h.shape[0]
+    occ = np.array([[(i >> k) & 1 for k in range(N)] for i in range(2 ** N)])
+    na = occ[:, : N // 2].sum(axis=1)
+    nb = occ[:, N // 2:].sum(axis=1)
+    idx = ((na == 1) & (nb == 1)).nonzero()[0]
+    w_exact = np.linalg.eigvalsh(mat[np.ix_(idx, idx)])
+    np.testing.assert_allclose(w_fci, w_exact, atol=1e-10)
+    # the known H2/STO-3G ground state
+    np.testing.assert_allclose(w_fci[0], -1.85727503, atol=1e-6)
+
+
+def test_fci_is_vqe_quality_oracle(h2_631g):
+    """FCI in the OptOrb active space equals the exact subspace optimum the
+    fused solver converges to."""
+    from esoo_tpu.initializations import get_FCI_energies
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQE
+    from esoo_tpu.orbital_optimization.kernels import (
+        expand_spin_tensors, rotated_integrals_spatial)
+    import jax.numpy as jnp
+    from esoo_tpu.sim import HartreeFock, UCCSD
+
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    r = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz, problem=h2_631g,
+                       maxiter=20).compute_minimum_energy()
+    h_sp, g_sp = h2_631g.spatial_integral_tensors()
+    h_act, g_act = rotated_integrals_spatial(
+        jnp.asarray(r.optimal_partial_unitary, dtype=jnp.float64),
+        jnp.asarray(h_sp), jnp.asarray(g_sp))
+    h_so, g_so = expand_spin_tensors(h_act, g_act)
+    w = get_FCI_energies(np.asarray(h_so), np.asarray(g_so), (1, 1))
+    np.testing.assert_allclose(r.eigenvalue, w[0], atol=5e-5)
