@@ -355,6 +355,20 @@ class FusedOptOrbSSVQE:
                     "weighted-sum variational argument requires it)")
         self._init_mat = jnp.asarray(V, dtype=dtype)
         self.k = len(initial_states)
+        if mesh is not None and "state" in mesh.shape:
+            # 2-D mesh (parallel.make_orbital_state_mesh): the k
+            # statevector simulations data-parallelize over the state
+            # axis; GSPMD inserts the weighted-sum / RDM-combine psums.
+            # (For the sequential VQD subclass this axis gathers instead
+            # of parallelizing — use it for SSVQE/MCVQE.)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            d = mesh.shape["state"]
+            if self.k % d:
+                raise ValueError(
+                    f"k={self.k} states not divisible by the state mesh "
+                    f"axis ({d})")
+            self._init_mat = jax.device_put(
+                self._init_mat, NamedSharding(mesh, P("state", None)))
         if weight_vector is None:
             weight_vector = [self.k - i for i in range(self.k)]
         self._weights = jnp.asarray(weight_vector, dtype=dtype)

@@ -1,5 +1,6 @@
 from .sharded import (
     make_orbital_mesh,
+    make_orbital_state_mesh,
     shard_problem_tensors,
     sharded_rotated_energy,
     sharded_bb_step,
@@ -8,6 +9,7 @@ from .sharded import (
 
 __all__ = [
     "make_orbital_mesh",
+    "make_orbital_state_mesh",
     "shard_problem_tensors",
     "sharded_rotated_energy",
     "sharded_bb_step",

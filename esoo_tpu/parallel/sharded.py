@@ -54,6 +54,21 @@ def make_orbital_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devs), (axis_name,))
 
 
+def make_orbital_state_mesh(n_orb: int, n_state: int,
+                            orb_axis: str = "orb",
+                            state_axis: str = "state") -> Mesh:
+    """2-D device mesh: `orb_axis` shards the m^4 integral tensor (last
+    index), `state_axis` data-parallelizes the k excited-state statevector
+    simulations (FusedOptOrbSSVQE/MCVQE/VQD `mesh=`).  The orb axis is
+    innermost so its collectives ride neighboring ICI links."""
+    devs = jax.devices()
+    need = n_orb * n_state
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    grid = np.array(devs[:need]).reshape(n_state, n_orb)
+    return Mesh(grid, (state_axis, orb_axis))
+
+
 def shard_problem_tensors(mesh: Mesh, h_sp, g_sp, axis_name: str = "orb"):
     """Place (h_sp, g_sp) on the mesh: h replicated, g sharded on axis -1.
 

@@ -114,3 +114,49 @@ def test_optorbvqe_with_mesh(h2_631g):
     r = sol.compute_minimum_energy()
     np.testing.assert_array_almost_equal(r.eigenvalue, -1.8661038079694765,
                                          decimal=3)
+
+
+def test_fused_ssvqe_2d_orbital_state_mesh(h2_631g):
+    """2-D (state x orb) mesh: k statevector simulations data-parallel
+    over the state axis ON TOP of the last-axis g sharding — eigenvalues
+    match the single-device run to machine precision."""
+    import numpy as np
+    from esoo_tpu.parallel import make_orbital_state_mesh
+    from esoo_tpu.sim import QuantumCircuit, UCCSD
+    from esoo_tpu.orbital_optimization import FusedOptOrbSSVQE
+
+    ansatz = UCCSD(2, (1, 1), reps=2)
+    hf = QuantumCircuit(4); hf.x(0); hf.x(2)
+    ex = QuantumCircuit(4); ex.x(1); ex.x(2)
+
+    def run(mesh):
+        return FusedOptOrbSSVQE(
+            num_spin_orbitals=4, ansatz=ansatz, initial_states=[hf, ex],
+            weight_vector=[2, 1], problem=h2_631g, maxiter=20,
+            mesh=mesh).compute_energies()
+
+    r0 = run(None)
+    r1 = run(make_orbital_state_mesh(n_orb=4, n_state=2))
+    np.testing.assert_allclose(np.asarray(r1.eigenvalues),
+                               np.asarray(r0.eigenvalues), atol=1e-12)
+    np.testing.assert_array_almost_equal(
+        np.asarray(r1.eigenvalues), [-1.85403538, -1.37044354], decimal=3)
+
+
+def test_state_mesh_divisibility_error(h2_631g):
+    import pytest as _pytest
+    from esoo_tpu.parallel import make_orbital_state_mesh
+    from esoo_tpu.sim import QuantumCircuit, UCCSD
+    from esoo_tpu.orbital_optimization import FusedOptOrbSSVQE
+
+    ansatz = UCCSD(2, (1, 1), reps=2)
+    states = []
+    for bits in [(0, 2), (1, 2), (0, 3)]:
+        qc = QuantumCircuit(4)
+        for b in bits:
+            qc.x(b)
+        states.append(qc)
+    mesh = make_orbital_state_mesh(n_orb=4, n_state=2)
+    with _pytest.raises(ValueError, match="divisible"):
+        FusedOptOrbSSVQE(num_spin_orbitals=4, ansatz=ansatz,
+                         initial_states=states, problem=h2_631g, mesh=mesh)
