@@ -97,10 +97,15 @@ def h8_spatial_tensors():
     return h_sp, g_sp, p.num_particles, p.nuclear_repulsion_energy
 
 
-def run_h8_scale(n_red_so=16, maxiter=10):
+def run_h8_scale(n_red_so=12, maxiter=10):
     """Production-scale fused run on the default device: H8 cc-pVTZ
     M=224 spin orbitals (m=112 spatial, the sharded-relevant size)
-    reduced to `n_red_so`.  Returns wall times + energies."""
+    reduced to `n_red_so`.  Returns wall times + energies.
+
+    Default active space is 12 spin orbitals: the N=16 variant of this
+    program reproducibly crashes the axon TPU worker (3/3, 'kernel
+    fault'); N=12 runs clean (cold 112 s / warm 21 s measured) and the
+    scale demonstration target is the m=112 transform either way."""
     import jax.numpy as jnp
     from esoo_tpu.sim import UCCSD, HartreeFock
     from esoo_tpu.orbital_optimization import FusedOptOrbVQE

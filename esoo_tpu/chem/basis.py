@@ -286,11 +286,42 @@ CCPVQZ = {
     ],
 }
 
+# 6-31G* / 6-31G**: 6-31G plus single polarization shells (Hariharan &
+# Pople, Theor. Chim. Acta 28, 213 (1973)): one cartesian-d on Li-Ne
+# (standard exponents below), one p (exponent 1.1) on H/He for **.
+_POL_D_EXP = {"Li": 0.200, "Be": 0.400, "B": 0.600, "C": 0.800,
+              "N": 0.800, "O": 0.800, "F": 0.800, "Ne": 0.800}
+
+
+def _with_polarization(base: dict, hydrogen_p: bool) -> dict:
+    out = {}
+    for el, shells in base.items():
+        shells = [dict(sh) for sh in shells]
+        if el in _POL_D_EXP:
+            # Pople-convention polarization d: CARTESIAN (6 components) —
+            # published 6-31G* energies assume 6d
+            shells.append({"l": 2, "prims": [(_POL_D_EXP[el], 1.0)],
+                           "pure": False})
+        elif el in ("H", "He") and hydrogen_p:
+            shells.append({"l": 1, "prims": [(1.100, 1.0)]})
+        out[el] = shells
+    return out
+
+
+SIX31G_STAR = _with_polarization(SIX31G, hydrogen_p=False)
+SIX31G_STARSTAR = _with_polarization(SIX31G, hydrogen_p=True)
+
 BASIS_SETS = {
     "sto-3g": STO3G,
     "sto3g": STO3G,
     "6-31g": SIX31G,
     "631g": SIX31G,
+    "6-31g*": SIX31G_STAR,
+    "631g*": SIX31G_STAR,
+    "6-31g(d)": SIX31G_STAR,
+    "6-31g**": SIX31G_STARSTAR,
+    "631g**": SIX31G_STARSTAR,
+    "6-31g(d,p)": SIX31G_STARSTAR,
     "cc-pvdz": CCPVDZ,
     "ccpvdz": CCPVDZ,
     "cc-pvtz": CCPVTZ,
@@ -496,6 +527,7 @@ def build_shells(atom: str, basis: str, custom_basis: dict | None = None):
                     center=xyz,
                     exps=[p[0] for p in prims],
                     coeffs=[p[1] for p in prims],
+                    pure=sh.get("pure", True),
                 )
             )
     return shells, symbols, coords

@@ -201,3 +201,27 @@ def test_lih_ccpvdz_optorbvqe_e2e():
     H = sol.get_rotated_hamiltonian(r.optimal_partial_unitary)
     w = np.linalg.eigvalsh(H.to_matrix())
     np.testing.assert_allclose(float(r.eigenvalue), w[0], atol=2e-5)
+
+
+def test_polarized_631g_star_literature():
+    """6-31G* / 6-31G** (Hariharan-Pople polarization, cartesian 6d):
+    H2O, N2, CH4 RHF vs the standard published values (Szabo & Ostlund
+    Table 3.13 and CCCBDB)."""
+    p = MoleculeDriver(atom=_water_geom(), basis="6-31g*").run()
+    assert p.scf.converged
+    np.testing.assert_allclose(p.scf.energy_total, -76.0107, atol=5e-4)
+    assert p.num_spatial_orbitals == 19      # 13 + cartesian 6d on O
+
+    p = MoleculeDriver(atom=_water_geom(), basis="6-31g**").run()
+    assert p.scf.converged
+    np.testing.assert_allclose(p.scf.energy_total, -76.0236, atol=5e-4)
+    assert p.num_spatial_orbitals == 25      # + p shells on both H
+
+    p = MoleculeDriver(atom="N 0 0 0; N 0 0 1.0977", basis="6-31g*").run()
+    np.testing.assert_allclose(p.scf.energy_total, -108.9420, atol=1e-3)
+
+    a = 1.085 / math.sqrt(3)
+    ch4 = (f"C 0 0 0; H {a} {a} {a}; H {a} {-a} {-a}; "
+           f"H {-a} {a} {-a}; H {-a} {-a} {a}")
+    p = MoleculeDriver(atom=ch4, basis="6-31g*").run()
+    np.testing.assert_allclose(p.scf.energy_total, -40.1952, atol=2e-4)
