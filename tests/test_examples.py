@@ -47,3 +47,15 @@ def test_h3_open_shell_example():
             if ln.startswith("OptOrbVQE electronic energy")][0]
     e = float(line.split(":")[1].split("Ha")[0])
     assert e < -3.0399   # beats the full STO-3G sector optimum
+
+
+@pytest.mark.slow
+def test_h2o_optorbvqe_example():
+    out = _run("examples/H2O_OptOrbVQE.py")
+    rhf = float([ln for ln in out.splitlines()
+                 if ln.startswith("RHF total")][0].split(":")[1].split("Ha")[0])
+    tot = float([ln for ln in out.splitlines()
+                 if ln.startswith("OptOrbVQE total")][0].split(":")[1].split("Ha")[0])
+    np.testing.assert_allclose(rhf, -76.0107, atol=5e-4)
+    assert tot < rhf - 5e-3      # captures >5 mHa of correlation
+    assert tot > -76.5           # sane (variational, not absurd)
