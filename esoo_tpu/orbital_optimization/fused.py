@@ -37,7 +37,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.optimize import minimize as jax_minimize
+from ..solvers.lbfgs import lbfgs_minimize
 
 from ..sim.circuit import QuantumCircuit
 from ..sim.rdm import one_rdm, rdm_energy, two_rdm
@@ -140,9 +140,11 @@ def _fused_optorb_vqe(state_fn: Callable,
     gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
 
     def run_vqe(theta, h_act, g_act):
-        res = jax_minimize(vqe_energy, theta, args=(h_act, g_act),
-                           method="BFGS",
-                           options={"maxiter": vqe_maxiter, "gtol": gtol})
+        # own jittable L-BFGS: jax.scipy's BFGS crashes the v5e TPU worker
+        # at ~360 params with long-scan costs and densifies a P x P
+        # inverse Hessian (docs/PERF.md, round-2 measurement)
+        res = lbfgs_minimize(vqe_energy, theta, args=(h_act, g_act),
+                             maxiter=vqe_maxiter, gtol=gtol)
         return res.x, res.fun
 
     vag = _ORBITAL_VAG
@@ -232,9 +234,8 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
         return jnp.dot(weights, es)
 
     def run_ssvqe(theta, h_act, g_act):
-        res = jax_minimize(weighted_cost, theta, args=(h_act, g_act),
-                           method="BFGS",
-                           options={"maxiter": vqe_maxiter, "gtol": gtol})
+        res = lbfgs_minimize(weighted_cost, theta, args=(h_act, g_act),
+                             maxiter=vqe_maxiter, gtol=gtol)
         return res.x, res.fun
 
     vag = _ORBITAL_VAG
@@ -556,10 +557,9 @@ def _fused_optorb_vqd(apply_fn: Callable,
 
         def step(j, carry):
             thetas, prev_states, energies = carry
-            res = jax_minimize(
+            res = lbfgs_minimize(
                 deflated_cost, thetas[j], args=(j, prev_states, h_so, g_so),
-                method="BFGS",
-                options={"maxiter": vqe_maxiter, "gtol": gtol})
+                maxiter=vqe_maxiter, gtol=gtol)
             s = apply_fn(init_mat[j], res.x)
             e = rdm_energy(s, h_so, g_so)   # deflation-free eigenvalue
             return (thetas.at[j].set(res.x),
@@ -741,10 +741,8 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
                                  mask.at[r * P + best].set(
                                      jnp.asarray(1.0, dtype)),
                                  mask)
-            res = jax_minimize(masked_cost, theta, args=(mask_new,),
-                               method="BFGS",
-                               options={"maxiter": vqe_maxiter,
-                                        "gtol": gtol})
+            res = lbfgs_minimize(masked_cost, theta, args=(mask_new,),
+                                 maxiter=vqe_maxiter, gtol=gtol)
             theta_new = jnp.where(grow, res.x * mask_new, theta)
             E_new = jnp.where(grow, res.fun, E_g)
             small_gain = jnp.logical_and(

@@ -210,13 +210,15 @@ class JaxBFGS(Optimizer):
         """energy_fn(theta, *args) must be jax-traceable."""
         import jax
         import jax.numpy as jnp
-        from jax.scipy.optimize import minimize as jax_minimize
+        from .lbfgs import lbfgs_minimize
 
         @jax.jit
         def run(x0, *args):
-            res = jax_minimize(energy_fn, x0, args=args, method="BFGS",
-                               options={"maxiter": self.maxiter,
-                                        "gtol": self.gtol})
+            # own jittable L-BFGS (solvers/lbfgs.py): linear memory in the
+            # parameter count and avoids the jax.scipy BFGS line search
+            # that crashes the v5e TPU worker on large scan-heavy costs
+            res = lbfgs_minimize(energy_fn, x0, args=args,
+                                 maxiter=self.maxiter, gtol=self.gtol)
             return res.x, res.fun, res.nit, res.nfev
 
         x, fun, nit, nfev = run(jnp.asarray(x0, dtype=jnp.float64),

@@ -1,0 +1,70 @@
+"""Unit tests for the jittable L-BFGS (solvers/lbfgs.py) — the fused
+programs' eigensolver optimizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esoo_tpu.solvers.lbfgs import lbfgs_minimize
+
+
+def test_rosenbrock_10d():
+    def rosen(x):
+        return jnp.sum(100 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+    r = jax.jit(lambda x0: lbfgs_minimize(rosen, x0, maxiter=500,
+                                          gtol=1e-8))(jnp.zeros(10))
+    assert float(r.fun) < 1e-12
+    np.testing.assert_allclose(np.asarray(r.x), np.ones(10), atol=1e-5)
+
+
+def test_quadratic_matches_closed_form():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(50, 50))
+    A = A @ A.T + np.eye(50)
+    b = rng.normal(size=50)
+    Aj, bj = jnp.asarray(A), jnp.asarray(b)
+
+    r = lbfgs_minimize(lambda x: 0.5 * x @ Aj @ x - bj @ x,
+                       jnp.zeros(50), maxiter=400, gtol=1e-10)
+    np.testing.assert_allclose(np.asarray(r.x), np.linalg.solve(A, b),
+                               atol=1e-6)
+
+
+def test_extra_args_and_f32():
+    A = jnp.eye(8, dtype=jnp.float32) * 3.0
+
+    def f(x, A, c):
+        return 0.5 * x @ A @ x + c * jnp.sum(x)
+
+    r = lbfgs_minimize(f, jnp.ones(8, dtype=jnp.float32),
+                       args=(A, jnp.asarray(2.0, jnp.float32)),
+                       maxiter=100, gtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r.x), -2.0 / 3.0 * np.ones(8),
+                               atol=1e-5)
+    assert r.x.dtype == jnp.float32
+
+
+def test_converges_inside_outer_while_loop():
+    """Nesting inside another lax.while_loop (the fused outer-loop shape)."""
+    A = jnp.diag(jnp.arange(1.0, 6.0))
+
+    def inner(shift):
+        r = lbfgs_minimize(lambda x: 0.5 * x @ A @ x + shift * jnp.sum(x),
+                           jnp.zeros(5), maxiter=100, gtol=1e-10)
+        return r.fun
+
+    def body(c):
+        i, acc = c
+        return i + 1, acc + inner(jnp.asarray(1.0) * i)
+
+    @jax.jit
+    def run():
+        return jax.lax.while_loop(lambda c: c[0] < 3, body,
+                                  (jnp.asarray(0), jnp.asarray(0.0)))
+
+    i, acc = run()
+    # sum_i min_x [x^T A x / 2 + i 1.x] = sum_i (-i^2/2) sum_k 1/a_k
+    want = sum(-0.5 * i * i * np.sum(1.0 / np.arange(1.0, 6.0))
+               for i in range(3))
+    np.testing.assert_allclose(float(acc), want, atol=1e-8)
