@@ -1,6 +1,7 @@
 from .fermion import FermionicOp
 from .hamiltonian import ActiveSpaceHamiltonianBuilder, hamiltonian_matrix
 from .jw import JordanWignerMapper
+from .mappers import BravyiKitaevMapper, LinearFermionicMapper, ParityMapper
 from .pauli import SparsePauliOp
 
 __all__ = [
@@ -8,5 +9,8 @@ __all__ = [
     "ActiveSpaceHamiltonianBuilder",
     "hamiltonian_matrix",
     "JordanWignerMapper",
+    "BravyiKitaevMapper",
+    "LinearFermionicMapper",
+    "ParityMapper",
     "SparsePauliOp",
 ]

@@ -105,7 +105,11 @@ class ActiveSpaceHamiltonianBuilder:
         )
         if len(op) == 0:
             op = SparsePauliOp.zero(self.N)
-        op.fermionic = (np.real(h).copy(), np.real(g).copy())
+        if isinstance(self.mapper, JordanWignerMapper):
+            # the direct RDM/energy contraction paths read statevector
+            # amplitudes in the occupation basis, which only the JW
+            # encoding preserves — other mappers use the Pauli evaluators
+            op.fermionic = (np.real(h).copy(), np.real(g).copy())
         return op
 
 

@@ -72,14 +72,27 @@ def _so_objective_complex(U, gamma, Gamma, h_so, g_so):
     return rotated_energy_so_complex(U, gamma, Gamma, h_so, g_so)
 
 
-_hamiltonian_builder_cache: Dict[int, ActiveSpaceHamiltonianBuilder] = {}
+_hamiltonian_builder_cache: Dict[tuple, ActiveSpaceHamiltonianBuilder] = {}
 
 
-def _get_builder(num_spin_orbitals: int) -> ActiveSpaceHamiltonianBuilder:
-    b = _hamiltonian_builder_cache.get(num_spin_orbitals)
+def _get_builder(num_spin_orbitals: int,
+                 mapper=None) -> ActiveSpaceHamiltonianBuilder:
+    # the builder's linear (h, g) -> Pauli-coefficient structure depends on
+    # the encoding; library mappers are stateless per type, so key on the
+    # type name (custom mappers key on instance identity)
+    from ..ops.jw import JordanWignerMapper as _JW
+    from ..ops.mappers import LinearFermionicMapper as _LFM
+    if mapper is None or isinstance(mapper, _JW):
+        mkey = "jw"
+    elif isinstance(mapper, _LFM):
+        mkey = type(mapper).__name__
+    else:
+        mkey = id(mapper)
+    key = (num_spin_orbitals, mkey)
+    b = _hamiltonian_builder_cache.get(key)
     if b is None:
-        b = ActiveSpaceHamiltonianBuilder(num_spin_orbitals)
-        _hamiltonian_builder_cache[num_spin_orbitals] = b
+        b = ActiveSpaceHamiltonianBuilder(num_spin_orbitals, mapper)
+        _hamiltonian_builder_cache[key] = b
     return b
 
 
@@ -235,6 +248,17 @@ class BaseOptOrbSolver:
         self.RDM_ops_batchsize = RDM_ops_batchsize
         if rdm_measurement not in ("direct", "pauli"):
             raise ValueError("rdm_measurement must be 'direct' or 'pauli'")
+        if rdm_measurement == "direct" and \
+                not isinstance(self.mapper, JordanWignerMapper):
+            # the direct path reads statevector amplitudes in the
+            # occupation basis, which only JW preserves; non-JW mappers
+            # (parity/Bravyi-Kitaev) take the per-Pauli reference path
+            import warnings
+            warnings.warn(
+                f"rdm_measurement='direct' requires the Jordan-Wigner "
+                f"encoding; switching to 'pauli' for "
+                f"{type(self.mapper).__name__}", stacklevel=3)
+            rdm_measurement = "pauli"
         self.rdm_measurement = rdm_measurement
         self.checkpoint_dir = checkpoint_dir
         self._rng = np.random.default_rng(seed)
@@ -384,7 +408,7 @@ class BaseOptOrbSolver:
             U = expand_spin(u)
             h_so = rotate_one_body(self._h_so, U)
             g_so = rotate_two_body(self._g_so, U)
-        return _get_builder(self.num_spin_orbitals).build(
+        return _get_builder(self.num_spin_orbitals, self.mapper).build(
             np.asarray(h_so), np.asarray(g_so))
 
     # -- RDM measurement: direct statevector path --------------------------

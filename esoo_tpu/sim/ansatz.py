@@ -40,10 +40,16 @@ def hartree_fock_bitmask(num_spatial_orbitals: int,
 
 def HartreeFock(num_spatial_orbitals: int, num_particles: Tuple[int, int],
                 qubit_mapper=None) -> QuantumCircuit:
-    """X-gate preparation of the HF determinant (cf. qiskit-nature HartreeFock)."""
+    """X-gate preparation of the HF determinant (cf. qiskit-nature HartreeFock).
+
+    For linear-encoding mappers (parity / Bravyi-Kitaev, ops/mappers.py) the
+    occupation bitmask is re-encoded, matching qiskit-nature's mapper-aware
+    HartreeFock behavior."""
     nq = 2 * num_spatial_orbitals
     qc = QuantumCircuit(nq)
     mask = hartree_fock_bitmask(num_spatial_orbitals, num_particles)
+    if qubit_mapper is not None and hasattr(qubit_mapper, "encode_mask"):
+        mask = qubit_mapper.encode_mask(mask, nq)
     for q in range(nq):
         if (mask >> q) & 1:
             qc.x(q)
@@ -105,7 +111,7 @@ def UCC(num_spatial_orbitals: int,
         generalized: bool = False) -> QuantumCircuit:
     """Unitary coupled-cluster ansatz: prod_k exp(theta_k (T_k - T_k+))."""
     nq = 2 * num_spatial_orbitals
-    mapper = qubit_mapper if isinstance(qubit_mapper, JordanWignerMapper) \
+    mapper = qubit_mapper if qubit_mapper is not None \
         else JordanWignerMapper()
     qc = QuantumCircuit(nq)
     if initial_state is not None:
@@ -145,6 +151,13 @@ def excitation_rotation_group(occ, vir, num_qubits: int,
     pauli = mapper.map(gen)      # = i * sum_k w_k P_k with real w_k
     group = []
     for x, z, c in zip(pauli.xs, pauli.zs, pauli.coeffs):
+        if abs(c.real) > 1e-12:
+            # every linear encoding (JW/parity/BK) keeps the image of an
+            # anti-Hermitian generator purely imaginary; a real residue
+            # means the supplied mapper is inconsistent
+            raise ValueError(
+                "mapper produced a non-imaginary excitation-generator "
+                f"coefficient {c}; cannot build exact rotation product")
         w = c.imag
         if abs(w) > 1e-14:
             group.append((x, z, w))
