@@ -106,23 +106,19 @@ def _occupancy_matrix(dets: List[int], n: int) -> np.ndarray:
     return occ
 
 
-def _ci_matrix_vectorized(dets: List[int], h: np.ndarray,
-                          g: np.ndarray) -> np.ndarray:
-    """Batch Slater-Condon: all diagonal/single/double elements at once."""
-    n = h.shape[0]
+def slater_condon_structure(dets: List[int], n: int) -> dict:
+    """(h, g)-independent index/phase structure of the determinant-basis
+    Hamiltonian: occupancies, single- and double-connected pair indices,
+    the excitation orbitals, fermionic phases, and the shared-occupation
+    masks needed for the singles values.
+
+    Shared by the numpy Slater-Condon assembly below and by the jittable
+    sector-Hamiltonian builder (sim/sector.py), which rebuilds the matrix
+    from rotated integrals on device every outer OptOrb iteration.
+    """
     nd = len(dets)
     occ = _occupancy_matrix(dets, n)                   # (nd, n) bool
     occf = occ.astype(np.float64)
-
-    # <pq||rs> = 2*(g[pqrs] - g[pqsr]); gathered lazily from g (never
-    # materialized: at N >= 100 the full antisymmetrized copy is GBs)
-
-    H = np.zeros((nd, nd))
-    # -- diagonal: sum_p h_pp + 1/2 sum_{p!=q} <pq||pq> --------------------
-    hdiag = np.diag(h)
-    J = 2.0 * (np.einsum("pqpq->pq", g) - np.einsum("pqqp->pq", g))
-    H[np.diag_indices(nd)] = occf @ hdiag + 0.5 * np.einsum(
-        "mp,pq,mq->m", occf, J, occf)
 
     # pairwise excitation degree via packed-uint64 XOR+popcount, computed
     # blockwise (never materializing an (nd, nd, n) tensor)
@@ -141,8 +137,11 @@ def _ci_matrix_vectorized(dets: List[int], h: np.ndarray,
     cum = np.cumsum(occf, axis=1)                      # inclusive
     cum_excl = cum - occf                              # strictly below p
 
+    out = {"occf": occf}
+
     # -- singles (ndiff == 2) ----------------------------------------------
     su, sv = np.nonzero(np.triu(ndiff == 2, k=1))
+    out["su"], out["sv"] = su, sv
     if len(su):
         pair_diff = occ[su] ^ occ[sv]                  # (pairs, n)
         d_from = occ[su] & pair_diff                   # i occupied in D
@@ -154,17 +153,12 @@ def _ci_matrix_vectorized(dets: List[int], h: np.ndarray,
         hi = np.maximum(i_idx, a_idx)
         between = (cum_excl[su, hi] - cum[su, lo])
         phase = 1.0 - 2.0 * (between.astype(np.int64) & 1)
-        # value: h[i,a] + sum_{r in D∩D'} <ir||ar>
-        # C[p,q,r] = <p r||q r> precomputed once (n^3), then gathered
         common = (occ[su] & occ[sv]).astype(np.float64)
-        C = 2.0 * (np.einsum("prqr->pqr", g) - np.einsum("prrq->pqr", g))
-        Air = C[i_idx, a_idx]                          # (pairs, r)
-        val = h[i_idx, a_idx] + np.einsum("kr,kr->k", Air, common)
-        H[su, sv] = phase * val
-        H[sv, su] = H[su, sv]
+        out.update(s_i=i_idx, s_a=a_idx, s_phase=phase, s_common=common)
 
     # -- doubles (ndiff == 4) -----------------------------------------------
     du, dv = np.nonzero(np.triu(ndiff == 4, k=1))
+    out["du"], out["dv"] = du, dv
     if len(du):
         pair_diff = occ[du] ^ occ[dv]
         d_from = occ[du] & pair_diff
@@ -189,9 +183,46 @@ def _ci_matrix_vectorized(dets: List[int], h: np.ndarray,
         in_range_a = (lo2 < a_idx) & (a_idx < hi2)
         t2 = t2 - in_range_i.astype(np.int64) + in_range_a.astype(np.int64)
         phase = 1.0 - 2.0 * ((t1 + t2) & 1)
+        out.update(d_i=i_idx, d_j=j_idx, d_a=a_idx, d_b=b_idx, d_phase=phase)
+    return out
+
+
+def _ci_matrix_vectorized(dets: List[int], h: np.ndarray,
+                          g: np.ndarray) -> np.ndarray:
+    """Batch Slater-Condon: all diagonal/single/double elements at once."""
+    n = h.shape[0]
+    nd = len(dets)
+    st = slater_condon_structure(dets, n)
+    occf = st["occf"]
+
+    # <pq||rs> = 2*(g[pqrs] - g[pqsr]); gathered lazily from g (never
+    # materialized: at N >= 100 the full antisymmetrized copy is GBs)
+
+    H = np.zeros((nd, nd))
+    # -- diagonal: sum_p h_pp + 1/2 sum_{p!=q} <pq||pq> --------------------
+    hdiag = np.diag(h)
+    J = 2.0 * (np.einsum("pqpq->pq", g) - np.einsum("pqqp->pq", g))
+    H[np.diag_indices(nd)] = occf @ hdiag + 0.5 * np.einsum(
+        "mp,pq,mq->m", occf, J, occf)
+
+    su, sv = st["su"], st["sv"]
+    if len(su):
+        i_idx, a_idx = st["s_i"], st["s_a"]
+        # value: h[i,a] + sum_{r in D∩D'} <ir||ar>
+        # C[p,q,r] = <p r||q r> precomputed once (n^3), then gathered
+        C = 2.0 * (np.einsum("prqr->pqr", g) - np.einsum("prrq->pqr", g))
+        Air = C[i_idx, a_idx]                          # (pairs, r)
+        val = h[i_idx, a_idx] + np.einsum("kr,kr->k", Air, st["s_common"])
+        H[su, sv] = st["s_phase"] * val
+        H[sv, su] = H[su, sv]
+
+    du, dv = st["du"], st["dv"]
+    if len(du):
+        i_idx, j_idx = st["d_i"], st["d_j"]
+        a_idx, b_idx = st["d_a"], st["d_b"]
         vals = 2.0 * (g[i_idx, j_idx, a_idx, b_idx]
                       - g[i_idx, j_idx, b_idx, a_idx])
-        H[du, dv] = phase * vals
+        H[du, dv] = st["d_phase"] * vals
         H[dv, du] = H[du, dv]
     return H
 

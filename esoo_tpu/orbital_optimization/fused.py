@@ -117,7 +117,7 @@ def _inner_bb(vag_fn, U0, data, stepsize, tol, decay, maxiter):
 
 @partial(jax.jit, static_argnames=(
     "state_fn", "n_active", "outer_maxiter", "inner_maxiter",
-    "vqe_maxiter"))
+    "vqe_maxiter", "sector"))
 def _fused_optorb_vqe(state_fn: Callable,
                       n_active: int,
                       theta0: jnp.ndarray,
@@ -130,22 +130,41 @@ def _fused_optorb_vqe(state_fn: Callable,
                       decay: jnp.ndarray,
                       outer_maxiter: int = 20,
                       inner_maxiter: int = 10000,
-                      vqe_maxiter: int = 200):
-    """Returns (E, theta, U, n_outer, energy_trace)."""
+                      vqe_maxiter: int = 200,
+                      sector=None):
+    """Returns (E, theta, U, n_outer, energy_trace).
 
-    def vqe_energy(theta, h_act, g_act):
-        h_so, g_so = expand_spin_tensors(h_act, g_act)
-        return rdm_energy(state_fn(theta), h_so, g_so)
+    With `sector` (a sim.sector.SectorUCC), the eigensolver runs in the
+    particle-number sector: the dense sector Hamiltonian is rebuilt from
+    the rotated integrals once per outer iteration and each BFGS energy
+    evaluation is Givens-rotation gates + one GEMV — O(sector_dim) instead
+    of O(2^N) work per evaluation."""
 
     gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
 
-    def run_vqe(theta, h_act, g_act):
-        # own jittable L-BFGS: jax.scipy's BFGS crashes the v5e TPU worker
-        # at ~360 params with long-scan costs and densifies a P x P
-        # inverse Hessian (docs/PERF.md, round-2 measurement)
-        res = lbfgs_minimize(vqe_energy, theta, args=(h_act, g_act),
-                             maxiter=vqe_maxiter, gtol=gtol)
-        return res.x, res.fun
+    if sector is None:
+        def vqe_energy(theta, h_act, g_act):
+            h_so, g_so = expand_spin_tensors(h_act, g_act)
+            return rdm_energy(state_fn(theta), h_so, g_so)
+
+        def run_vqe(theta, h_act, g_act):
+            # own jittable L-BFGS: jax.scipy's BFGS crashes the v5e TPU
+            # worker at ~360 params with long-scan costs and densifies a
+            # P x P inverse Hessian (docs/PERF.md, round-2 measurement)
+            res = lbfgs_minimize(vqe_energy, theta, args=(h_act, g_act),
+                                 maxiter=vqe_maxiter, gtol=gtol)
+            return res.x, res.fun
+
+        rdm_state_fn = state_fn
+    else:
+        def run_vqe(theta, h_act, g_act):
+            h_so, g_so = expand_spin_tensors(h_act, g_act)
+            Hs = sector.build_hamiltonian(h_so, g_so)
+            res = lbfgs_minimize(sector.energy, theta, args=(Hs,),
+                                 maxiter=vqe_maxiter, gtol=gtol)
+            return res.x, res.fun
+
+        rdm_state_fn = sector.full_state
 
     vag = _ORBITAL_VAG
     N = 2 * n_active
@@ -162,7 +181,7 @@ def _fused_optorb_vqe(state_fn: Callable,
         trace = trace.at[it].set(E)
 
         # direct RDMs of the optimal state
-        state = state_fn(theta)
+        state = rdm_state_fn(theta)
         gamma = one_rdm(state, N)
         Gamma = two_rdm(state, N)
         gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
@@ -820,7 +839,8 @@ class FusedOptOrbVQE:
                  decay_factor: float = 0.8,
                  vqe_maxiter: int = 200,
                  dtype=None,
-                 mesh=None):
+                 mesh=None,
+                 simulation: str = "full"):
         from .kernels import spatial_blocks, spin_blocks_consistent
 
         if integral_tensors is not None:
@@ -856,6 +876,15 @@ class FusedOptOrbVQE:
         self._compiled = compile_circuit(ansatz)
         if not self._compiled.is_real:
             raise ValueError("fused path requires a real-safe ansatz")
+        if simulation not in ("full", "sector"):
+            raise ValueError("simulation must be 'full' or 'sector'")
+        self._sector = None
+        if simulation == "sector":
+            # particle-number-sector fast path: requires a UCC-family
+            # ansatz (it carries its excitation list) over an
+            # occupation-basis initial state — validated by SectorUCC
+            from ..sim.sector import SectorUCC
+            self._sector = SectorUCC(ansatz, num_spin_orbitals)
 
         m = h_sp.shape[0]
         n = num_spin_orbitals // 2
@@ -896,6 +925,7 @@ class FusedOptOrbVQE:
             outer_maxiter=self.maxiter,
             inner_maxiter=self.inner_maxiter,
             vqe_maxiter=self.vqe_maxiter,
+            sector=self._sector,
         )
         it = int(it)
         trace = np.asarray(trace)[:it]

@@ -1,0 +1,249 @@
+"""Particle-number-sector statevector simulation (TPU fast path).
+
+UCC-family circuits conserve particle number per spin, so the state never
+leaves the Hilbert-space sector spanned by the C(n, na)*C(n, nb)
+determinants of the initial Hartree-Fock occupation — a space 10-100x
+smaller than the full 2^N qubit space the generic simulator
+(sim/statevector.py) works in (H8 cc-pVTZ -> 16 spin orbitals: 4,900 vs
+65,536 amplitudes; the gap widens combinatorially with N).
+
+Key facts this module exploits:
+
+  * One UCC excitation rotation exp(theta (T - T+)) — which the full-space
+    path implements as its commuting group of Pauli rotations
+    (sim/ansatz.py:excitation_rotation_group) — acts on the determinant
+    basis as a bank of independent 2x2 Givens rotations: T pairs each
+    determinant D in its domain (occ occupied, vir empty) with exactly one
+    partner D', with a fermionic sign s = +-1, and annihilates everything
+    else.  So a "gate" here is a gather -> rotate -> scatter over
+    precomputed (pair_lo, pair_hi, sign) tables, O(pairs) instead of
+    O(2^N) work, run as one `lax.scan` over the parameterized excitations.
+  * The sector Hamiltonian matrix H[D, D'] (Slater-Condon) has an
+    (h, g)-independent index/phase structure
+    (initializations/ci.py:slater_condon_structure) precomputed once on
+    the host; the matrix itself is assembled *on device, inside jit* from
+    the rotated integrals each outer OptOrb iteration, and the eigensolver
+    cost is the dense quadratic form v^T H v — an MXU-shaped GEMV instead
+    of thousands of full-space Pauli/RDM kernel applications.
+
+Equality with the full-space simulator is exact (same generator algebra,
+same JW sign convention — see excite() in initializations/ci.py) and is
+enforced by tests/test_sector.py.
+
+Reference anchor: the reference has no counterpart (it simulates in the
+full 2^N space via Aer, e.g. tests/test_optorbvqe.py:23); this is a
+TPU-native scaling capability.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..initializations.ci import (enumerate_determinants,
+                                  slater_condon_structure)
+from .circuit import QuantumCircuit
+
+
+def _bitcount(a: np.ndarray) -> np.ndarray:
+    return np.bitwise_count(a.astype(np.uint64)).astype(np.int64)
+
+
+def _apply_ladder_chain(dets: np.ndarray, occ: Sequence[int],
+                        vir: Sequence[int]) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized application of the excitation operator
+    T = a+_{vir[0]} ... a+_{vir[-1]} a_{occ[-1]} ... a_{occ[0]}
+    (the exact ladder order sim/ansatz.py feeds to FermionicOp) to a batch
+    of determinants all inside T's domain.  Returns (new_dets, signs)."""
+    d = dets.copy()
+    sign = np.ones(len(dets), dtype=np.float64)
+    # rightmost ladder operator acts first: a_{occ[0]}, a_{occ[1]}, ...,
+    # then a+_{vir[-1]}, ..., a+_{vir[0]}
+    for i in occ:                      # annihilate (bit guaranteed set)
+        sign *= 1.0 - 2.0 * (_bitcount(d & ((1 << i) - 1)) & 1)
+        d = d ^ (1 << i)
+    for a in reversed(vir):            # create (bit guaranteed clear)
+        sign *= 1.0 - 2.0 * (_bitcount(d & ((1 << a) - 1)) & 1)
+        d = d | (1 << a)
+    return d, sign
+
+
+def _initial_mask_from_circuit(circ: Optional[QuantumCircuit]) -> int:
+    """Occupation bitmask of an X-gates-only preparation circuit."""
+    mask = 0
+    if circ is None:
+        return mask
+    for gate in circ.gates:
+        if gate.name == "barrier":
+            continue
+        if gate.name != "x":
+            raise ValueError(
+                "sector simulation requires an occupation-basis initial "
+                f"state (X gates only); found '{gate.name}'")
+        mask ^= 1 << gate.qubits[0]
+    return mask
+
+
+class SectorUCC:
+    """Compiled sector-basis form of a UCC/UCCSD circuit.
+
+    Built from an ansatz produced by sim.ansatz.UCC (it carries its
+    excitation list); exposes
+
+      state(theta)        -> sector amplitude vector, shape (nd + 1,)
+                             (the trailing slot is scatter padding; the
+                             physical amplitudes are state(theta)[:nd])
+      to_full(v)          -> scatter into the full 2^N statevector
+      build_hamiltonian(h_so, g_so) -> dense (nd, nd) sector Hamiltonian,
+                             jit-safe in the integral tensors
+      energy(theta, H)    -> <psi(theta)| H |psi(theta)>
+    """
+
+    def __init__(self, ansatz: QuantumCircuit, num_spin_orbitals: int):
+        excs = getattr(ansatz, "_ucc_excitations", None)
+        if excs is None:
+            raise ValueError(
+                "sector simulation requires a UCC-family ansatz built by "
+                "sim.ansatz.UCC/UCCSD (carrying its excitation list)")
+        if len(excs) != ansatz.num_parameters:
+            raise ValueError(
+                f"ansatz has {ansatz.num_parameters} parameters but "
+                f"{len(excs)} excitation applications — cannot map "
+                "parameters onto sector rotations")
+        N = num_spin_orbitals
+        n = N // 2
+        init_mask = _initial_mask_from_circuit(
+            getattr(ansatz, "_ucc_initial_state", None))
+        na = int(_bitcount(np.asarray([init_mask & ((1 << n) - 1)]))[0])
+        nb = int(_bitcount(np.asarray([init_mask >> n]))[0])
+        self.num_qubits = N
+        self.num_particles = (na, nb)
+
+        dets = np.asarray(
+            enumerate_determinants(N, (na, nb), max_excitation=na + nb),
+            dtype=np.int64)
+        self.dets = dets
+        nd = len(dets)
+        self.dim = nd
+        init_pos = int(np.searchsorted(dets, init_mask))
+        if init_pos >= nd or dets[init_pos] != init_mask:
+            raise ValueError("initial determinant not in the sector basis")
+        self.init_index = init_pos
+
+        # -- per-gate Givens pair tables, padded to the widest gate --------
+        pair_lo, pair_hi, pair_sg = [], [], []
+        for occ, vir in excs:
+            occ_mask = sum(1 << i for i in occ)
+            vir_mask = sum(1 << a for a in vir)
+            domain = ((dets & occ_mask) == occ_mask) & ((dets & vir_mask) == 0)
+            src = dets[domain]
+            dst, sg = _apply_ladder_chain(src, occ, vir)
+            lo = np.nonzero(domain)[0]
+            hi = np.searchsorted(dets, dst)
+            if not np.array_equal(dets[hi], dst):
+                raise AssertionError("excitation left the sector basis")
+            pair_lo.append(lo)
+            pair_hi.append(hi)
+            pair_sg.append(sg)
+        pmax = max((len(p) for p in pair_lo), default=1)
+        K = len(excs)
+        LO = np.full((K, pmax), nd, dtype=np.int32)   # pad -> scratch slot
+        HI = np.full((K, pmax), nd, dtype=np.int32)
+        SG = np.zeros((K, pmax), dtype=np.float64)
+        for k in range(K):
+            c = len(pair_lo[k])
+            LO[k, :c] = pair_lo[k]
+            HI[k, :c] = pair_hi[k]
+            SG[k, :c] = pair_sg[k]
+        self._LO, self._HI, self._SG = LO, HI, SG
+
+        # -- Slater-Condon structure for the on-device H assembly ----------
+        self._sc = slater_condon_structure([int(d) for d in dets], N)
+
+    # -- simulation ----------------------------------------------------------
+    def state(self, theta: jnp.ndarray) -> jnp.ndarray:
+        """Sector amplitudes after the UCC rotations; shape (nd + 1,) with
+        a trailing scatter-padding slot (zero)."""
+        nd = self.dim
+        dtype = theta.dtype
+        v0 = jnp.zeros(nd + 1, dtype=dtype).at[self.init_index].set(1.0)
+        LO = jnp.asarray(self._LO)
+        HI = jnp.asarray(self._HI)
+        SG = jnp.asarray(self._SG, dtype=dtype)
+
+        def gate(v, xs):
+            lo, hi, sg, th = xs
+            c = jnp.cos(th)
+            s = jnp.sin(th)
+            va = v[lo]
+            vb = v[hi]
+            valid = sg != 0
+            na = jnp.where(valid, c * va - sg * s * vb, va)
+            nb = jnp.where(valid, sg * s * va + c * vb, vb)
+            # pairs are disjoint within one gate; pads all write the
+            # scratch slot nd with its unchanged (zero) value
+            v = v.at[lo].set(na)
+            v = v.at[hi].set(nb)
+            return v, None
+
+        v, _ = jax.lax.scan(gate, v0, (LO, HI, SG, theta))
+        return v
+
+    def to_full(self, v: jnp.ndarray) -> jnp.ndarray:
+        """Scatter sector amplitudes into the full 2^N statevector."""
+        full = jnp.zeros(2 ** self.num_qubits, dtype=v.dtype)
+        return full.at[jnp.asarray(self.dets)].set(v[: self.dim])
+
+    def full_state(self, theta: jnp.ndarray) -> jnp.ndarray:
+        return self.to_full(self.state(theta))
+
+    # -- sector Hamiltonian ----------------------------------------------------
+    def build_hamiltonian(self, h_so: jnp.ndarray,
+                          g_so: jnp.ndarray) -> jnp.ndarray:
+        """Dense sector Hamiltonian from spin-orbital (h, g) in the package
+        convention E = sum h*gamma + sum g*Gamma (g = 1/2 physicist).
+        Pure jnp on precomputed host structure — safe inside jit, so the
+        fused OptOrb programs rebuild it from rotated integrals on device."""
+        st = self._sc
+        nd = self.dim
+        dtype = h_so.dtype
+        occf = jnp.asarray(st["occf"], dtype=dtype)
+        h = h_so
+        g = g_so
+        hdiag = jnp.diagonal(h)
+        J = 2.0 * (jnp.einsum("pqpq->pq", g) - jnp.einsum("pqqp->pq", g))
+        diag = occf @ hdiag + 0.5 * jnp.einsum("mp,pq,mq->m", occf, J, occf)
+        H = jnp.zeros((nd, nd), dtype=dtype)
+        H = H.at[jnp.arange(nd), jnp.arange(nd)].set(diag)
+        if len(st["su"]):
+            su = jnp.asarray(st["su"])
+            sv = jnp.asarray(st["sv"])
+            i_idx = jnp.asarray(st["s_i"])
+            a_idx = jnp.asarray(st["s_a"])
+            C = 2.0 * (jnp.einsum("prqr->pqr", g) - jnp.einsum("prrq->pqr", g))
+            Air = C[i_idx, a_idx]
+            val = (h[i_idx, a_idx]
+                   + jnp.sum(Air * jnp.asarray(st["s_common"], dtype=dtype),
+                             axis=1)) * jnp.asarray(st["s_phase"], dtype=dtype)
+            H = H.at[su, sv].set(val)
+            H = H.at[sv, su].set(val)
+        if len(st["du"]):
+            du = jnp.asarray(st["du"])
+            dv = jnp.asarray(st["dv"])
+            i_idx = jnp.asarray(st["d_i"])
+            j_idx = jnp.asarray(st["d_j"])
+            a_idx = jnp.asarray(st["d_a"])
+            b_idx = jnp.asarray(st["d_b"])
+            vals = 2.0 * (g[i_idx, j_idx, a_idx, b_idx]
+                          - g[i_idx, j_idx, b_idx, a_idx]) \
+                * jnp.asarray(st["d_phase"], dtype=dtype)
+            H = H.at[du, dv].set(vals)
+            H = H.at[dv, du].set(vals)
+        return H
+
+    def energy(self, theta: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:
+        v = self.state(theta)[: self.dim]
+        return v @ (H @ v)
