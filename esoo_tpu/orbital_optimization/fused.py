@@ -223,7 +223,8 @@ class FusedOptOrbEigensolverResult:
 
 
 @partial(jax.jit, static_argnames=(
-    "apply_fn", "n_active", "outer_maxiter", "inner_maxiter", "vqe_maxiter"))
+    "apply_fn", "n_active", "outer_maxiter", "inner_maxiter", "vqe_maxiter",
+    "sector"))
 def _fused_optorb_ssvqe(apply_fn: Callable,
                         n_active: int,
                         init_mat: jnp.ndarray,          # (k, 2^N)
@@ -238,24 +239,55 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
                         decay: jnp.ndarray,
                         outer_maxiter: int = 20,
                         inner_maxiter: int = 10000,
-                        vqe_maxiter: int = 300):
-    """Fused SSVQE outer loop: (energies, theta, U, n_outer, trace)."""
+                        vqe_maxiter: int = 300,
+                        sector=None,
+                        sector_init: jnp.ndarray = None):  # (k, nd + 1)
+    """Fused SSVQE outer loop: (energies, theta, U, n_outer, trace).
+
+    With `sector` (sim.sector.SectorUCC) + `sector_init`, the k state
+    simulations and the weighted cost run in the particle-number sector
+    (Givens gates + one dense sector-H GEMV per state per evaluation);
+    the per-outer-iteration RDM extraction scatters back to full space."""
     N = 2 * n_active
     gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
 
-    def state_energies(theta, h_act, g_act):
-        h_so, g_so = expand_spin_tensors(h_act, g_act)
-        states = jax.vmap(apply_fn, in_axes=(0, None))(init_mat, theta)
-        return jax.vmap(lambda s: rdm_energy(s, h_so, g_so))(states), states
+    if sector is None:
+        def state_energies(theta, h_act, g_act):
+            h_so, g_so = expand_spin_tensors(h_act, g_act)
+            states = jax.vmap(apply_fn, in_axes=(0, None))(init_mat, theta)
+            return (jax.vmap(lambda s: rdm_energy(s, h_so, g_so))(states),
+                    states)
 
-    def weighted_cost(theta, h_act, g_act):
-        es, _ = state_energies(theta, h_act, g_act)
-        return jnp.dot(weights, es)
+        def weighted_cost(theta, h_act, g_act):
+            es, _ = state_energies(theta, h_act, g_act)
+            return jnp.dot(weights, es)
 
-    def run_ssvqe(theta, h_act, g_act):
-        res = lbfgs_minimize(weighted_cost, theta, args=(h_act, g_act),
-                             maxiter=vqe_maxiter, gtol=gtol)
-        return res.x, res.fun
+        def run_ssvqe(theta, h_act, g_act):
+            res = lbfgs_minimize(weighted_cost, theta, args=(h_act, g_act),
+                                 maxiter=vqe_maxiter, gtol=gtol)
+            return res.x, res.fun
+    else:
+        def state_energies(theta, h_act, g_act):
+            h_so, g_so = expand_spin_tensors(h_act, g_act)
+            states = jax.vmap(
+                lambda v0: sector.to_full(sector.apply(v0, theta)))(
+                    sector_init)
+            return (jax.vmap(lambda s: rdm_energy(s, h_so, g_so))(states),
+                    states)
+
+        def run_ssvqe(theta, h_act, g_act):
+            h_so, g_so = expand_spin_tensors(h_act, g_act)
+            Hs = sector.build_hamiltonian(h_so, g_so)
+
+            def cost(th):
+                vs = jax.vmap(sector.apply,
+                              in_axes=(0, None))(sector_init, th)
+                es = jax.vmap(lambda v: sector.quadform(v, Hs))(vs)
+                return jnp.dot(weights, es)
+
+            res = lbfgs_minimize(cost, theta, maxiter=vqe_maxiter,
+                                 gtol=gtol)
+            return res.x, res.fun
 
     vag = _ORBITAL_VAG
 
@@ -324,6 +356,7 @@ class FusedOptOrbSSVQE:
                  vqe_maxiter: int = 300,
                  dtype=None,
                  mesh=None,
+                 simulation: str = "full",
                  _spatial_tensors=None):
         from .kernels import spatial_blocks, spin_blocks_consistent
 
@@ -375,6 +408,26 @@ class FusedOptOrbSSVQE:
                     "weighted-sum variational argument requires it)")
         self._init_mat = jnp.asarray(V, dtype=dtype)
         self.k = len(initial_states)
+        if simulation not in ("full", "sector"):
+            raise ValueError("simulation must be 'full' or 'sector'")
+        self._sector = None
+        self._sector_init = None
+        if simulation == "sector":
+            # particle-number-sector fast path; every initial state must
+            # live in the ansatz's (na, nb) sector (project_full raises
+            # otherwise — e.g. for differently-excited determinants)
+            from ..sim.sector import SectorUCC
+            # infer the sector from the first initial state's dominant
+            # determinant (project_full then validates every state)
+            nq = num_spin_orbitals
+            nsp = nq // 2
+            lead = int(np.argmax(np.abs(V[0])))
+            parts = (bin(lead & ((1 << nsp) - 1)).count("1"),
+                     bin(lead >> nsp).count("1"))
+            self._sector = SectorUCC(ansatz, nq, num_particles=parts)
+            self._sector_init = jnp.asarray(
+                np.stack([self._sector.project_full(v) for v in V]),
+                dtype=dtype)
         if mesh is not None and "state" in mesh.shape:
             # 2-D mesh (parallel.make_orbital_state_mesh): the k
             # statevector simulations data-parallelize over the state
@@ -430,6 +483,8 @@ class FusedOptOrbSSVQE:
                 outer_maxiter=self.maxiter,
                 inner_maxiter=self.inner_maxiter,
                 vqe_maxiter=self.vqe_maxiter,
+                sector=self._sector,
+                sector_init=self._sector_init,
             )
         it = int(it)
         return FusedOptOrbEigensolverResult(
@@ -645,6 +700,10 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
                  betas=None, weight_vector=None, **kwargs):
         super().__init__(num_spin_orbitals, ansatz, initial_states,
                          weight_vector=weight_vector, **kwargs)
+        if self._sector is not None:
+            raise ValueError(
+                "simulation='sector' is not supported by the sequential "
+                "VQD program yet (use FusedOptOrbSSVQE/MCVQE or 'full')")
         if betas is None:
             # deflation only works when beta exceeds the relevant energy
             # gap; derive the bound from the active-space integrals at the

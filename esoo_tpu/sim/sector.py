@@ -102,7 +102,8 @@ class SectorUCC:
       energy(theta, H)    -> <psi(theta)| H |psi(theta)>
     """
 
-    def __init__(self, ansatz: QuantumCircuit, num_spin_orbitals: int):
+    def __init__(self, ansatz: QuantumCircuit, num_spin_orbitals: int,
+                 num_particles: Optional[Tuple[int, int]] = None):
         excs = getattr(ansatz, "_ucc_excitations", None)
         if excs is None:
             raise ValueError(
@@ -115,10 +116,19 @@ class SectorUCC:
                 "parameters onto sector rotations")
         N = num_spin_orbitals
         n = N // 2
-        init_mask = _initial_mask_from_circuit(
-            getattr(ansatz, "_ucc_initial_state", None))
-        na = int(_bitcount(np.asarray([init_mask & ((1 << n) - 1)]))[0])
-        nb = int(_bitcount(np.asarray([init_mask >> n]))[0])
+        init_circuit = getattr(ansatz, "_ucc_initial_state", None)
+        init_mask = _initial_mask_from_circuit(init_circuit)
+        if num_particles is None:
+            if init_circuit is None:
+                raise ValueError(
+                    "cannot infer the particle sector: the ansatz has no "
+                    "initial state — pass num_particles= explicitly (the "
+                    "excited-state solvers derive it from their initial "
+                    "states)")
+            na = int(_bitcount(np.asarray([init_mask & ((1 << n) - 1)]))[0])
+            nb = int(_bitcount(np.asarray([init_mask >> n]))[0])
+            num_particles = (na, nb)
+        na, nb = num_particles
         self.num_qubits = N
         self.num_particles = (na, nb)
 
@@ -128,10 +138,13 @@ class SectorUCC:
         self.dets = dets
         nd = len(dets)
         self.dim = nd
-        init_pos = int(np.searchsorted(dets, init_mask))
-        if init_pos >= nd or dets[init_pos] != init_mask:
-            raise ValueError("initial determinant not in the sector basis")
-        self.init_index = init_pos
+        self.init_index = None
+        if init_circuit is not None:
+            init_pos = int(np.searchsorted(dets, init_mask))
+            if init_pos >= nd or dets[init_pos] != init_mask:
+                raise ValueError(
+                    "initial determinant not in the sector basis")
+            self.init_index = init_pos
 
         # -- per-gate Givens pair tables, padded to the widest gate --------
         pair_lo, pair_hi, pair_sg = [], [], []
@@ -164,12 +177,24 @@ class SectorUCC:
         self._sc = slater_condon_structure([int(d) for d in dets], N)
 
     # -- simulation ----------------------------------------------------------
-    def state(self, theta: jnp.ndarray) -> jnp.ndarray:
-        """Sector amplitudes after the UCC rotations; shape (nd + 1,) with
-        a trailing scatter-padding slot (zero)."""
-        nd = self.dim
+    def project_full(self, vec_full: np.ndarray) -> np.ndarray:
+        """Project a full 2^N vector onto the sector basis (host helper for
+        initial states); returns shape (nd + 1,) with the padding slot.
+        Raises if the vector has support outside the sector."""
+        vec_full = np.asarray(vec_full)
+        v = vec_full[self.dets]
+        if not np.isclose(float(v @ v), float(vec_full @ vec_full),
+                          atol=1e-9):
+            raise ValueError(
+                "initial state has support outside the particle-number "
+                "sector — sector simulation is invalid for it")
+        return np.concatenate([v, [0.0]])
+
+    def apply(self, v0: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+        """Apply the UCC rotations to sector amplitudes v0 (shape nd + 1,
+        trailing scatter-padding slot)."""
         dtype = theta.dtype
-        v0 = jnp.zeros(nd + 1, dtype=dtype).at[self.init_index].set(1.0)
+        v0 = v0.astype(dtype)
         LO = jnp.asarray(self._LO)
         HI = jnp.asarray(self._HI)
         SG = jnp.asarray(self._SG, dtype=dtype)
@@ -191,6 +216,13 @@ class SectorUCC:
 
         v, _ = jax.lax.scan(gate, v0, (LO, HI, SG, theta))
         return v
+
+    def state(self, theta: jnp.ndarray) -> jnp.ndarray:
+        """Sector amplitudes of the compiled circuit (HF initial state)
+        after the UCC rotations; shape (nd + 1,)."""
+        v0 = jnp.zeros(self.dim + 1,
+                       dtype=theta.dtype).at[self.init_index].set(1.0)
+        return self.apply(v0, theta)
 
     def to_full(self, v: jnp.ndarray) -> jnp.ndarray:
         """Scatter sector amplitudes into the full 2^N statevector."""
@@ -244,6 +276,10 @@ class SectorUCC:
             H = H.at[dv, du].set(vals)
         return H
 
-    def energy(self, theta: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:
-        v = self.state(theta)[: self.dim]
+    def quadform(self, v: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:
+        """<v|H|v> for a (possibly padded) sector vector."""
+        v = v[: self.dim]
         return v @ (H @ v)
+
+    def energy(self, theta: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:
+        return self.quadform(self.state(theta), H)

@@ -95,6 +95,60 @@ def test_fused_optorbvqe_sector_matches_full(h2_631g):
                                          -1.8661038079694765, decimal=3)
 
 
+def test_fused_ssvqe_mcvqe_sector_match_full(h2_631g):
+    """Excited-state fused solvers under sector simulation reproduce the
+    full-space results and the reference energies
+    (tests/test_optorbssvqe.py:65, test_optorbmcvqe.py:61)."""
+    from esoo_tpu.orbital_optimization import (FusedOptOrbMCVQE,
+                                               FusedOptOrbSSVQE)
+    ans = UCCSD(2, (1, 1), reps=2)
+    s0 = QuantumCircuit(4); s0.x(0); s0.x(2)
+    s1 = QuantumCircuit(4); s1.x(1); s1.x(2)
+    rs = {}
+    for sim in ("full", "sector"):
+        r = FusedOptOrbSSVQE(num_spin_orbitals=4, ansatz=ans,
+                             initial_states=[s0, s1], weight_vector=[2, 1],
+                             problem=h2_631g, maxiter=20,
+                             simulation=sim).compute_energies()
+        rs[sim] = np.asarray(r.eigenvalues)
+    np.testing.assert_allclose(rs["sector"], rs["full"], atol=1e-7)
+    np.testing.assert_array_almost_equal(
+        rs["sector"], [-1.85403538, -1.37044354], decimal=3)
+    rm = {}
+    for sim in ("full", "sector"):
+        r = FusedOptOrbMCVQE(num_spin_orbitals=4, ansatz=ans,
+                             num_particles=(1, 1), k=2, excitations="s",
+                             problem=h2_631g, maxiter=20,
+                             simulation=sim).compute_energies()
+        rm[sim] = np.asarray(r.eigenvalues)
+    np.testing.assert_allclose(rm["sector"], rm["full"], atol=1e-7)
+    np.testing.assert_array_almost_equal(
+        rm["sector"], [-1.85703467, -1.46615986], decimal=3)
+
+
+def test_fused_vqd_sector_raises(h2_631g):
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQD
+    ans = UCCSD(2, (1, 1), reps=2)
+    s0 = QuantumCircuit(4); s0.x(0); s0.x(2)
+    s1 = QuantumCircuit(4); s1.x(1); s1.x(2)
+    with pytest.raises(ValueError, match="sequential VQD"):
+        FusedOptOrbVQD(num_spin_orbitals=4, ansatz=ans,
+                       initial_states=[s0, s1], betas=[2, 2],
+                       problem=h2_631g, simulation="sector")
+
+
+def test_sector_outside_sector_initial_state_raises(h2_631g):
+    """An initial state in a different particle sector is rejected."""
+    from esoo_tpu.orbital_optimization import FusedOptOrbSSVQE
+    ans = UCCSD(2, (1, 1), reps=2)
+    s0 = QuantumCircuit(4); s0.x(0); s0.x(2)
+    s2 = QuantumCircuit(4); s2.x(0); s2.x(1)  # (2, 0) sector
+    with pytest.raises(ValueError, match="outside the particle-number"):
+        FusedOptOrbSSVQE(num_spin_orbitals=4, ansatz=ans,
+                         initial_states=[s0, s2], problem=h2_631g,
+                         simulation="sector")
+
+
 def test_sector_requires_ucc_family():
     with pytest.raises(ValueError, match="UCC-family"):
         SectorUCC(TwoLocal(4, reps=1), 4)
