@@ -21,6 +21,37 @@ from ..sim.rdm import rdm_energy
 from ..sim.statevector import CompiledCircuit, compile_circuit
 
 _FERMI_CACHE: Dict[tuple, tuple] = {}
+_SECTOR_CACHE: Dict[tuple, object] = {}
+
+
+def _sector_for(circuit: QuantumCircuit):
+    """SectorUCC for a UCC-family circuit with its own occupation-basis
+    initial state, or None when the circuit is not sector-eligible.
+    Cached on the circuit fingerprint."""
+    key = circuit.fingerprint()
+    if key in _SECTOR_CACHE:
+        return _SECTOR_CACHE[key]
+    sec = None
+    try:
+        from ..sim.sector import SectorUCC
+        sec = SectorUCC(circuit, circuit.num_qubits)
+        if sec.init_index is None:
+            sec = None
+    except ValueError:
+        sec = None
+    _SECTOR_CACHE[key] = sec
+    return sec
+
+
+def _sector_jits(sec) -> tuple:
+    """(build_h, energy, value_and_grad) jitted once per SectorUCC."""
+    jits = getattr(sec, "_jits", None)
+    if jits is None:
+        build = jax.jit(sec.build_hamiltonian)
+        e = jax.jit(sec.energy)
+        vag = jax.jit(jax.value_and_grad(sec.energy))
+        jits = sec._jits = (build, e, vag)
+    return jits
 
 
 def fermionic_evaluators(compiled: CompiledCircuit, fingerprint) -> tuple:
@@ -96,6 +127,25 @@ def make_evaluators(circuit: QuantumCircuit, operator: SparsePauliOp):
         h, g = operator.fermionic
         h_j = jnp.asarray(h)
         g_j = jnp.asarray(g)
+
+        sec = _sector_for(circuit)
+        if sec is not None:
+            # particle-number-sector fast path (sim/sector.py): the dense
+            # sector Hamiltonian is built once per operator (i.e. once per
+            # OptOrb outer iteration) and every optimizer iterate is
+            # Givens gates + one GEMV in the C(n,na)*C(n,nb)-dim sector
+            build, e_jit_s, vag_jit_s = _sector_jits(sec)
+            Hs = build(h_j, g_j)
+
+            def energy(theta):
+                return float(e_jit_s(jnp.asarray(theta), Hs))
+
+            def vag(theta):
+                v, gr = vag_jit_s(jnp.asarray(theta), Hs)
+                return float(v), np.asarray(gr)
+
+            return energy, vag
+
         e_jit, vag_jit = fermionic_evaluators(compiled, circuit.fingerprint())
 
         def energy(theta):
