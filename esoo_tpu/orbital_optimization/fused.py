@@ -589,7 +589,7 @@ class FusedOptOrbMCVQE(FusedOptOrbSSVQE):
 
 @partial(jax.jit, static_argnames=(
     "apply_fn", "n_active", "k", "outer_maxiter", "inner_maxiter",
-    "vqe_maxiter"))
+    "vqe_maxiter", "sector"))
 def _fused_optorb_vqd(apply_fn: Callable,
                       n_active: int,
                       k: int,
@@ -606,45 +606,83 @@ def _fused_optorb_vqd(apply_fn: Callable,
                       decay: jnp.ndarray,
                       outer_maxiter: int = 20,
                       inner_maxiter: int = 10000,
-                      vqe_maxiter: int = 300):
+                      vqe_maxiter: int = 300,
+                      sector=None,
+                      sector_init: jnp.ndarray = None):  # (k, nd + 1)
     """Fused VQD OptOrb loop.  Deflation is sequential over the k states
     (mandatory: state j's penalty references states < j), but each state's
     BFGS, the overlap penalties, the RDMs and the BB descent all live in
     the single compiled program.  Returns (energies, thetas, U, it, trace).
+
+    With `sector` + `sector_init`, each state's cost, its deflation
+    overlaps, and the eigenvalues run in the particle-number sector; the
+    RDM extraction scatters the k states back to full space.
     """
     N = 2 * n_active
     dim = init_mat.shape[1]
     gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
+    # beta for previous state i is betas[i] (ref vqd.py:413-414);
+    # pad at the END so index k-1 (never a previous state) is inert
+    bpad = jnp.concatenate([betas, jnp.zeros(1, betas.dtype)])
 
-    def deflated_cost(theta, j, prev_states, h_so, g_so):
-        s = apply_fn(init_mat[j], theta)
-        e = rdm_energy(s, h_so, g_so)
-        ov = prev_states @ s                      # (k,) overlaps
-        mask = (jnp.arange(k) < j).astype(s.dtype)
-        # beta for previous state i is betas[i] (ref vqd.py:413-414);
-        # pad at the END so index k-1 (never a previous state) is inert
-        bpad = jnp.concatenate([betas, jnp.zeros(1, betas.dtype)])
-        return e + jnp.sum(mask * bpad * ov * ov)
+    if sector is None:
+        def deflated_cost(theta, j, prev_states, h_so, g_so):
+            s = apply_fn(init_mat[j], theta)
+            e = rdm_energy(s, h_so, g_so)
+            ov = prev_states @ s                      # (k,) overlaps
+            mask = (jnp.arange(k) < j).astype(s.dtype)
+            return e + jnp.sum(mask * bpad * ov * ov)
 
-    def run_vqd(thetas, h_act, g_act):
-        h_so, g_so = expand_spin_tensors(h_act, g_act)
+        def run_vqd(thetas, h_act, g_act):
+            h_so, g_so = expand_spin_tensors(h_act, g_act)
 
-        def step(j, carry):
-            thetas, prev_states, energies = carry
-            res = lbfgs_minimize(
-                deflated_cost, thetas[j], args=(j, prev_states, h_so, g_so),
-                maxiter=vqe_maxiter, gtol=gtol)
-            s = apply_fn(init_mat[j], res.x)
-            e = rdm_energy(s, h_so, g_so)   # deflation-free eigenvalue
-            return (thetas.at[j].set(res.x),
-                    prev_states.at[j].set(s),
-                    energies.at[j].set(e))
+            def step(j, carry):
+                thetas, prev_states, energies = carry
+                res = lbfgs_minimize(
+                    deflated_cost, thetas[j],
+                    args=(j, prev_states, h_so, g_so),
+                    maxiter=vqe_maxiter, gtol=gtol)
+                s = apply_fn(init_mat[j], res.x)
+                e = rdm_energy(s, h_so, g_so)   # deflation-free eigenvalue
+                return (thetas.at[j].set(res.x),
+                        prev_states.at[j].set(s),
+                        energies.at[j].set(e))
 
-        prev0 = jnp.zeros((k, dim), dtype=h_sp.dtype)
-        e0 = jnp.zeros((k,), dtype=h_sp.dtype)
-        thetas, states, energies = jax.lax.fori_loop(
-            0, k, step, (thetas, prev0, e0))
-        return thetas, states, energies
+            prev0 = jnp.zeros((k, dim), dtype=h_sp.dtype)
+            e0 = jnp.zeros((k,), dtype=h_sp.dtype)
+            thetas, states, energies = jax.lax.fori_loop(
+                0, k, step, (thetas, prev0, e0))
+            return thetas, states, energies
+    else:
+        def run_vqd(thetas, h_act, g_act):
+            h_so, g_so = expand_spin_tensors(h_act, g_act)
+            Hs = sector.build_hamiltonian(h_so, g_so)
+            nd = sector.dim
+
+            def deflated_cost_s(theta, j, prev_vs):
+                v = sector.apply(sector_init[j], theta)
+                e = sector.quadform(v, Hs)
+                ov = prev_vs[:, :nd] @ v[:nd]
+                mask = (jnp.arange(k) < j).astype(v.dtype)
+                return e + jnp.sum(mask * bpad * ov * ov)
+
+            def step(j, carry):
+                thetas, prev_vs, energies = carry
+                res = lbfgs_minimize(
+                    deflated_cost_s, thetas[j], args=(j, prev_vs),
+                    maxiter=vqe_maxiter, gtol=gtol)
+                v = sector.apply(sector_init[j], res.x)
+                e = sector.quadform(v, Hs)
+                return (thetas.at[j].set(res.x),
+                        prev_vs.at[j].set(v),
+                        energies.at[j].set(e))
+
+            prev0 = jnp.zeros((k, sector.dim + 1), dtype=h_sp.dtype)
+            e0 = jnp.zeros((k,), dtype=h_sp.dtype)
+            thetas, vs, energies = jax.lax.fori_loop(
+                0, k, step, (thetas, prev0, e0))
+            states = jax.vmap(sector.to_full)(vs)
+            return thetas, states, energies
 
     vag = _ORBITAL_VAG
 
@@ -700,10 +738,6 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
                  betas=None, weight_vector=None, **kwargs):
         super().__init__(num_spin_orbitals, ansatz, initial_states,
                          weight_vector=weight_vector, **kwargs)
-        if self._sector is not None:
-            raise ValueError(
-                "simulation='sector' is not supported by the sequential "
-                "VQD program yet (use FusedOptOrbSSVQE/MCVQE or 'full')")
         if betas is None:
             # deflation only works when beta exceeds the relevant energy
             # gap; derive the bound from the active-space integrals at the
@@ -740,6 +774,8 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
                 outer_maxiter=self.maxiter,
                 inner_maxiter=self.inner_maxiter,
                 vqe_maxiter=self.vqe_maxiter,
+                sector=self._sector,
+                sector_init=self._sector_init,
             )
         it = int(it)
         result = FusedOptOrbEigensolverResult(

@@ -126,15 +126,24 @@ def test_fused_ssvqe_mcvqe_sector_match_full(h2_631g):
         rm["sector"], [-1.85703467, -1.46615986], decimal=3)
 
 
-def test_fused_vqd_sector_raises(h2_631g):
+def test_fused_vqd_sector_matches_full(h2_631g):
+    """Sequential deflation in the sector (overlaps = sector dot products)
+    matches the full-space fused VQD and the reference energies
+    (tests/test_optorbvqd.py:69)."""
     from esoo_tpu.orbital_optimization import FusedOptOrbVQD
     ans = UCCSD(2, (1, 1), reps=2)
     s0 = QuantumCircuit(4); s0.x(0); s0.x(2)
     s1 = QuantumCircuit(4); s1.x(1); s1.x(2)
-    with pytest.raises(ValueError, match="sequential VQD"):
-        FusedOptOrbVQD(num_spin_orbitals=4, ansatz=ans,
-                       initial_states=[s0, s1], betas=[2, 2],
-                       problem=h2_631g, simulation="sector")
+    rs = {}
+    for sim in ("full", "sector"):
+        r = FusedOptOrbVQD(num_spin_orbitals=4, ansatz=ans,
+                           initial_states=[s0, s1], betas=[2, 2],
+                           problem=h2_631g, maxiter=20,
+                           simulation=sim).compute_energies()
+        rs[sim] = np.asarray(r.eigenvalues)
+    np.testing.assert_allclose(rs["sector"], rs["full"], atol=1e-6)
+    np.testing.assert_array_almost_equal(
+        rs["sector"], [-1.8540352, -1.37044389], decimal=3)
 
 
 def test_sector_outside_sector_initial_state_raises(h2_631g):
