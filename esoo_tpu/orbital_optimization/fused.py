@@ -791,7 +791,7 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
 
 @partial(jax.jit, static_argnames=(
     "state_fn", "n_active", "R", "P", "outer_maxiter", "inner_maxiter",
-    "vqe_maxiter"))
+    "vqe_maxiter", "sector"))
 def _fused_optorb_adapt_vqe(state_fn: Callable,
                             n_active: int,
                             R: int,                 # growth slots
@@ -807,7 +807,8 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
                             decay: jnp.ndarray,
                             outer_maxiter: int = 20,
                             inner_maxiter: int = 10000,
-                            vqe_maxiter: int = 200):
+                            vqe_maxiter: int = 200,
+                            sector=None):
     """Fused ADAPT-VQE OptOrb loop: (E, theta, mask, U, n_outer, trace).
 
     ADAPT growth runs entirely on device as masking over a fixed padded
@@ -821,20 +822,42 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
 
     The ansatz re-grows from scratch every outer iteration (reference
     OptOrbAdaptVQE.parameter_update_rule is a no-op, opt_orb_adapt_vqe.py:86-89).
+
+    With `sector` (a SectorUCC over the padded R x P circuit), every
+    screening backward pass and every BFGS evaluation runs in the
+    particle-number sector against a dense sector Hamiltonian rebuilt once
+    per outer iteration; only the RDM extraction scatters back to 2^N.
     """
     dtype = h_sp.dtype
     N = 2 * n_active
     gtol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-5
 
-    def vqe_energy(theta, h_act, g_act):
-        h_so, g_so = expand_spin_tensors(h_act, g_act)
-        return rdm_energy(state_fn(theta), h_so, g_so)
+    if sector is None:
+        def make_energy(h_act, g_act):
+            h_so, g_so = expand_spin_tensors(h_act, g_act)
 
-    e_vag = jax.value_and_grad(vqe_energy)
+            def energy(theta):
+                return rdm_energy(state_fn(theta), h_so, g_so)
+            return energy
+
+        rdm_state_fn = state_fn
+    else:
+        def make_energy(h_act, g_act):
+            h_so, g_so = expand_spin_tensors(h_act, g_act)
+            Hs = sector.build_hamiltonian(h_so, g_so)
+
+            def energy(theta):
+                return sector.energy(theta, Hs)
+            return energy
+
+        rdm_state_fn = sector.full_state
 
     def run_adapt(h_act, g_act):
+        vqe_energy = make_energy(h_act, g_act)
+        e_vag = jax.value_and_grad(vqe_energy)
+
         def masked_cost(theta, mask):
-            return vqe_energy(theta * mask, h_act, g_act)
+            return vqe_energy(theta * mask)
 
         def grow_cond(c):
             r, theta, mask, prev_sel, E_g, done_g = c
@@ -843,7 +866,7 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
         def grow_body(c):
             r, theta, mask, prev_sel, E_g, done_g = c
             # screening: raw gradient at theta (zeros in unselected slots)
-            _, grad = e_vag(theta, h_act, g_act)
+            _, grad = e_vag(theta)
             pg = jnp.abs(jax.lax.dynamic_slice(grad, (r * P,), (P,)))
             best = jnp.argmax(pg)
             max_g = pg[best]
@@ -868,7 +891,7 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
 
         theta0 = jnp.zeros((R * P,), dtype=dtype)
         mask0 = jnp.zeros((R * P,), dtype=dtype)
-        E0 = vqe_energy(theta0, h_act, g_act)
+        E0 = vqe_energy(theta0)
         c = (jnp.asarray(0), theta0, mask0, jnp.asarray(-1), E0,
              jnp.asarray(False))
         _, theta, mask, _, E, _ = jax.lax.while_loop(grow_cond, grow_body, c)
@@ -886,7 +909,7 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
         theta, mask, E = run_adapt(h_act, g_act)
         trace = trace.at[it].set(E)
 
-        state = state_fn(theta * mask)
+        state = rdm_state_fn(theta * mask)
         gamma = one_rdm(state, N)
         Gamma = two_rdm(state, N)
         gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
@@ -1069,6 +1092,13 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
         for _ in range(self._R):
             for group in pool:
                 _append_group(padded, group)
+        # the padded circuit is itself a UCC-family circuit (pool groups
+        # repeated R times, parameter k <-> excitation k) — carry the
+        # metadata so simulation='sector' can compile it via SectorUCC
+        excs = getattr(ansatz, "_ucc_excitations", None)
+        if excs is not None and len(excs) == self._P:
+            padded._ucc_excitations = list(excs) * self._R
+            padded._ucc_initial_state = initial
         super().__init__(num_spin_orbitals, padded, **kwargs)
         self.gradient_threshold = gradient_threshold
         self.eigenvalue_threshold = eigenvalue_threshold
@@ -1089,6 +1119,7 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
             outer_maxiter=self.maxiter,
             inner_maxiter=self.inner_maxiter,
             vqe_maxiter=self.vqe_maxiter,
+            sector=self._sector,
         )
         it = int(it)
         trace = np.asarray(trace)[:it]

@@ -168,3 +168,22 @@ def test_sector_requires_occupation_basis_initial_state():
     init.h(0)
     with pytest.raises(ValueError, match="X gates only"):
         SectorUCC(UCCSD(4, (2, 2), initial_state=init), 8)
+
+
+def test_fused_adapt_vqe_sector_matches_full(h2_631g):
+    """ADAPT growth (screening backward passes + masked BFGS) in the
+    sector matches the full-space fused program and the reference
+    OptOrbAdaptVQE energy (tests/test_optorbadaptvqe.py:64)."""
+    from esoo_tpu.orbital_optimization import FusedOptOrbAdaptVQE
+    rs = {}
+    for sim in ("full", "sector"):
+        ans = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+        r = FusedOptOrbAdaptVQE(num_spin_orbitals=4, ansatz=ans,
+                                problem=h2_631g, maxiter=20,
+                                simulation=sim).compute_minimum_energy()
+        rs[sim] = r
+    np.testing.assert_allclose(rs["sector"].eigenvalue,
+                               rs["full"].eigenvalue, atol=1e-6)
+    np.testing.assert_array_almost_equal(
+        rs["sector"].eigenvalue, -1.866104213792463, decimal=3)
+    assert int(rs["sector"].selection_mask.sum()) >= 1
