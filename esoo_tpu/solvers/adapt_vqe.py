@@ -179,6 +179,13 @@ class AdaptVQE:
         for _ in range(R):
             for group in pool:
                 _append_group(padded, group)
+        # the padded circuit is itself UCC-family (pool groups repeated R
+        # times) — carry the excitation metadata so make_evaluators can
+        # auto-dispatch it through the particle-number sector
+        excs = getattr(template, "_ucc_excitations", None)
+        if excs is not None and len(excs) == P:
+            padded._ucc_excitations = list(excs) * R
+            padded._ucc_initial_state = initial
         efn, vag = make_evaluators(padded, operator)   # the ONE compile
 
         theta_full = np.zeros(R * P)

@@ -187,3 +187,36 @@ def test_fused_adapt_vqe_sector_matches_full(h2_631g):
     np.testing.assert_array_almost_equal(
         rs["sector"].eigenvalue, -1.866104213792463, decimal=3)
     assert int(rs["sector"].selection_mask.sum()) >= 1
+
+
+def test_class_adapt_static_padded_circuit_is_sector_eligible(h2_631g):
+    """The class-based AdaptVQE static path propagates UCC metadata onto
+    its padded R x P circuit, so make_evaluators auto-dispatches it
+    through the sector; the energy still matches the reference."""
+    from esoo_tpu.ops import ActiveSpaceHamiltonianBuilder
+    from esoo_tpu.sim import Estimator
+    from esoo_tpu.solvers import VQE, AdaptVQE, L_BFGS_B
+    from esoo_tpu.solvers.energy import _sector_for
+    from esoo_tpu.solvers.adapt_vqe import _append_group
+
+    tmpl = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    padded = tmpl._ucc_initial_state.copy()
+    for _ in range(len(tmpl._ucc_pool)):
+        for g in tmpl._ucc_pool:
+            _append_group(padded, g)
+    padded._ucc_excitations = list(tmpl._ucc_excitations) * len(tmpl._ucc_pool)
+    padded._ucc_initial_state = tmpl._ucc_initial_state
+    assert _sector_for(padded) is not None
+
+    h_so, g_so = h2_631g.integral_tensors()
+    # active-space corner (first 4 spin orbitals) like the OptOrb loop
+    import numpy as _np
+    idx = _np.r_[0:2, 4:6]
+    h4 = h_so[_np.ix_(idx, idx)]
+    g4 = g_so[_np.ix_(idx, idx, idx, idx)]
+    H = ActiveSpaceHamiltonianBuilder(4).build(h4, g4)
+    solver = VQE(Estimator(), tmpl, L_BFGS_B(maxiter=200),
+                 initial_point=np.zeros(tmpl.num_parameters))
+    res = AdaptVQE(solver, static_shapes=True).compute_minimum_eigenvalue(H)
+    np.testing.assert_array_almost_equal(res.eigenvalue, -1.8523881,
+                                         decimal=4)
