@@ -142,6 +142,8 @@ def _fused_optorb_vqe(state_fn: Callable,
 
     gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
 
+    N = 2 * n_active
+
     if sector is None:
         def vqe_energy(theta, h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
@@ -155,7 +157,9 @@ def _fused_optorb_vqe(state_fn: Callable,
                                  maxiter=vqe_maxiter, gtol=gtol)
             return res.x, res.fun
 
-        rdm_state_fn = state_fn
+        def extract_rdms(theta):
+            state = state_fn(theta)
+            return one_rdm(state, N), two_rdm(state, N)
     else:
         def run_vqe(theta, h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
@@ -164,10 +168,11 @@ def _fused_optorb_vqe(state_fn: Callable,
                                  maxiter=vqe_maxiter, gtol=gtol)
             return res.x, res.fun
 
-        rdm_state_fn = sector.full_state
+        def extract_rdms(theta):
+            # sector-native RDMs: never touches the 2^N space
+            return sector.rdms(sector.state(theta))
 
     vag = _ORBITAL_VAG
-    N = 2 * n_active
 
     def outer_cond(c):
         it, theta, U, E_prev, E, trace, done = c
@@ -181,9 +186,7 @@ def _fused_optorb_vqe(state_fn: Callable,
         trace = trace.at[it].set(E)
 
         # direct RDMs of the optimal state
-        state = rdm_state_fn(theta)
-        gamma = one_rdm(state, N)
-        Gamma = two_rdm(state, N)
+        gamma, Gamma = extract_rdms(theta)
         gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
 
         U_new = _inner_bb(vag, U, (gamma_s, Gamma_s, h_sp, g_sp),
@@ -245,9 +248,9 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
     """Fused SSVQE outer loop: (energies, theta, U, n_outer, trace).
 
     With `sector` (sim.sector.SectorUCC) + `sector_init`, the k state
-    simulations and the weighted cost run in the particle-number sector
-    (Givens gates + one dense sector-H GEMV per state per evaluation);
-    the per-outer-iteration RDM extraction scatters back to full space."""
+    simulations, the weighted cost, and the per-outer-iteration RDM
+    extraction (sector.rdms) all run in the particle-number sector — the
+    2^N space is never touched."""
     N = 2 * n_active
     gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
 
@@ -255,25 +258,27 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
         def state_energies(theta, h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
             states = jax.vmap(apply_fn, in_axes=(0, None))(init_mat, theta)
-            return (jax.vmap(lambda s: rdm_energy(s, h_so, g_so))(states),
-                    states)
+            return jax.vmap(lambda s: rdm_energy(s, h_so, g_so))(states)
 
         def weighted_cost(theta, h_act, g_act):
-            es, _ = state_energies(theta, h_act, g_act)
-            return jnp.dot(weights, es)
+            return jnp.dot(weights, state_energies(theta, h_act, g_act))
 
         def run_ssvqe(theta, h_act, g_act):
             res = lbfgs_minimize(weighted_cost, theta, args=(h_act, g_act),
                                  maxiter=vqe_maxiter, gtol=gtol)
             return res.x, res.fun
+
+        def batch_rdms(theta):
+            states = jax.vmap(apply_fn, in_axes=(0, None))(init_mat, theta)
+            return (jax.vmap(lambda s: one_rdm(s, N))(states),
+                    jax.vmap(lambda s: two_rdm(s, N))(states))
     else:
         def state_energies(theta, h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
-            states = jax.vmap(
-                lambda v0: sector.to_full(sector.apply(v0, theta)))(
-                    sector_init)
-            return (jax.vmap(lambda s: rdm_energy(s, h_so, g_so))(states),
-                    states)
+            Hs = sector.build_hamiltonian(h_so, g_so)
+            vs = jax.vmap(sector.apply, in_axes=(0, None))(sector_init,
+                                                           theta)
+            return jax.vmap(lambda v: sector.quadform(v, Hs))(vs)
 
         def run_ssvqe(theta, h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
@@ -289,6 +294,12 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
                                  gtol=gtol)
             return res.x, res.fun
 
+        def batch_rdms(theta):
+            # sector-native RDMs: never touches the 2^N space
+            vs = jax.vmap(sector.apply, in_axes=(0, None))(sector_init,
+                                                           theta)
+            return jax.vmap(sector.rdms)(vs)
+
     vag = _ORBITAL_VAG
 
     def outer_cond(c):
@@ -301,10 +312,8 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
         theta, Ew = run_ssvqe(theta, h_act, g_act)
         trace = trace.at[it].set(Ew)
 
-        _, states = state_energies(theta, h_act, g_act)
         # weight-combined, spin-summed RDMs of the k states
-        gammas = jax.vmap(lambda s: one_rdm(s, N))(states)
-        Gammas = jax.vmap(lambda s: two_rdm(s, N))(states)
+        gammas, Gammas = batch_rdms(theta)
         gamma = jnp.tensordot(weights, gammas, axes=1)
         Gamma = jnp.tensordot(weights, Gammas, axes=1)
         gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
@@ -325,7 +334,7 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
         outer_cond, outer_body, c0)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
-    energies, _ = state_energies(theta, h_act, g_act)
+    energies = state_energies(theta, h_act, g_act)
     return energies, theta, U, it, trace
 
 
@@ -616,7 +625,7 @@ def _fused_optorb_vqd(apply_fn: Callable,
 
     With `sector` + `sector_init`, each state's cost, its deflation
     overlaps, and the eigenvalues run in the particle-number sector; the
-    RDM extraction scatters the k states back to full space.
+    per-state RDM extraction (sector.rdms) stays in the sector too.
     """
     N = 2 * n_active
     dim = init_mat.shape[1]
@@ -653,6 +662,10 @@ def _fused_optorb_vqd(apply_fn: Callable,
             thetas, states, energies = jax.lax.fori_loop(
                 0, k, step, (thetas, prev0, e0))
             return thetas, states, energies
+
+        def batch_rdms(states):
+            return (jax.vmap(lambda s: one_rdm(s, N))(states),
+                    jax.vmap(lambda s: two_rdm(s, N))(states))
     else:
         def run_vqd(thetas, h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
@@ -681,8 +694,11 @@ def _fused_optorb_vqd(apply_fn: Callable,
             e0 = jnp.zeros((k,), dtype=h_sp.dtype)
             thetas, vs, energies = jax.lax.fori_loop(
                 0, k, step, (thetas, prev0, e0))
-            states = jax.vmap(sector.to_full)(vs)
-            return thetas, states, energies
+            return thetas, vs, energies
+
+        def batch_rdms(vs):
+            # sector-native RDMs: never touches the 2^N space
+            return jax.vmap(sector.rdms)(vs)
 
     vag = _ORBITAL_VAG
 
@@ -697,8 +713,7 @@ def _fused_optorb_vqd(apply_fn: Callable,
         Ew = jnp.dot(weights, energies)
         trace = trace.at[it].set(Ew)
 
-        gammas = jax.vmap(lambda s: one_rdm(s, N))(states)
-        Gammas = jax.vmap(lambda s: two_rdm(s, N))(states)
+        gammas, Gammas = batch_rdms(states)
         gamma_s, Gamma_s = spin_reduce_rdms(
             jnp.tensordot(weights, gammas, axes=1),
             jnp.tensordot(weights, Gammas, axes=1))
@@ -826,7 +841,8 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
     With `sector` (a SectorUCC over the padded R x P circuit), every
     screening backward pass and every BFGS evaluation runs in the
     particle-number sector against a dense sector Hamiltonian rebuilt once
-    per outer iteration; only the RDM extraction scatters back to 2^N.
+    per outer iteration; the RDM extraction (sector.rdms) stays in the
+    sector too, so the 2^N space is never touched.
     """
     dtype = h_sp.dtype
     N = 2 * n_active
@@ -840,7 +856,9 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
                 return rdm_energy(state_fn(theta), h_so, g_so)
             return energy
 
-        rdm_state_fn = state_fn
+        def extract_rdms(theta):
+            state = state_fn(theta)
+            return one_rdm(state, N), two_rdm(state, N)
     else:
         def make_energy(h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
@@ -850,7 +868,9 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
                 return sector.energy(theta, Hs)
             return energy
 
-        rdm_state_fn = sector.full_state
+        def extract_rdms(theta):
+            # sector-native RDMs: never touches the 2^N space
+            return sector.rdms(sector.state(theta))
 
     def run_adapt(h_act, g_act):
         vqe_energy = make_energy(h_act, g_act)
@@ -909,9 +929,7 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
         theta, mask, E = run_adapt(h_act, g_act)
         trace = trace.at[it].set(E)
 
-        state = rdm_state_fn(theta * mask)
-        gamma = one_rdm(state, N)
-        Gamma = two_rdm(state, N)
+        gamma, Gamma = extract_rdms(theta * mask)
         gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
         U_new = _inner_bb(vag, U, (gamma_s, Gamma_s, h_sp, g_sp),
                           bb_stepsize, inner_tol, decay, inner_maxiter)

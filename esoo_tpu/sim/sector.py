@@ -283,3 +283,87 @@ class SectorUCC:
 
     def energy(self, theta: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:
         return self.quadform(self.state(theta), H)
+
+    # -- sector-native RDMs ----------------------------------------------------
+    def _rdm_tables(self):
+        """Gather/scatter tables for W[a,b] = a+_a a_b |v> over same-spin
+        ordered pairs (the only pairs that keep a fixed-(na,nb) state in
+        its own sector), cached on first use.  Returns
+        (row_idx, dst_idx, src_idx, sign, occf) — the first four flattened
+        over all off-diagonal pair applications, occf the (nd, N)
+        occupation-number table for the diagonal pairs a == b."""
+        cached = getattr(self, "_rdm_tabs", None)
+        if cached is not None:
+            return cached
+        from ..initializations.ci import excite
+        N = self.num_qubits
+        n = N // 2
+        dets = self.dets
+        nd = self.dim
+        pos = {int(d): i for i, d in enumerate(dets)}
+        rows, dsts, srcs, sgs = [], [], [], []
+        for sig in (0, 1):
+            lo, hi = sig * n, sig * n + n
+            for a in range(lo, hi):
+                for b in range(lo, hi):
+                    if a == b:
+                        continue
+                    row = a * N + b
+                    for i, d in enumerate(dets):
+                        nd_det, ph = excite(int(d), b, a)   # a+_a a_b
+                        if ph != 0.0:
+                            rows.append(row)
+                            dsts.append(pos[nd_det])
+                            srcs.append(i)
+                            sgs.append(ph)
+        occf = ((dets[:, None] >> np.arange(N)[None, :]) & 1).astype(
+            np.float64)
+        tabs = (np.asarray(rows, dtype=np.int32),
+                np.asarray(dsts, dtype=np.int32),
+                np.asarray(srcs, dtype=np.int32),
+                np.asarray(sgs, dtype=np.float64),
+                occf)
+        self._rdm_tabs = tabs
+        return tabs
+
+    def rdms(self, v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Spin-orbital (gamma, Gamma) directly from sector amplitudes —
+        never touching the 2^N space (the full-space path builds N^2/2
+        annihilated copies of the 2^N statevector, sim/rdm.py).
+
+        Method: W[a,b] = a+_a a_b v for same-spin (a,b); then
+          gamma[p,q]      = v . W[p,q]
+          Gamma[p,q,r,s]  = <W[r,p], W[q,s]> - delta_qr gamma[p,s]
+        (from a+_p a+_q a_s a_r = (a+_p a_r)(a+_q a_s) - delta_qr a+_p a_s),
+        exact for the sigma(p)=sigma(r), sigma(q)=sigma(s) blocks; the
+        remaining S_z-allowed blocks (sigma(p)=sigma(s) != sigma(q)=sigma(r))
+        follow by operator antisymmetry Gamma[p,q,r,s] = -Gamma[p,q,s,r].
+        Equality with one_rdm/two_rdm of the scattered full state is
+        enforced by tests/test_sector.py."""
+        rows, dsts, srcs, sgs, occf = self._rdm_tables()
+        N = self.num_qubits
+        nd = self.dim
+        dtype = v.dtype
+        v = v[:nd]
+        W = jnp.zeros((N * N, nd), dtype=dtype)
+        W = W.at[jnp.asarray(rows), jnp.asarray(dsts)].add(
+            jnp.asarray(sgs, dtype=dtype) * v[jnp.asarray(srcs)])
+        diag_rows = jnp.arange(N) * (N + 1)
+        W = W.at[diag_rows].set(jnp.asarray(occf, dtype=dtype).T * v[None, :])
+
+        gamma = (W @ v).reshape(N, N)
+        Q4 = (W @ W.T).reshape(N, N, N, N)          # Q4[r, p, q, s]
+        eye = jnp.eye(N, dtype=dtype)
+        Gamma_c = (jnp.transpose(Q4, (1, 2, 0, 3))
+                   - jnp.einsum("qr,ps->pqrs", eye, gamma))
+
+        spin = (np.arange(N) >= N // 2).astype(np.int64)
+        sp, sq = spin[:, None, None, None], spin[None, :, None, None]
+        sr, ss = spin[None, None, :, None], spin[None, None, None, :]
+        case1 = jnp.asarray((sp == sr) & (sq == ss))
+        case2 = jnp.asarray((sp == ss) & (sq == sr))
+        Gamma = jnp.where(
+            case1, Gamma_c,
+            jnp.where(case2, -jnp.transpose(Gamma_c, (0, 1, 3, 2)),
+                      jnp.zeros((), dtype=dtype)))
+        return gamma, Gamma

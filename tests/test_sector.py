@@ -220,3 +220,24 @@ def test_class_adapt_static_padded_circuit_is_sector_eligible(h2_631g):
     res = AdaptVQE(solver, static_shapes=True).compute_minimum_eigenvalue(H)
     np.testing.assert_array_almost_equal(res.eigenvalue, -1.8523881,
                                          decimal=4)
+
+
+@pytest.mark.parametrize("n_sp,parts", [(2, (1, 1)), (4, (2, 2)),
+                                        (3, (2, 1))])
+def test_sector_native_rdms_match_full(n_sp, parts):
+    """sector.rdms (same-spin excitation tables + one GEMM, never touching
+    2^N) equals one_rdm/two_rdm of the scattered full state elementwise,
+    closed and open shell."""
+    from esoo_tpu.sim.rdm import one_rdm, two_rdm
+    N = 2 * n_sp
+    ans = UCCSD(n_sp, parts, initial_state=HartreeFock(n_sp, parts))
+    sec = SectorUCC(ans, N)
+    theta = jnp.asarray(
+        np.random.default_rng(11).normal(size=ans.num_parameters) * 0.4)
+    v = sec.state(theta)
+    g_s, G_s = sec.rdms(v)
+    full = sec.to_full(v)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(one_rdm(full, N)),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(G_s), np.asarray(two_rdm(full, N)),
+                               atol=1e-10)
