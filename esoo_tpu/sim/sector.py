@@ -286,43 +286,43 @@ class SectorUCC:
 
     # -- sector-native RDMs ----------------------------------------------------
     def _rdm_tables(self):
-        """Gather/scatter tables for W[a,b] = a+_a a_b |v> over same-spin
+        """Pure-gather tables for W[a,b] = a+_a a_b |v> over same-spin
         ordered pairs (the only pairs that keep a fixed-(na,nb) state in
-        its own sector), cached on first use.  Returns
-        (row_idx, dst_idx, src_idx, sign, occf) — the first four flattened
-        over all off-diagonal pair applications, occf the (nd, N)
-        occupation-number table for the diagonal pairs a == b."""
+        its own sector), cached on first use.  Returns (SRC, SG): both
+        (N*N, nd), W = SG * v_padded[SRC] — a single gather, no scatter
+        (scatters with large constant index sets compile poorly on XLA).
+        Cross-spin rows point every entry at the zero padding slot."""
         cached = getattr(self, "_rdm_tabs", None)
         if cached is not None:
             return cached
-        from ..initializations.ci import excite
         N = self.num_qubits
         n = N // 2
         dets = self.dets
         nd = self.dim
-        pos = {int(d): i for i, d in enumerate(dets)}
-        rows, dsts, srcs, sgs = [], [], [], []
+        idx = np.arange(nd, dtype=np.int32)
+        SRC = np.full((N * N, nd), nd, dtype=np.int32)   # pad slot -> 0.0
+        SG = np.zeros((N * N, nd), dtype=np.float64)
         for sig in (0, 1):
             lo, hi = sig * n, sig * n + n
             for a in range(lo, hi):
                 for b in range(lo, hi):
-                    if a == b:
-                        continue
                     row = a * N + b
-                    for i, d in enumerate(dets):
-                        nd_det, ph = excite(int(d), b, a)   # a+_a a_b
-                        if ph != 0.0:
-                            rows.append(row)
-                            dsts.append(pos[nd_det])
-                            srcs.append(i)
-                            sgs.append(ph)
-        occf = ((dets[:, None] >> np.arange(N)[None, :]) & 1).astype(
-            np.float64)
-        tabs = (np.asarray(rows, dtype=np.int32),
-                np.asarray(dsts, dtype=np.int32),
-                np.asarray(srcs, dtype=np.int32),
-                np.asarray(sgs, dtype=np.float64),
-                occf)
+                    if a == b:
+                        SRC[row] = idx
+                        SG[row] = ((dets >> a) & 1).astype(np.float64)
+                        continue
+                    # a+_a a_b vectorized over the domain (b occ, a empty),
+                    # JW phases as in initializations.ci.excite
+                    dom = (((dets >> b) & 1) == 1) & (((dets >> a) & 1) == 0)
+                    src = idx[dom]
+                    d0 = dets[dom]
+                    s1 = 1.0 - 2.0 * (_bitcount(d0 & ((1 << b) - 1)) & 1)
+                    d1 = d0 & ~(1 << b)
+                    s2 = 1.0 - 2.0 * (_bitcount(d1 & ((1 << a) - 1)) & 1)
+                    dst = np.searchsorted(dets, d1 | (1 << a))
+                    SRC[row, dst] = src
+                    SG[row, dst] = s1 * s2
+        tabs = (SRC, SG)
         self._rdm_tabs = tabs
         return tabs
 
@@ -340,16 +340,13 @@ class SectorUCC:
         follow by operator antisymmetry Gamma[p,q,r,s] = -Gamma[p,q,s,r].
         Equality with one_rdm/two_rdm of the scattered full state is
         enforced by tests/test_sector.py."""
-        rows, dsts, srcs, sgs, occf = self._rdm_tables()
+        SRC, SG = self._rdm_tables()
         N = self.num_qubits
         nd = self.dim
         dtype = v.dtype
         v = v[:nd]
-        W = jnp.zeros((N * N, nd), dtype=dtype)
-        W = W.at[jnp.asarray(rows), jnp.asarray(dsts)].add(
-            jnp.asarray(sgs, dtype=dtype) * v[jnp.asarray(srcs)])
-        diag_rows = jnp.arange(N) * (N + 1)
-        W = W.at[diag_rows].set(jnp.asarray(occf, dtype=dtype).T * v[None, :])
+        vp = jnp.concatenate([v, jnp.zeros(1, dtype=dtype)])
+        W = jnp.asarray(SG, dtype=dtype) * vp[jnp.asarray(SRC)]
 
         gamma = (W @ v).reshape(N, N)
         Q4 = (W @ W.T).reshape(N, N, N, N)          # Q4[r, p, q, s]
