@@ -173,6 +173,19 @@ class SectorUCC:
             SG[k, :c] = pair_sg[k]
         self._LO, self._HI, self._SG = LO, HI, SG
 
+        # gather-only gate fields (apply): v' = cos_eff*v + S*sin*v[PARTNER]
+        # — one gather + FMAs per gate, no scatters (slow/latency-bound on
+        # TPU; their backward scatters also compile poorly at scale)
+        PARTNER = np.tile(np.arange(nd + 1, dtype=np.int32), (K, 1))
+        SFIELD = np.zeros((K, nd + 1), dtype=np.float64)
+        for k in range(K):
+            lo, hi, sg = pair_lo[k], pair_hi[k], pair_sg[k]
+            PARTNER[k, lo] = hi
+            PARTNER[k, hi] = lo
+            SFIELD[k, lo] = -sg      # lo' = cos*lo - sg*sin*hi
+            SFIELD[k, hi] = +sg      # hi' = sg*sin*lo + cos*hi
+        self._PARTNER, self._SFIELD = PARTNER, SFIELD
+
         # -- Slater-Condon structure for the on-device H assembly ----------
         self._sc = slater_condon_structure([int(d) for d in dets], N)
 
@@ -192,29 +205,26 @@ class SectorUCC:
 
     def apply(self, v0: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
         """Apply the UCC rotations to sector amplitudes v0 (shape nd + 1,
-        trailing scatter-padding slot)."""
+        trailing padding slot).
+
+        Gather-only formulation: each excitation rotation is
+          v' = (1 + (cos th - 1)*|S|) * v  +  S * sin(th) * v[PARTNER]
+        with the per-gate partner-index and sign fields precomputed (S in
+        {0, +-1}; untouched entries have S = 0, PARTNER = identity).  One
+        dense gather + FMAs per gate — no scatters anywhere in the
+        simulation (scatters are the latency bottleneck on TPU)."""
         dtype = theta.dtype
         v0 = v0.astype(dtype)
-        LO = jnp.asarray(self._LO)
-        HI = jnp.asarray(self._HI)
-        SG = jnp.asarray(self._SG, dtype=dtype)
+        PARTNER = jnp.asarray(self._PARTNER)
+        SFIELD = jnp.asarray(self._SFIELD, dtype=dtype)
 
         def gate(v, xs):
-            lo, hi, sg, th = xs
-            c = jnp.cos(th)
-            s = jnp.sin(th)
-            va = v[lo]
-            vb = v[hi]
-            valid = sg != 0
-            na = jnp.where(valid, c * va - sg * s * vb, va)
-            nb = jnp.where(valid, sg * s * va + c * vb, vb)
-            # pairs are disjoint within one gate; pads all write the
-            # scratch slot nd with its unchanged (zero) value
-            v = v.at[lo].set(na)
-            v = v.at[hi].set(nb)
-            return v, None
+            partner, sfield, th = xs
+            touched = jnp.abs(sfield)
+            c_eff = 1.0 + (jnp.cos(th) - 1.0) * touched
+            return c_eff * v + sfield * jnp.sin(th) * v[partner], None
 
-        v, _ = jax.lax.scan(gate, v0, (LO, HI, SG, theta))
+        v, _ = jax.lax.scan(gate, v0, (PARTNER, SFIELD, theta))
         return v
 
     def state(self, theta: jnp.ndarray) -> jnp.ndarray:
