@@ -135,6 +135,30 @@ def run_h8_scale(n_red_so=12, maxiter=10):
                 e_nn=e_nn)
 
 
+def run_h8_scale_subprocess(attempts: int = 2):
+    """run_h8_scale in a child process (fresh TPU-tunnel connection), one
+    retry on failure; returns the same dict shape."""
+    import subprocess
+    import sys
+    prog = ("import json; from bench import run_h8_scale; "
+            "print('H8JSON ' + json.dumps(run_h8_scale()))")
+    err = "unknown"
+    for _ in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", prog],
+                               capture_output=True, text=True, timeout=2400)
+        except subprocess.TimeoutExpired:
+            err = "Timeout"
+            continue
+        for line in r.stdout.splitlines():
+            if line.startswith("H8JSON "):
+                return json.loads(line[7:])
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        err = tail[-1][:120] if tail else f"rc={r.returncode}"
+    return dict(energy=None, cold_s=None, warm_s=f"failed: {err}",
+                outer_iters=0)
+
+
 # --------------------------------------------------------------------------
 # ours
 # --------------------------------------------------------------------------
@@ -422,12 +446,11 @@ def main():
         sharded_wall = f"failed: {type(e).__name__}"
 
     # production-scale demonstration at the sharded-relevant size
-    # (round-1 verdict item 9): H8 cc-pVTZ m=112 fused on this device
-    try:
-        h8 = run_h8_scale()
-    except Exception as e:
-        h8 = dict(energy=None, cold_s=None, warm_s=f"failed: {type(e).__name__}",
-                  outer_iters=0)
+    # (round-1 verdict item 9): H8 cc-pVTZ m=112 fused on this device.
+    # Runs in a SUBPROCESS with one retry: the shared axon TPU worker
+    # occasionally crashes/restarts mid-session, which kills the client's
+    # backend handle — a fresh process reconnects cleanly.
+    h8 = run_h8_scale_subprocess()
 
     line = {
         "metric": "optorb_vqe_h4_ccpvtz_to_8so_time_to_baseline_quality_s",
