@@ -21,8 +21,10 @@ This module is the production fast path: the complete OptOrbVQE loop —
 — compiles to ONE device program: a whole run is a single dispatch.
 
 Semantics match OptOrbVQE with rdm_measurement='direct' and a
-gradient-based optimizer; callbacks are replayed from the recorded energy
-trace after the run.  Hamiltonian "rebuild" needs no Pauli materialization
+gradient-based optimizer; `outer_loop_callback=` fires live per outer
+iteration from inside the compiled loop (jax.debug.callback — async host
+effect, for monitoring/checkpointing, not control flow), and the full
+energy trace is returned in the result.  Hamiltonian "rebuild" needs no Pauli materialization
 at all on this path: the VQE cost consumes the rotated integral tensors
 directly through the RDM-contraction identity (sim/rdm.py), so the qubit
 operator is only constructed if the caller asks for it afterwards.
@@ -117,7 +119,7 @@ def _inner_bb(vag_fn, U0, data, stepsize, tol, decay, maxiter):
 
 @partial(jax.jit, static_argnames=(
     "state_fn", "n_active", "outer_maxiter", "inner_maxiter",
-    "vqe_maxiter", "sector"))
+    "vqe_maxiter", "sector", "callback"))
 def _fused_optorb_vqe(state_fn: Callable,
                       n_active: int,
                       theta0: jnp.ndarray,
@@ -131,7 +133,8 @@ def _fused_optorb_vqe(state_fn: Callable,
                       outer_maxiter: int = 20,
                       inner_maxiter: int = 10000,
                       vqe_maxiter: int = 200,
-                      sector=None):
+                      sector=None,
+                      callback=None):
     """Returns (E, theta, U, n_outer, energy_trace).
 
     With `sector` (a sim.sector.SectorUCC), the eigensolver runs in the
@@ -184,6 +187,10 @@ def _fused_optorb_vqe(state_fn: Callable,
         g_act = rotate_two_body(g_sp, U)
         theta, E = run_vqe(theta, h_act, g_act)
         trace = trace.at[it].set(E)
+        if callback is not None:
+            # live observability without leaving the compiled program
+            # (reference outer_loop_callback seam; async host callback)
+            jax.debug.callback(callback, it + 1, E)
 
         # direct RDMs of the optimal state
         gamma, Gamma = extract_rdms(theta)
@@ -227,7 +234,7 @@ class FusedOptOrbEigensolverResult:
 
 @partial(jax.jit, static_argnames=(
     "apply_fn", "n_active", "outer_maxiter", "inner_maxiter", "vqe_maxiter",
-    "sector"))
+    "sector", "callback"))
 def _fused_optorb_ssvqe(apply_fn: Callable,
                         n_active: int,
                         init_mat: jnp.ndarray,          # (k, 2^N)
@@ -244,7 +251,8 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
                         inner_maxiter: int = 10000,
                         vqe_maxiter: int = 300,
                         sector=None,
-                        sector_init: jnp.ndarray = None):  # (k, nd + 1)
+                        sector_init: jnp.ndarray = None,   # (k, nd + 1)
+                        callback=None):
     """Fused SSVQE outer loop: (energies, theta, U, n_outer, trace).
 
     With `sector` (sim.sector.SectorUCC) + `sector_init`, the k state
@@ -311,6 +319,8 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
         g_act = rotate_two_body(g_sp, U)
         theta, Ew = run_ssvqe(theta, h_act, g_act)
         trace = trace.at[it].set(Ew)
+        if callback is not None:
+            jax.debug.callback(callback, it + 1, Ew)
 
         # weight-combined, spin-summed RDMs of the k states
         gammas, Gammas = batch_rdms(theta)
@@ -366,6 +376,7 @@ class FusedOptOrbSSVQE:
                  dtype=None,
                  mesh=None,
                  simulation: str = "full",
+                 outer_loop_callback=None,
                  _spatial_tensors=None):
         from .kernels import spatial_blocks, spin_blocks_consistent
 
@@ -474,6 +485,7 @@ class FusedOptOrbSSVQE:
         self.initial_BBstepsize = initial_BBstepsize
         self.decay_factor = decay_factor
         self.vqe_maxiter = vqe_maxiter
+        self.outer_loop_callback = outer_loop_callback
 
     def compute_energies(self) -> FusedOptOrbEigensolverResult:
         from ..utils.config import precision_mode
@@ -494,6 +506,7 @@ class FusedOptOrbSSVQE:
                 vqe_maxiter=self.vqe_maxiter,
                 sector=self._sector,
                 sector_init=self._sector_init,
+                callback=self.outer_loop_callback,
             )
         it = int(it)
         return FusedOptOrbEigensolverResult(
@@ -598,7 +611,7 @@ class FusedOptOrbMCVQE(FusedOptOrbSSVQE):
 
 @partial(jax.jit, static_argnames=(
     "apply_fn", "n_active", "k", "outer_maxiter", "inner_maxiter",
-    "vqe_maxiter", "sector"))
+    "vqe_maxiter", "sector", "callback"))
 def _fused_optorb_vqd(apply_fn: Callable,
                       n_active: int,
                       k: int,
@@ -617,7 +630,8 @@ def _fused_optorb_vqd(apply_fn: Callable,
                       inner_maxiter: int = 10000,
                       vqe_maxiter: int = 300,
                       sector=None,
-                      sector_init: jnp.ndarray = None):  # (k, nd + 1)
+                      sector_init: jnp.ndarray = None,   # (k, nd + 1)
+                      callback=None):
     """Fused VQD OptOrb loop.  Deflation is sequential over the k states
     (mandatory: state j's penalty references states < j), but each state's
     BFGS, the overlap penalties, the RDMs and the BB descent all live in
@@ -712,6 +726,8 @@ def _fused_optorb_vqd(apply_fn: Callable,
         thetas, states, energies = run_vqd(thetas, h_act, g_act)
         Ew = jnp.dot(weights, energies)
         trace = trace.at[it].set(Ew)
+        if callback is not None:
+            jax.debug.callback(callback, it + 1, energies)
 
         gammas, Gammas = batch_rdms(states)
         gamma_s, Gamma_s = spin_reduce_rdms(
@@ -791,6 +807,7 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
                 vqe_maxiter=self.vqe_maxiter,
                 sector=self._sector,
                 sector_init=self._sector_init,
+                callback=self.outer_loop_callback,
             )
         it = int(it)
         result = FusedOptOrbEigensolverResult(
@@ -806,7 +823,7 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
 
 @partial(jax.jit, static_argnames=(
     "state_fn", "n_active", "R", "P", "outer_maxiter", "inner_maxiter",
-    "vqe_maxiter", "sector"))
+    "vqe_maxiter", "sector", "callback"))
 def _fused_optorb_adapt_vqe(state_fn: Callable,
                             n_active: int,
                             R: int,                 # growth slots
@@ -823,7 +840,8 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
                             outer_maxiter: int = 20,
                             inner_maxiter: int = 10000,
                             vqe_maxiter: int = 200,
-                            sector=None):
+                            sector=None,
+                            callback=None):
     """Fused ADAPT-VQE OptOrb loop: (E, theta, mask, U, n_outer, trace).
 
     ADAPT growth runs entirely on device as masking over a fixed padded
@@ -928,6 +946,8 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
         g_act = rotate_two_body(g_sp, U)
         theta, mask, E = run_adapt(h_act, g_act)
         trace = trace.at[it].set(E)
+        if callback is not None:
+            jax.debug.callback(callback, it + 1, E)
 
         gamma, Gamma = extract_rdms(theta * mask)
         gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
@@ -976,7 +996,8 @@ class FusedOptOrbVQE:
                  vqe_maxiter: int = 200,
                  dtype=None,
                  mesh=None,
-                 simulation: str = "full"):
+                 simulation: str = "full",
+                 outer_loop_callback=None):
         from .kernels import spatial_blocks, spin_blocks_consistent
 
         if integral_tensors is not None:
@@ -1041,6 +1062,10 @@ class FusedOptOrbVQE:
         self.initial_BBstepsize = initial_BBstepsize
         self.decay_factor = decay_factor
         self.vqe_maxiter = vqe_maxiter
+        # live per-outer-iteration host callback (iteration, energy/ies),
+        # fired from inside the compiled loop via jax.debug.callback —
+        # async, so use it for monitoring/checkpointing, not control flow
+        self.outer_loop_callback = outer_loop_callback
 
     def compute_minimum_energy(self) -> FusedOptOrbResult:
         from ..utils.config import precision_mode
@@ -1062,6 +1087,7 @@ class FusedOptOrbVQE:
             inner_maxiter=self.inner_maxiter,
             vqe_maxiter=self.vqe_maxiter,
             sector=self._sector,
+            callback=self.outer_loop_callback,
         )
         it = int(it)
         trace = np.asarray(trace)[:it]
@@ -1138,6 +1164,7 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
             inner_maxiter=self.inner_maxiter,
             vqe_maxiter=self.vqe_maxiter,
             sector=self._sector,
+            callback=self.outer_loop_callback,
         )
         it = int(it)
         trace = np.asarray(trace)[:it]

@@ -151,3 +151,20 @@ def test_fused_adapt_vqe_matches_reference(h2_631g):
     assert int(r.selection_mask.sum()) >= 1
     U = r.optimal_partial_unitary
     np.testing.assert_allclose(U.T @ U, np.eye(2), atol=1e-6)
+
+
+def test_fused_outer_loop_callback(h2_631g):
+    """outer_loop_callback fires live per outer iteration from inside the
+    compiled program (jax.debug.callback) with (iteration, energy) that
+    replays the returned convergence trace."""
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQE
+
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    hist = []
+    r = FusedOptOrbVQE(
+        num_spin_orbitals=4, ansatz=ansatz, problem=h2_631g, maxiter=20,
+        outer_loop_callback=lambda it, e: hist.append((int(it), float(e))),
+    ).compute_minimum_energy()
+    assert [it for it, _ in hist] == list(range(1, r.outer_iterations + 1))
+    np.testing.assert_allclose([e for _, e in hist],
+                               r.energy_convergence_list, atol=1e-7)
