@@ -52,6 +52,29 @@ from .stiefel import orth
 _ORBITAL_VAG = jax.value_and_grad(rotated_energy_spatial)
 
 
+def _make_program_callback(user_callback, checkpoint_dir):
+    """Host callback the compiled programs fire per outer iteration with
+    (iteration, energy_or_energies, theta, U): writes a resumable .npz
+    when `checkpoint_dir` is set, then chains to the user's
+    outer_loop_callback(iteration, energy/ies)."""
+    if user_callback is None and checkpoint_dir is None:
+        return None
+    import os
+    from .checkpoint import save_checkpoint
+
+    def cb(it, e, theta, U):
+        it = int(it)
+        if checkpoint_dir is not None:
+            save_checkpoint(
+                os.path.join(checkpoint_dir, f"fused_iter_{it:04d}.npz"),
+                iteration=it, partial_unitary=np.asarray(U),
+                energy_convergence_list=np.asarray(e).reshape(-1),
+                optimal_point=np.asarray(theta))
+        if user_callback is not None:
+            user_callback(it, np.asarray(e) if np.ndim(e) else float(e))
+    return cb
+
+
 def _place_on_mesh(mesh, h_sp, g_sp, axis_name: str = "orb"):
     """Shard the m^4 tensor over `mesh` (last axis), replicate h.
 
@@ -190,7 +213,7 @@ def _fused_optorb_vqe(state_fn: Callable,
         if callback is not None:
             # live observability without leaving the compiled program
             # (reference outer_loop_callback seam; async host callback)
-            jax.debug.callback(callback, it + 1, E)
+            jax.debug.callback(callback, it + 1, E, theta, U)
 
         # direct RDMs of the optimal state
         gamma, Gamma = extract_rdms(theta)
@@ -320,7 +343,7 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
         theta, Ew = run_ssvqe(theta, h_act, g_act)
         trace = trace.at[it].set(Ew)
         if callback is not None:
-            jax.debug.callback(callback, it + 1, Ew)
+            jax.debug.callback(callback, it + 1, Ew, theta, U)
 
         # weight-combined, spin-summed RDMs of the k states
         gammas, Gammas = batch_rdms(theta)
@@ -377,6 +400,8 @@ class FusedOptOrbSSVQE:
                  mesh=None,
                  simulation: str = "full",
                  outer_loop_callback=None,
+                 checkpoint_dir=None,
+                 resume_from=None,
                  _spatial_tensors=None):
         from .kernels import spatial_blocks, spin_blocks_consistent
 
@@ -466,6 +491,13 @@ class FusedOptOrbSSVQE:
             weight_vector = [self.k - i for i in range(self.k)]
         self._weights = jnp.asarray(weight_vector, dtype=dtype)
 
+        if resume_from is not None:
+            from .checkpoint import load_checkpoint
+            ck = load_checkpoint(resume_from)
+            initial_partial_unitary = ck["partial_unitary"]
+            if "optimal_point" in ck:
+                initial_point = ck["optimal_point"]
+
         m = h_sp.shape[0]
         n = num_spin_orbitals // 2
         if initial_partial_unitary is None:
@@ -486,6 +518,7 @@ class FusedOptOrbSSVQE:
         self.decay_factor = decay_factor
         self.vqe_maxiter = vqe_maxiter
         self.outer_loop_callback = outer_loop_callback
+        self.checkpoint_dir = checkpoint_dir
 
     def compute_energies(self) -> FusedOptOrbEigensolverResult:
         from ..utils.config import precision_mode
@@ -506,7 +539,8 @@ class FusedOptOrbSSVQE:
                 vqe_maxiter=self.vqe_maxiter,
                 sector=self._sector,
                 sector_init=self._sector_init,
-                callback=self.outer_loop_callback,
+                callback=_make_program_callback(self.outer_loop_callback,
+                                                self.checkpoint_dir),
             )
         it = int(it)
         return FusedOptOrbEigensolverResult(
@@ -727,7 +761,7 @@ def _fused_optorb_vqd(apply_fn: Callable,
         Ew = jnp.dot(weights, energies)
         trace = trace.at[it].set(Ew)
         if callback is not None:
-            jax.debug.callback(callback, it + 1, energies)
+            jax.debug.callback(callback, it + 1, energies, thetas, U)
 
         gammas, Gammas = batch_rdms(states)
         gamma_s, Gamma_s = spin_reduce_rdms(
@@ -789,8 +823,9 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
         from ..utils.config import precision_mode
         dtype = self._h_sp.dtype
         mode = "fast" if jnp.finfo(dtype).bits < 64 else "high"
-        theta0 = jnp.broadcast_to(
-            self._theta0, (self.k, self._theta0.shape[0])).astype(dtype)
+        theta0 = self._theta0.astype(dtype) if self._theta0.ndim == 2 \
+            else jnp.broadcast_to(
+                self._theta0, (self.k, self._theta0.shape[0])).astype(dtype)
         with precision_mode(mode):
             energies, thetas, U, it, trace = _fused_optorb_vqd(
                 self._apply_raw,
@@ -807,7 +842,8 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
                 vqe_maxiter=self.vqe_maxiter,
                 sector=self._sector,
                 sector_init=self._sector_init,
-                callback=self.outer_loop_callback,
+                callback=_make_program_callback(self.outer_loop_callback,
+                                                self.checkpoint_dir),
             )
         it = int(it)
         result = FusedOptOrbEigensolverResult(
@@ -947,7 +983,7 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
         theta, mask, E = run_adapt(h_act, g_act)
         trace = trace.at[it].set(E)
         if callback is not None:
-            jax.debug.callback(callback, it + 1, E)
+            jax.debug.callback(callback, it + 1, E, theta * mask, U)
 
         gamma, Gamma = extract_rdms(theta * mask)
         gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
@@ -997,9 +1033,17 @@ class FusedOptOrbVQE:
                  dtype=None,
                  mesh=None,
                  simulation: str = "full",
-                 outer_loop_callback=None):
+                 outer_loop_callback=None,
+                 checkpoint_dir=None,
+                 resume_from=None):
         from .kernels import spatial_blocks, spin_blocks_consistent
 
+        if resume_from is not None:
+            from .checkpoint import load_checkpoint
+            ck = load_checkpoint(resume_from)
+            initial_partial_unitary = ck["partial_unitary"]
+            if "optimal_point" in ck:
+                initial_point = ck["optimal_point"]
         if integral_tensors is not None:
             h_so = np.asarray(integral_tensors[0], dtype=np.float64)
             g_so = np.asarray(integral_tensors[1], dtype=np.float64)
@@ -1066,6 +1110,7 @@ class FusedOptOrbVQE:
         # fired from inside the compiled loop via jax.debug.callback —
         # async, so use it for monitoring/checkpointing, not control flow
         self.outer_loop_callback = outer_loop_callback
+        self.checkpoint_dir = checkpoint_dir
 
     def compute_minimum_energy(self) -> FusedOptOrbResult:
         from ..utils.config import precision_mode
@@ -1087,7 +1132,8 @@ class FusedOptOrbVQE:
             inner_maxiter=self.inner_maxiter,
             vqe_maxiter=self.vqe_maxiter,
             sector=self._sector,
-            callback=self.outer_loop_callback,
+            callback=_make_program_callback(self.outer_loop_callback,
+                                            self.checkpoint_dir),
         )
         it = int(it)
         trace = np.asarray(trace)[:it]
@@ -1164,7 +1210,8 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
             inner_maxiter=self.inner_maxiter,
             vqe_maxiter=self.vqe_maxiter,
             sector=self._sector,
-            callback=self.outer_loop_callback,
+            callback=_make_program_callback(self.outer_loop_callback,
+                                            self.checkpoint_dir),
         )
         it = int(it)
         trace = np.asarray(trace)[:it]

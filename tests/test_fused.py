@@ -168,3 +168,24 @@ def test_fused_outer_loop_callback(h2_631g):
     assert [it for it, _ in hist] == list(range(1, r.outer_iterations + 1))
     np.testing.assert_allclose([e for _, e in hist],
                                r.energy_convergence_list, atol=1e-7)
+
+
+def test_fused_checkpoint_resume(h2_631g, tmp_path):
+    """checkpoint_dir= writes one resumable .npz per outer iteration from
+    inside the compiled program; resume_from= warm-starts (U, theta) so
+    the continuation converges at least as low in no more iterations."""
+    import glob
+    import os
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQE
+
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    d = str(tmp_path)
+    r = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz, problem=h2_631g,
+                       maxiter=20, checkpoint_dir=d).compute_minimum_energy()
+    cks = sorted(glob.glob(os.path.join(d, "fused_iter_*.npz")))
+    assert len(cks) == r.outer_iterations
+    r2 = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz, problem=h2_631g,
+                        maxiter=20,
+                        resume_from=cks[-1]).compute_minimum_energy()
+    assert r2.eigenvalue <= r.eigenvalue + 1e-6
+    assert r2.outer_iterations <= r.outer_iterations
