@@ -59,3 +59,11 @@ def test_h2o_optorbvqe_example():
     np.testing.assert_allclose(rhf, -76.0107, atol=5e-4)
     assert tot < rhf - 5e-3      # captures >5 mHa of correlation
     assert tot > -76.5           # sane (variational, not absurd)
+
+
+def test_h2_sector_callbacks_checkpoint_example():
+    out = _run("examples/H2_Sector_Callbacks_Checkpoint.py")
+    assert "checkpoints written:" in out and "resumed:" in out
+    line = [ln for ln in out.splitlines() if ln.startswith("converged:")][0]
+    energy = float(line.split(":")[1].split("Ha")[0])
+    np.testing.assert_allclose(energy, -1.8661, atol=5e-4)
