@@ -343,7 +343,10 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
         theta, Ew = run_ssvqe(theta, h_act, g_act)
         trace = trace.at[it].set(Ew)
         if callback is not None:
-            jax.debug.callback(callback, it + 1, Ew, theta, U)
+            # per-state energies (one extra k-state evaluation, only paid
+            # when a callback/checkpoint is installed)
+            jax.debug.callback(callback, it + 1,
+                               state_energies(theta, h_act, g_act), theta, U)
 
         # weight-combined, spin-summed RDMs of the k states
         gammas, Gammas = batch_rdms(theta)
