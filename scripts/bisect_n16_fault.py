@@ -113,7 +113,7 @@ def main():
     for name, body in CASES.items():
         print(f"--- {name}", flush=True)
         r = subprocess.run([sys.executable, "-c", body], capture_output=True,
-                           text=True, timeout=2400)
+                           text=True, timeout=1200)
         ok = r.returncode == 0
         tail = (r.stdout + r.stderr).strip().splitlines()[-1:] or [""]
         results[name] = (ok, tail[0])
