@@ -161,10 +161,10 @@ def _fused_optorb_vqe(state_fn: Callable,
     """Returns (E, theta, U, n_outer, energy_trace).
 
     With `sector` (a sim.sector.SectorUCC), the eigensolver runs in the
-    particle-number sector: the dense sector Hamiltonian is rebuilt from
-    the rotated integrals once per outer iteration and each BFGS energy
-    evaluation is Givens-rotation gates + one GEMV — O(sector_dim) instead
-    of O(2^N) work per evaluation."""
+    particle-number sector: the sparse Slater-Condon values are rebuilt
+    from the rotated integrals once per outer iteration and each BFGS
+    energy evaluation is Givens-rotation gates + a gather quadform —
+    O(nnz) instead of O(2^N) work per evaluation, no dense matrix."""
 
     gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
 
@@ -189,8 +189,8 @@ def _fused_optorb_vqe(state_fn: Callable,
     else:
         def run_vqe(theta, h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
-            Hs = sector.build_hamiltonian(h_so, g_so)
-            res = lbfgs_minimize(sector.energy, theta, args=(Hs,),
+            vals = sector.build_values(h_so, g_so)
+            res = lbfgs_minimize(sector.energy_values, theta, args=(vals,),
                                  maxiter=vqe_maxiter, gtol=gtol)
             return res.x, res.fun
 
@@ -306,19 +306,19 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
     else:
         def state_energies(theta, h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
-            Hs = sector.build_hamiltonian(h_so, g_so)
+            vals = sector.build_values(h_so, g_so)
             vs = jax.vmap(sector.apply, in_axes=(0, None))(sector_init,
                                                            theta)
-            return jax.vmap(lambda v: sector.quadform(v, Hs))(vs)
+            return jax.vmap(lambda v: sector.quadform_values(v, vals))(vs)
 
         def run_ssvqe(theta, h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
-            Hs = sector.build_hamiltonian(h_so, g_so)
+            vals = sector.build_values(h_so, g_so)
 
             def cost(th):
                 vs = jax.vmap(sector.apply,
                               in_axes=(0, None))(sector_init, th)
-                es = jax.vmap(lambda v: sector.quadform(v, Hs))(vs)
+                es = jax.vmap(lambda v: sector.quadform_values(v, vals))(vs)
                 return jnp.dot(weights, es)
 
             res = lbfgs_minimize(cost, theta, maxiter=vqe_maxiter,
@@ -720,12 +720,12 @@ def _fused_optorb_vqd(apply_fn: Callable,
     else:
         def run_vqd(thetas, h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
-            Hs = sector.build_hamiltonian(h_so, g_so)
+            vals = sector.build_values(h_so, g_so)
             nd = sector.dim
 
             def deflated_cost_s(theta, j, prev_vs):
                 v = sector.apply(sector_init[j], theta)
-                e = sector.quadform(v, Hs)
+                e = sector.quadform_values(v, vals)
                 ov = prev_vs[:, :nd] @ v[:nd]
                 mask = (jnp.arange(k) < j).astype(v.dtype)
                 return e + jnp.sum(mask * bpad * ov * ov)
@@ -736,7 +736,7 @@ def _fused_optorb_vqd(apply_fn: Callable,
                     deflated_cost_s, thetas[j], args=(j, prev_vs),
                     maxiter=vqe_maxiter, gtol=gtol)
                 v = sector.apply(sector_init[j], res.x)
-                e = sector.quadform(v, Hs)
+                e = sector.quadform_values(v, vals)
                 return (thetas.at[j].set(res.x),
                         prev_vs.at[j].set(v),
                         energies.at[j].set(e))
@@ -919,10 +919,10 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
     else:
         def make_energy(h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
-            Hs = sector.build_hamiltonian(h_so, g_so)
+            vals = sector.build_values(h_so, g_so)
 
             def energy(theta):
-                return sector.energy(theta, Hs)
+                return sector.energy_values(theta, vals)
             return energy
 
         def extract_rdms(theta):

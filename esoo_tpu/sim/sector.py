@@ -243,14 +243,15 @@ class SectorUCC:
         return self.to_full(self.state(theta))
 
     # -- sector Hamiltonian ----------------------------------------------------
-    def build_hamiltonian(self, h_so: jnp.ndarray,
-                          g_so: jnp.ndarray) -> jnp.ndarray:
-        """Dense sector Hamiltonian from spin-orbital (h, g) in the package
-        convention E = sum h*gamma + sum g*Gamma (g = 1/2 physicist).
-        Pure jnp on precomputed host structure — safe inside jit, so the
-        fused OptOrb programs rebuild it from rotated integrals on device."""
+    def build_values(self, h_so: jnp.ndarray, g_so: jnp.ndarray):
+        """Nonzero Slater-Condon values of the sector Hamiltonian from
+        spin-orbital (h, g) in the package convention E = sum h*gamma +
+        sum g*Gamma (g = 1/2 physicist): (diag (nd,), s_val, d_val) for
+        the precomputed singles/doubles index pairs.  Pure jnp on host
+        structure — safe inside jit, so the fused OptOrb programs rebuild
+        the values from rotated integrals on device.  O(nnz) storage, no
+        dense (nd, nd) matrix and no scatter."""
         st = self._sc
-        nd = self.dim
         dtype = h_so.dtype
         occf = jnp.asarray(st["occf"], dtype=dtype)
         h = h_so
@@ -258,33 +259,66 @@ class SectorUCC:
         hdiag = jnp.diagonal(h)
         J = 2.0 * (jnp.einsum("pqpq->pq", g) - jnp.einsum("pqqp->pq", g))
         diag = occf @ hdiag + 0.5 * jnp.einsum("mp,pq,mq->m", occf, J, occf)
+        s_val = jnp.zeros((0,), dtype=dtype)
+        d_val = jnp.zeros((0,), dtype=dtype)
+        if len(st["su"]):
+            i_idx = jnp.asarray(st["s_i"])
+            a_idx = jnp.asarray(st["s_a"])
+            C = 2.0 * (jnp.einsum("prqr->pqr", g) - jnp.einsum("prrq->pqr", g))
+            Air = C[i_idx, a_idx]
+            s_val = (h[i_idx, a_idx]
+                     + jnp.sum(Air * jnp.asarray(st["s_common"], dtype=dtype),
+                               axis=1)) * jnp.asarray(st["s_phase"],
+                                                      dtype=dtype)
+        if len(st["du"]):
+            i_idx = jnp.asarray(st["d_i"])
+            j_idx = jnp.asarray(st["d_j"])
+            a_idx = jnp.asarray(st["d_a"])
+            b_idx = jnp.asarray(st["d_b"])
+            d_val = 2.0 * (g[i_idx, j_idx, a_idx, b_idx]
+                           - g[i_idx, j_idx, b_idx, a_idx]) \
+                * jnp.asarray(st["d_phase"], dtype=dtype)
+        return diag, s_val, d_val
+
+    def build_hamiltonian(self, h_so: jnp.ndarray,
+                          g_so: jnp.ndarray) -> jnp.ndarray:
+        """Dense sector Hamiltonian (small-nd oracle; the production
+        energy path is the scatter-free quadform over build_values)."""
+        st = self._sc
+        nd = self.dim
+        dtype = h_so.dtype
+        diag, s_val, d_val = self.build_values(h_so, g_so)
         H = jnp.zeros((nd, nd), dtype=dtype)
         H = H.at[jnp.arange(nd), jnp.arange(nd)].set(diag)
         if len(st["su"]):
             su = jnp.asarray(st["su"])
             sv = jnp.asarray(st["sv"])
-            i_idx = jnp.asarray(st["s_i"])
-            a_idx = jnp.asarray(st["s_a"])
-            C = 2.0 * (jnp.einsum("prqr->pqr", g) - jnp.einsum("prrq->pqr", g))
-            Air = C[i_idx, a_idx]
-            val = (h[i_idx, a_idx]
-                   + jnp.sum(Air * jnp.asarray(st["s_common"], dtype=dtype),
-                             axis=1)) * jnp.asarray(st["s_phase"], dtype=dtype)
-            H = H.at[su, sv].set(val)
-            H = H.at[sv, su].set(val)
+            H = H.at[su, sv].set(s_val)
+            H = H.at[sv, su].set(s_val)
         if len(st["du"]):
             du = jnp.asarray(st["du"])
             dv = jnp.asarray(st["dv"])
-            i_idx = jnp.asarray(st["d_i"])
-            j_idx = jnp.asarray(st["d_j"])
-            a_idx = jnp.asarray(st["d_a"])
-            b_idx = jnp.asarray(st["d_b"])
-            vals = 2.0 * (g[i_idx, j_idx, a_idx, b_idx]
-                          - g[i_idx, j_idx, b_idx, a_idx]) \
-                * jnp.asarray(st["d_phase"], dtype=dtype)
-            H = H.at[du, dv].set(vals)
-            H = H.at[dv, du].set(vals)
+            H = H.at[du, dv].set(d_val)
+            H = H.at[dv, du].set(d_val)
         return H
+
+    def quadform_values(self, v: jnp.ndarray, vals) -> jnp.ndarray:
+        """<v|H|v> from the sparse Slater-Condon values — pure gathers:
+        sum diag v^2 + 2 sum val * v[u] * v[w] over the symmetric pairs."""
+        st = self._sc
+        diag, s_val, d_val = vals
+        v = v[: self.dim]
+        e = jnp.sum(diag * v * v)
+        if len(st["su"]):
+            e = e + 2.0 * jnp.sum(
+                s_val * v[jnp.asarray(st["su"])] * v[jnp.asarray(st["sv"])])
+        if len(st["du"]):
+            e = e + 2.0 * jnp.sum(
+                d_val * v[jnp.asarray(st["du"])] * v[jnp.asarray(st["dv"])])
+        return e
+
+    def energy_values(self, theta: jnp.ndarray, vals) -> jnp.ndarray:
+        return self.quadform_values(self.state(theta), vals)
 
     def quadform(self, v: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:
         """<v|H|v> for a (possibly padded) sector vector."""

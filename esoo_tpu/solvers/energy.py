@@ -47,9 +47,9 @@ def _sector_jits(sec) -> tuple:
     """(build_h, energy, value_and_grad) jitted once per SectorUCC."""
     jits = getattr(sec, "_jits", None)
     if jits is None:
-        build = jax.jit(sec.build_hamiltonian)
-        e = jax.jit(sec.energy)
-        vag = jax.jit(jax.value_and_grad(sec.energy))
+        build = jax.jit(sec.build_values)
+        e = jax.jit(sec.energy_values)
+        vag = jax.jit(jax.value_and_grad(sec.energy_values))
         jits = sec._jits = (build, e, vag)
     return jits
 

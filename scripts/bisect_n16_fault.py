@@ -40,18 +40,20 @@ h = jnp.asarray(rng.normal(size=(112, 112)), jnp.float32)
 u0 = jnp.asarray(np.linalg.qr(rng.normal(size=(112, 8)))[0], jnp.float32)
 gam = jnp.asarray(rng.normal(size=(8, 8)), jnp.float32)
 Gam = jnp.asarray(rng.normal(size=(8,)*4), jnp.float32)
-def e(u):
+def e(u, h, g, gam, Gam):
     return (jnp.sum(rotate_one_body(h, u) * gam)
             + jnp.sum(rotate_two_body(g, u) * Gam))
 vag = jax.value_and_grad(e)
 @jax.jit
-def chain(u):
+def chain(u, h, g, gam, Gam):
+    # h/g as ARGS: closing over the m^4 tensor embeds it as a program
+    # constant -> HTTP 413 on the remote compile (looks like a hang)
     def body(c, _):
-        v, gr = vag(c)
+        v, gr = vag(c, h, g, gam, Gam)
         return c - 1e-6 * gr, v
     u, vs = jax.lax.scan(body, u, None, length=50)
     return jnp.sum(u) + jnp.sum(vs)
-print("transform_vag:", float(np.asarray(chain(u0))))
+print("transform_vag:", float(np.asarray(chain(u0, h, g, gam, Gam))))
 """,
     # 3. full BB inner loop at m=112 n=8 (orth eigh included)
     "inner_bb": """
@@ -64,10 +66,10 @@ h = (h + h.T) / 2
 u0 = jnp.asarray(np.linalg.qr(rng.normal(size=(112, 8)))[0], jnp.float32)
 gam = jnp.eye(8, dtype=jnp.float32)
 Gam = jnp.asarray(rng.normal(size=(8,)*4), jnp.float32) * 0.01
-f = jax.jit(lambda u: _inner_bb(_ORBITAL_VAG, u, (gam, Gam, h, g),
-                                jnp.float32(1e-3), jnp.float32(1e-5),
-                                jnp.float32(0.8), 200))
-print("inner_bb:", float(np.asarray(jnp.sum(f(u0)))))
+f = jax.jit(lambda u, gam, Gam, h, g: _inner_bb(
+    _ORBITAL_VAG, u, (gam, Gam, h, g), jnp.float32(1e-3),
+    jnp.float32(1e-5), jnp.float32(0.8), 200))
+print("inner_bb:", float(np.asarray(jnp.sum(f(u0, gam, Gam, h, g)))))
 """,
     # 4. sector L-BFGS at N=16 with fixed sector H (no transform)
     "sector_lbfgs": """
@@ -99,11 +101,11 @@ g = jnp.asarray(rng.normal(size=(112,)*4) / 112, jnp.float32)
 h = jnp.asarray(rng.normal(size=(112, 112)), jnp.float32)
 u = jnp.asarray(np.linalg.qr(rng.normal(size=(112, 8)))[0], jnp.float32)
 @jax.jit
-def f(u):
+def f(u, h, g):
     h_so, g_so = expand_spin_tensors(rotate_one_body(h, u),
                                      rotate_two_body(g, u))
     return jnp.sum(sec.build_hamiltonian(h_so, g_so))
-print("sector_hbuild:", float(np.asarray(f(u))))
+print("sector_hbuild:", float(np.asarray(f(u, h, g))))
 """,
 }
 
@@ -112,8 +114,13 @@ def main():
     results = {}
     for name, body in CASES.items():
         print(f"--- {name}", flush=True)
-        r = subprocess.run([sys.executable, "-c", body], capture_output=True,
-                           text=True, timeout=1200)
+        try:
+            r = subprocess.run([sys.executable, "-c", body],
+                               capture_output=True, text=True, timeout=1200)
+        except subprocess.TimeoutExpired:
+            results[name] = (False, "TIMEOUT (tunnel down or huge compile)")
+            print(name, "TIMEOUT", flush=True)
+            continue
         ok = r.returncode == 0
         tail = (r.stdout + r.stderr).strip().splitlines()[-1:] or [""]
         results[name] = (ok, tail[0])

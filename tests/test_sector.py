@@ -241,3 +241,21 @@ def test_sector_native_rdms_match_full(n_sp, parts):
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(G_s), np.asarray(two_rdm(full, N)),
                                atol=1e-10)
+
+
+@pytest.mark.parametrize("n_sp,parts", [(2, (1, 1)), (3, (2, 1))])
+def test_sector_sparse_quadform_matches_dense(n_sp, parts):
+    """The production scatter-free quadform over build_values equals the
+    dense-H quadratic form (the small-nd oracle) on random tensors."""
+    N = 2 * n_sp
+    ans = UCCSD(n_sp, parts, initial_state=HartreeFock(n_sp, parts))
+    sec = SectorUCC(ans, N)
+    h_sp, g_sp = random_hermitian_tensors(n_sp, seed=3)
+    h_so, g_so = expand_spin_tensors(jnp.asarray(h_sp), jnp.asarray(g_sp))
+    theta = jnp.asarray(
+        np.random.default_rng(9).normal(size=ans.num_parameters) * 0.3)
+    v = sec.state(theta)
+    H = sec.build_hamiltonian(h_so, g_so)
+    vals = sec.build_values(h_so, g_so)
+    np.testing.assert_allclose(float(sec.quadform_values(v, vals)),
+                               float(sec.quadform(v, H)), atol=1e-10)
