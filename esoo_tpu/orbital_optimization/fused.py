@@ -52,6 +52,26 @@ from .stiefel import orth
 _ORBITAL_VAG = jax.value_and_grad(rotated_energy_spatial)
 
 
+_HOST_CB_OK = None
+
+
+def _host_callbacks_supported() -> bool:
+    """Whether the default backend can run jax.debug.callback (the axon
+    remote-TPU PJRT plugin raises UNIMPLEMENTED for host send/recv
+    callbacks).  Probed once with a tiny jitted program."""
+    global _HOST_CB_OK
+    if _HOST_CB_OK is None:
+        try:
+            def probe(x):
+                jax.debug.callback(lambda v: None, x)
+                return x + 1.0
+            np.asarray(jax.jit(probe)(jnp.zeros(())))
+            _HOST_CB_OK = True
+        except Exception:
+            _HOST_CB_OK = False
+    return _HOST_CB_OK
+
+
 def _make_program_callback(user_callback, checkpoint_dir):
     """Host callback the compiled programs fire per outer iteration with
     (iteration, energy_or_energies, theta, U): writes a resumable .npz
@@ -73,6 +93,24 @@ def _make_program_callback(user_callback, checkpoint_dir):
         if user_callback is not None:
             user_callback(it, np.asarray(e) if np.ndim(e) else float(e))
     return cb
+
+
+def _resolve_callback(user_callback, checkpoint_dir):
+    """(live_callback, post_run_callback): live when the backend supports
+    host callbacks, else deferred — the caller invokes post_run_callback
+    once with the FINAL (iteration, energy/ies, theta, U) so checkpointing
+    still yields a resumable file on callback-less backends (axon)."""
+    cb = _make_program_callback(user_callback, checkpoint_dir)
+    if cb is None:
+        return None, None
+    if _host_callbacks_supported():
+        return cb, None
+    import warnings
+    warnings.warn(
+        "the active JAX backend does not support host callbacks "
+        "(jax.debug.callback); outer_loop_callback/checkpoints fall back "
+        "to one post-run invocation with the final state")
+    return None, cb
 
 
 def _place_on_mesh(mesh, h_sp, g_sp, axis_name: str = "orb"):
@@ -527,6 +565,8 @@ class FusedOptOrbSSVQE:
         from ..utils.config import precision_mode
         dtype = self._h_sp.dtype
         mode = "fast" if jnp.finfo(dtype).bits < 64 else "high"
+        live_cb, post_cb = _resolve_callback(self.outer_loop_callback,
+                                              self.checkpoint_dir)
         with precision_mode(mode):
             energies, theta, U, it, trace = _fused_optorb_ssvqe(
                 self._apply_raw,
@@ -542,10 +582,11 @@ class FusedOptOrbSSVQE:
                 vqe_maxiter=self.vqe_maxiter,
                 sector=self._sector,
                 sector_init=self._sector_init,
-                callback=_make_program_callback(self.outer_loop_callback,
-                                                self.checkpoint_dir),
+                callback=live_cb,
             )
         it = int(it)
+        if post_cb is not None:
+            post_cb(it, energies, theta, U)
         return FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(energies),
             optimal_point=np.asarray(theta),
@@ -829,6 +870,8 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
         theta0 = self._theta0.astype(dtype) if self._theta0.ndim == 2 \
             else jnp.broadcast_to(
                 self._theta0, (self.k, self._theta0.shape[0])).astype(dtype)
+        live_cb, post_cb = _resolve_callback(self.outer_loop_callback,
+                                              self.checkpoint_dir)
         with precision_mode(mode):
             energies, thetas, U, it, trace = _fused_optorb_vqd(
                 self._apply_raw,
@@ -845,10 +888,11 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
                 vqe_maxiter=self.vqe_maxiter,
                 sector=self._sector,
                 sector_init=self._sector_init,
-                callback=_make_program_callback(self.outer_loop_callback,
-                                                self.checkpoint_dir),
+                callback=live_cb,
             )
         it = int(it)
+        if post_cb is not None:
+            post_cb(it, energies, thetas, U)
         result = FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(energies),
             optimal_point=np.asarray(thetas),
@@ -1123,6 +1167,8 @@ class FusedOptOrbVQE:
             return self._run(dtype)
 
     def _run(self, dtype) -> FusedOptOrbResult:
+        live_cb, post_cb = _resolve_callback(self.outer_loop_callback,
+                                             self.checkpoint_dir)
         E, theta, U, it, trace = _fused_optorb_vqe(
             self._compiled.state_fn,
             self.num_spin_orbitals // 2,
@@ -1135,10 +1181,11 @@ class FusedOptOrbVQE:
             inner_maxiter=self.inner_maxiter,
             vqe_maxiter=self.vqe_maxiter,
             sector=self._sector,
-            callback=_make_program_callback(self.outer_loop_callback,
-                                            self.checkpoint_dir),
+            callback=live_cb,
         )
         it = int(it)
+        if post_cb is not None:
+            post_cb(it, E, theta, U)
         trace = np.asarray(trace)[:it]
         return FusedOptOrbResult(
             eigenvalue=float(E),
@@ -1198,6 +1245,8 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
         self._template = ansatz
 
     def _run(self, dtype) -> FusedOptOrbResult:
+        live_cb, post_cb = _resolve_callback(self.outer_loop_callback,
+                                             self.checkpoint_dir)
         E, theta, mask, U, it, trace = _fused_optorb_adapt_vqe(
             self._compiled.state_fn,
             self.num_spin_orbitals // 2,
@@ -1213,10 +1262,11 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
             inner_maxiter=self.inner_maxiter,
             vqe_maxiter=self.vqe_maxiter,
             sector=self._sector,
-            callback=_make_program_callback(self.outer_loop_callback,
-                                            self.checkpoint_dir),
+            callback=live_cb,
         )
         it = int(it)
+        if post_cb is not None:
+            post_cb(it, E, theta * mask, U)
         trace = np.asarray(trace)[:it]
         result = FusedOptOrbResult(
             eigenvalue=float(E),
