@@ -418,6 +418,37 @@ class BaseOptOrbSolver:
         sv = jnp.asarray(state_vector)
         return np.asarray(one_rdm(sv, N)), np.asarray(two_rdm(sv, N))
 
+    def _rdms_for_bound_circuits(self, pairs) -> Tuple[list, list]:
+        """(gammas, Gammas) for (circuit, params) pairs on the direct path.
+
+        Sector-eligible circuits (UCC family over an occupation-basis
+        initial state, solvers/energy._sector_for) are measured entirely
+        in the particle-number sector — sector.rdms never materializes the
+        2^N statevector; others fall back to the full simulation + GEMM
+        extraction with the imaginary-residue guard."""
+        from ..solvers.energy import _sector_for
+        from ..sim.statevector import compile_circuit
+        gammas, Gammas = [], []
+        for circ, params in pairs:
+            params = np.zeros(circ.num_parameters) if params is None \
+                else np.asarray(params)
+            sec = _sector_for(circ)
+            if sec is not None:
+                # sector states/RDMs are real by construction
+                rfn = getattr(sec, "_rdms_jit", None)
+                if rfn is None:
+                    rfn = sec._rdms_jit = jax.jit(
+                        lambda th, s=sec: s.rdms(s.state(th)))
+                g1, g2 = rfn(jnp.asarray(params, dtype=jnp.float64))
+                gammas.append(np.asarray(g1))
+                Gammas.append(np.asarray(g2))
+            else:
+                sv = np.asarray(compile_circuit(circ).state(params))
+                g, G = self._rdms_for_states([sv])
+                gammas.extend(g)
+                Gammas.extend(G)
+        return gammas, Gammas
+
     # -- RDM measurement: per-Pauli parity path ----------------------------
     def _rdm_fermionic_terms(self):
         """Yields (kind, indices, FermionicOp) for every RDM element operator,

@@ -148,6 +148,17 @@ class OptOrbEigensolver(BaseOptOrbSolver):
             out.append(np.asarray(compiled.state(np.asarray(pt))))
         return out
 
+    def _bound_circuits_from_result(self, result):
+        """(circuit, params) pairs for the k optimal states, or None when
+        the result lacks per-state circuits (falls back to statevectors)."""
+        circs = getattr(result, "optimal_circuits", None)
+        if circs is None:
+            return None
+        points = getattr(result, "optimal_points", None)
+        if points is None:
+            points = [result.optimal_point] * len(circs)
+        return list(zip(circs, points))
+
     def compute_energies(self) -> OptOrbEigensolverResult:
         """ref opt_orb_eigensolver.py:171-269."""
         iteration = self._resume_iteration
@@ -213,8 +224,12 @@ class OptOrbEigensolver(BaseOptOrbSolver):
                 gammas, Gammas = self._rdms_via_pauli(
                     list(zip(result.optimal_circuits, points)))
             else:
-                svs = self._state_vectors_from_result(result)
-                gammas, Gammas = self._rdms_for_states(svs)
+                pairs = self._bound_circuits_from_result(result)
+                if pairs is not None:
+                    gammas, Gammas = self._rdms_for_bound_circuits(pairs)
+                else:
+                    svs = self._state_vectors_from_result(result)
+                    gammas, Gammas = self._rdms_for_states(svs)
             optorb_result.metrics["rdm_time"].append(time.perf_counter() - t0)
 
             # --- orbital rotation (weight-combined RDMs) -------------------

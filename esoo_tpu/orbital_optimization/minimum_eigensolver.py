@@ -158,8 +158,8 @@ class OptOrbMinimumEigensolver(BaseOptOrbSolver):
                 gammas, Gammas = self._rdms_via_pauli(
                     [(result.optimal_circuit, result.optimal_point)])
             else:
-                sv = self._state_vector_from_result(result)
-                gammas, Gammas = self._rdms_for_states([sv])
+                gammas, Gammas = self._rdms_for_bound_circuits(
+                    [(result.optimal_circuit, result.optimal_point)])
             optorb_result.metrics["rdm_time"].append(time.perf_counter() - t0)
 
             # --- orbital rotation ------------------------------------------

@@ -259,3 +259,27 @@ def test_sector_sparse_quadform_matches_dense(n_sp, parts):
     vals = sec.build_values(h_so, g_so)
     np.testing.assert_allclose(float(sec.quadform_values(v, vals)),
                                float(sec.quadform(v, H)), atol=1e-10)
+
+
+def test_class_optorbvqe_rdms_measured_in_sector(h2_631g, monkeypatch):
+    """The class-based OptOrbVQE direct-RDM path measures sector-eligible
+    circuits via sector.rdms — the 2^N statevector extraction is never
+    invoked (monkeypatched to fail) and the reference energy still lands."""
+    from esoo_tpu.sim import Estimator
+    from esoo_tpu.solvers import VQE, L_BFGS_B
+    from esoo_tpu.orbital_optimization import (
+        OptOrbVQE, PartialUnitaryProjectionOptimizer)
+    from esoo_tpu.orbital_optimization.base import BaseOptOrbSolver
+
+    def boom(self, sv):
+        raise AssertionError("full-space RDM extraction reached")
+
+    monkeypatch.setattr(BaseOptOrbSolver, "measure_rdms_direct", boom)
+    ans = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    vqe = VQE(Estimator(), ans, L_BFGS_B(maxiter=300),
+              initial_point=np.zeros(ans.num_parameters))
+    pupo = PartialUnitaryProjectionOptimizer(1e-3, 1e-5, 10000)
+    r = OptOrbVQE(num_spin_orbitals=4, ground_state_solver=vqe,
+                  partial_unitary_optimizer=pupo, problem=h2_631g,
+                  maxiter=20).compute_minimum_energy()
+    np.testing.assert_array_almost_equal(r.eigenvalue, -1.8661038, decimal=3)
