@@ -97,7 +97,7 @@ def h8_spatial_tensors():
     return h_sp, g_sp, p.num_particles, p.nuclear_repulsion_energy
 
 
-def run_h8_scale(n_red_so=12, maxiter=10):
+def run_h8_scale(n_red_so=12, maxiter=10, simulation="full"):
     """Production-scale fused run on the default device: H8 cc-pVTZ
     M=224 spin orbitals (m=112 spatial, the sharded-relevant size)
     reduced to `n_red_so`.  Returns wall times + energies.
@@ -105,7 +105,10 @@ def run_h8_scale(n_red_so=12, maxiter=10):
     Default active space is 12 spin orbitals: the N=16 variant of this
     program reproducibly crashes the axon TPU worker (3/3, 'kernel
     fault'); N=12 runs clean (cold 112 s / warm 21 s measured) and the
-    scale demonstration target is the m=112 transform either way."""
+    scale demonstration target is the m=112 transform either way.
+    `simulation='sector'` runs the determinant-sector program instead
+    (same energy; the subprocess wrapper falls back to it when the shared
+    worker crashes on the full-space program)."""
     import jax.numpy as jnp
     from esoo_tpu.sim import UCCSD, HartreeFock
     from esoo_tpu.orbital_optimization import FusedOptOrbVQE
@@ -122,7 +125,8 @@ def run_h8_scale(n_red_so=12, maxiter=10):
     def make():
         return FusedOptOrbVQE(num_spin_orbitals=n_red_so, ansatz=ansatz,
                               problem=_P(), maxiter=maxiter,
-                              stopping_tolerance=1e-5, dtype=jnp.float32)
+                              stopping_tolerance=1e-5, dtype=jnp.float32,
+                              simulation=simulation)
 
     t0 = time.perf_counter()
     r = make().compute_minimum_energy()
@@ -132,18 +136,20 @@ def run_h8_scale(n_red_so=12, maxiter=10):
     warm = time.perf_counter() - t0
     return dict(energy=r.eigenvalue, cold_s=round(cold, 2),
                 warm_s=round(warm, 2), outer_iters=r.outer_iterations,
-                e_nn=e_nn)
+                e_nn=e_nn, simulation=simulation)
 
 
-def run_h8_scale_subprocess(attempts: int = 2):
-    """run_h8_scale in a child process (fresh TPU-tunnel connection), one
-    retry on failure; returns the same dict shape."""
+def run_h8_scale_subprocess():
+    """run_h8_scale in a child process (fresh TPU-tunnel connection):
+    full-space program first, determinant-sector program as the fallback
+    when the shared worker crashes on it; returns the same dict shape."""
     import subprocess
     import sys
-    prog = ("import json; from bench import run_h8_scale; "
-            "print('H8JSON ' + json.dumps(run_h8_scale()))")
     err = "unknown"
-    for _ in range(attempts):
+    for sim in ("full", "sector"):
+        prog = ("import json; from bench import run_h8_scale; "
+                "print('H8JSON ' + json.dumps("
+                f"run_h8_scale(simulation={sim!r})))")
         try:
             r = subprocess.run([sys.executable, "-c", prog],
                                capture_output=True, text=True, timeout=2400)
