@@ -72,7 +72,7 @@ def _so_objective_complex(U, gamma, Gamma, h_so, g_so):
     return rotated_energy_so_complex(U, gamma, Gamma, h_so, g_so)
 
 
-_hamiltonian_builder_cache: Dict[tuple, ActiveSpaceHamiltonianBuilder] = {}
+_hamiltonian_builder_cache: Dict[tuple, tuple] = {}  # key -> (mapper, builder)
 
 
 def _get_builder(num_spin_orbitals: int,
@@ -81,18 +81,25 @@ def _get_builder(num_spin_orbitals: int,
     # the encoding; library mappers are stateless per type, so key on the
     # type name (custom mappers key on instance identity)
     from ..ops.jw import JordanWignerMapper as _JW
-    from ..ops.mappers import LinearFermionicMapper as _LFM
+    from ..ops.mappers import (BravyiKitaevMapper as _BK,
+                               ParityMapper as _PM)
     if mapper is None or isinstance(mapper, _JW):
         mkey = "jw"
-    elif isinstance(mapper, _LFM):
+    elif type(mapper) in (_PM, _BK):
         mkey = type(mapper).__name__
     else:
+        # custom mapper: key on instance identity, and hold a reference to
+        # the mapper in the cache entry so a garbage-collected mapper's
+        # reused id() can never alias a builder for a different encoding
         mkey = id(mapper)
     key = (num_spin_orbitals, mkey)
-    b = _hamiltonian_builder_cache.get(key)
-    if b is None:
-        b = ActiveSpaceHamiltonianBuilder(num_spin_orbitals, mapper)
-        _hamiltonian_builder_cache[key] = b
+    hit = _hamiltonian_builder_cache.get(key)
+    if hit is not None:
+        cached_mapper, b = hit
+        if isinstance(mkey, str) or cached_mapper is mapper:
+            return b
+    b = ActiveSpaceHamiltonianBuilder(num_spin_orbitals, mapper)
+    _hamiltonian_builder_cache[key] = (mapper, b)
     return b
 
 

@@ -82,13 +82,16 @@ def _make_program_callback(user_callback, checkpoint_dir):
     import os
     from .checkpoint import save_checkpoint
 
-    def cb(it, e, theta, U):
+    def cb(it, e, theta, U, trace):
         it = int(it)
         if checkpoint_dir is not None:
+            # trace holds the running outer-energy history (checkpoint.py
+            # contract: the FULL energy_convergence_list so far)
+            hist = np.asarray(trace).reshape(-1)[:it]
             save_checkpoint(
                 os.path.join(checkpoint_dir, f"fused_iter_{it:04d}.npz"),
                 iteration=it, partial_unitary=np.asarray(U),
-                energy_convergence_list=np.asarray(e).reshape(-1),
+                energy_convergence_list=hist,
                 optimal_point=np.asarray(theta))
         if user_callback is not None:
             user_callback(it, np.asarray(e) if np.ndim(e) else float(e))
@@ -98,8 +101,9 @@ def _make_program_callback(user_callback, checkpoint_dir):
 def _resolve_callback(user_callback, checkpoint_dir):
     """(live_callback, post_run_callback): live when the backend supports
     host callbacks, else deferred — the caller invokes post_run_callback
-    once with the FINAL (iteration, energy/ies, theta, U) so checkpointing
-    still yields a resumable file on callback-less backends (axon)."""
+    once with the FINAL (iteration, energy/ies, theta, U, trace) so
+    checkpointing still yields a resumable file on callback-less backends
+    (axon)."""
     cb = _make_program_callback(user_callback, checkpoint_dir)
     if cb is None:
         return None, None
@@ -111,6 +115,17 @@ def _resolve_callback(user_callback, checkpoint_dir):
         "(jax.debug.callback); outer_loop_callback/checkpoints fall back "
         "to one post-run invocation with the final state")
     return None, cb
+
+
+def _cached_callbacks(solver):
+    """Memoize _resolve_callback on the solver instance: `callback` is a
+    jit STATIC argname, so a fresh closure per run would retrace the whole
+    one-dispatch program (minutes per compile on the axon tunnel)."""
+    key = (solver.outer_loop_callback, solver.checkpoint_dir)
+    hit = getattr(solver, "_cb_cache", None)
+    if hit is None or hit[0] != key:
+        solver._cb_cache = (key, _resolve_callback(*key))
+    return solver._cb_cache[1]
 
 
 def _place_on_mesh(mesh, h_sp, g_sp, axis_name: str = "orb"):
@@ -251,7 +266,7 @@ def _fused_optorb_vqe(state_fn: Callable,
         if callback is not None:
             # live observability without leaving the compiled program
             # (reference outer_loop_callback seam; async host callback)
-            jax.debug.callback(callback, it + 1, E, theta, U)
+            jax.debug.callback(callback, it + 1, E, theta, U, trace)
 
         # direct RDMs of the optimal state
         gamma, Gamma = extract_rdms(theta)
@@ -384,7 +399,8 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
             # per-state energies (one extra k-state evaluation, only paid
             # when a callback/checkpoint is installed)
             jax.debug.callback(callback, it + 1,
-                               state_energies(theta, h_act, g_act), theta, U)
+                               state_energies(theta, h_act, g_act), theta, U,
+                               trace)
 
         # weight-combined, spin-summed RDMs of the k states
         gammas, Gammas = batch_rdms(theta)
@@ -475,12 +491,29 @@ class FusedOptOrbSSVQE:
 
         self.num_spin_orbitals = num_spin_orbitals
         self.ansatz = ansatz
+        enc = getattr(ansatz, "_encoding", "jw")
+        if enc != "jw":
+            # the fused one-dispatch programs contract RDMs directly from
+            # occupation-basis amplitudes, which only the Jordan-Wigner
+            # encoding preserves — a parity/BK-mapped ansatz would yield a
+            # silently wrong energy here (class solvers auto-switch to the
+            # per-Pauli path instead; use those for non-JW mappers)
+            raise ValueError(
+                f"fused solvers require a Jordan-Wigner-encoded ansatz; "
+                f"got encoding {enc!r} — use the class-based OptOrb solver "
+                f"with rdm_measurement='pauli' for this mapper")
         self._compiled = compile_circuit(ansatz)
         if not self._compiled.is_real:
             raise ValueError("fused path requires a real-safe ansatz")
         self._apply_raw = self._compiled.apply_raw  # stable jit key (cached
         # on the fingerprint-cached CompiledCircuit, so repeat solver
         # instances over the same ansatz reuse one compiled program)
+        for st in initial_states:
+            st_enc = getattr(st, "_encoding", "jw")
+            if st_enc != "jw":
+                raise ValueError(
+                    f"fused solvers require Jordan-Wigner-encoded initial "
+                    f"states; got encoding {st_enc!r}")
         vecs = [np.asarray(compile_circuit(st).state())
                 for st in initial_states]
         if any(not np.allclose(np.imag(v), 0.0) for v in vecs):
@@ -565,8 +598,7 @@ class FusedOptOrbSSVQE:
         from ..utils.config import precision_mode
         dtype = self._h_sp.dtype
         mode = "fast" if jnp.finfo(dtype).bits < 64 else "high"
-        live_cb, post_cb = _resolve_callback(self.outer_loop_callback,
-                                              self.checkpoint_dir)
+        live_cb, post_cb = _cached_callbacks(self)
         with precision_mode(mode):
             energies, theta, U, it, trace = _fused_optorb_ssvqe(
                 self._apply_raw,
@@ -586,7 +618,7 @@ class FusedOptOrbSSVQE:
             )
         it = int(it)
         if post_cb is not None:
-            post_cb(it, energies, theta, U)
+            post_cb(it, energies, theta, U, trace)
         return FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(energies),
             optimal_point=np.asarray(theta),
@@ -667,24 +699,35 @@ class FusedOptOrbMCVQE(FusedOptOrbSSVQE):
         g_act = rotate_two_body(self._g_sp, U)
         h_so, g_so = expand_spin_tensors(h_act, g_act)
 
-        def energy_of(vec):
-            s = self._apply_raw(jnp.asarray(vec, dtype=self._h_sp.dtype),
-                                theta)
-            return float(rdm_energy(s, h_so, g_so))
-
+        # ONE batched device call for all k + 2*k(k-1)/2 state energies
+        # (per-vector dispatches get quadratically chatty at larger k)
         kk = self.k
+        vecs = [np.asarray(self._ci_vectors[i]) for i in range(kk)]
+        batch = list(vecs)
+        pairs = [(i, j) for i in range(kk) for j in range(i + 1, kk)]
+        for i, j in pairs:
+            batch.append((vecs[i] + vecs[j]) / np.sqrt(2))
+            batch.append((vecs[i] - vecs[j]) / np.sqrt(2))
+        stack = jnp.asarray(np.stack(batch), dtype=self._h_sp.dtype)
+        E = np.asarray(_mcvqe_batched_energies(self._apply_raw, stack,
+                                               theta, h_so, g_so))
         Hc = np.zeros((kk, kk))
         for i in range(kk):
-            Hc[i, i] = energy_of(self._ci_vectors[i])
-        for i in range(kk):
-            for j in range(i + 1, kk):
-                plus = (self._ci_vectors[i] + self._ci_vectors[j]) / np.sqrt(2)
-                minus = (self._ci_vectors[i] - self._ci_vectors[j]) / np.sqrt(2)
-                Hc[i, j] = Hc[j, i] = 0.5 * (energy_of(plus)
-                                             - energy_of(minus))
+            Hc[i, i] = E[i]
+        for idx, (i, j) in enumerate(pairs):
+            Hc[i, j] = Hc[j, i] = 0.5 * (E[kk + 2 * idx]
+                                         - E[kk + 2 * idx + 1])
         w = np.linalg.eigvalsh(Hc)
         base.eigenvalues = w
         return base
+
+
+@partial(jax.jit, static_argnames=("apply_raw",))
+def _mcvqe_batched_energies(apply_raw, stack, theta, h_so, g_so):
+    """All contracted-Hamiltonian state energies in one device dispatch
+    (apply_raw is fingerprint-cached, so the program caches across runs)."""
+    return jax.vmap(
+        lambda v: rdm_energy(apply_raw(v, theta), h_so, g_so))(stack)
 
 
 @partial(jax.jit, static_argnames=(
@@ -805,7 +848,7 @@ def _fused_optorb_vqd(apply_fn: Callable,
         Ew = jnp.dot(weights, energies)
         trace = trace.at[it].set(Ew)
         if callback is not None:
-            jax.debug.callback(callback, it + 1, energies, thetas, U)
+            jax.debug.callback(callback, it + 1, energies, thetas, U, trace)
 
         gammas, Gammas = batch_rdms(states)
         gamma_s, Gamma_s = spin_reduce_rdms(
@@ -870,8 +913,7 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
         theta0 = self._theta0.astype(dtype) if self._theta0.ndim == 2 \
             else jnp.broadcast_to(
                 self._theta0, (self.k, self._theta0.shape[0])).astype(dtype)
-        live_cb, post_cb = _resolve_callback(self.outer_loop_callback,
-                                              self.checkpoint_dir)
+        live_cb, post_cb = _cached_callbacks(self)
         with precision_mode(mode):
             energies, thetas, U, it, trace = _fused_optorb_vqd(
                 self._apply_raw,
@@ -892,7 +934,7 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
             )
         it = int(it)
         if post_cb is not None:
-            post_cb(it, energies, thetas, U)
+            post_cb(it, energies, thetas, U, trace)
         result = FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(energies),
             optimal_point=np.asarray(thetas),
@@ -1030,7 +1072,7 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
         theta, mask, E = run_adapt(h_act, g_act)
         trace = trace.at[it].set(E)
         if callback is not None:
-            jax.debug.callback(callback, it + 1, E, theta * mask, U)
+            jax.debug.callback(callback, it + 1, E, theta * mask, U, trace)
 
         gamma, Gamma = extract_rdms(theta * mask)
         gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
@@ -1121,6 +1163,17 @@ class FusedOptOrbVQE:
 
         self.num_spin_orbitals = num_spin_orbitals
         self.ansatz = ansatz
+        enc = getattr(ansatz, "_encoding", "jw")
+        if enc != "jw":
+            # the fused one-dispatch programs contract RDMs directly from
+            # occupation-basis amplitudes, which only the Jordan-Wigner
+            # encoding preserves — a parity/BK-mapped ansatz would yield a
+            # silently wrong energy here (class solvers auto-switch to the
+            # per-Pauli path instead; use those for non-JW mappers)
+            raise ValueError(
+                f"fused solvers require a Jordan-Wigner-encoded ansatz; "
+                f"got encoding {enc!r} — use the class-based OptOrb solver "
+                f"with rdm_measurement='pauli' for this mapper")
         self._compiled = compile_circuit(ansatz)
         if not self._compiled.is_real:
             raise ValueError("fused path requires a real-safe ansatz")
@@ -1167,8 +1220,7 @@ class FusedOptOrbVQE:
             return self._run(dtype)
 
     def _run(self, dtype) -> FusedOptOrbResult:
-        live_cb, post_cb = _resolve_callback(self.outer_loop_callback,
-                                             self.checkpoint_dir)
+        live_cb, post_cb = _cached_callbacks(self)
         E, theta, U, it, trace = _fused_optorb_vqe(
             self._compiled.state_fn,
             self.num_spin_orbitals // 2,
@@ -1185,7 +1237,7 @@ class FusedOptOrbVQE:
         )
         it = int(it)
         if post_cb is not None:
-            post_cb(it, E, theta, U)
+            post_cb(it, E, theta, U, trace)
         trace = np.asarray(trace)[:it]
         return FusedOptOrbResult(
             eigenvalue=float(E),
@@ -1245,8 +1297,7 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
         self._template = ansatz
 
     def _run(self, dtype) -> FusedOptOrbResult:
-        live_cb, post_cb = _resolve_callback(self.outer_loop_callback,
-                                             self.checkpoint_dir)
+        live_cb, post_cb = _cached_callbacks(self)
         E, theta, mask, U, it, trace = _fused_optorb_adapt_vqe(
             self._compiled.state_fn,
             self.num_spin_orbitals // 2,
@@ -1266,7 +1317,7 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
         )
         it = int(it)
         if post_cb is not None:
-            post_cb(it, E, theta * mask, U)
+            post_cb(it, E, theta * mask, U, trace)
         trace = np.asarray(trace)[:it]
         result = FusedOptOrbResult(
             eigenvalue=float(E),

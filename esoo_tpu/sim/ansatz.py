@@ -25,6 +25,14 @@ from ..ops.jw import JordanWignerMapper
 from .circuit import QuantumCircuit
 
 
+def _encoding_of(mapper) -> str:
+    """Encoding tag for circuits: 'jw' iff amplitudes are in the occupation
+    basis (the assumption behind every direct-RDM / sector fast path)."""
+    if mapper is None or isinstance(mapper, JordanWignerMapper):
+        return "jw"
+    return type(mapper).__name__.lower()
+
+
 def hartree_fock_bitmask(num_spatial_orbitals: int,
                          num_particles: Tuple[int, int]) -> int:
     """Occupation bitmask: alpha 0..na-1, beta n..n+nb-1 (block ordering)."""
@@ -53,6 +61,7 @@ def HartreeFock(num_spatial_orbitals: int, num_particles: Tuple[int, int],
     for q in range(nq):
         if (mask >> q) & 1:
             qc.x(q)
+    qc._encoding = _encoding_of(qubit_mapper)
     return qc
 
 
@@ -134,6 +143,16 @@ def UCC(num_spatial_orbitals: int,
     qc._ucc_pool = pool
     qc._ucc_excitations = excs * reps
     qc._ucc_initial_state = initial_state
+    # amplitudes are occupation-basis only under JW; direct-RDM/sector
+    # consumers check this tag (a parity/BK-mapped UCC state must go
+    # through per-Pauli measurement, cf. base.py rdm_measurement guard)
+    qc._encoding = _encoding_of(mapper)
+    if initial_state is not None:
+        init_enc = getattr(initial_state, "_encoding", "jw")
+        if init_enc != qc._encoding:
+            raise ValueError(
+                f"initial_state encoding {init_enc!r} does not match the "
+                f"UCC mapper encoding {qc._encoding!r}")
     return qc
 
 

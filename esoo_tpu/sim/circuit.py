@@ -180,6 +180,15 @@ class QuantumCircuit:
         else:
             out.gates = shifted(self.gates, 0) + shifted(other.gates, shift)
         out._num_parameters = self._num_parameters + other._num_parameters
+        # a non-occupation encoding on either side poisons the composite
+        # (direct-RDM/sector consumers treat missing/'jw' as occupation basis)
+        enc_a = getattr(self, "_encoding", None)
+        enc_b = getattr(other, "_encoding", None)
+        non_jw = [e for e in (enc_a, enc_b) if e is not None and e != "jw"]
+        if non_jw:
+            out._encoding = non_jw[0]
+        elif enc_a is not None or enc_b is not None:
+            out._encoding = "jw"
         if self.parameter_bounds is not None or other.parameter_bounds is not None:
             mine = self.parameter_bounds or [(None, None)] * self._num_parameters
             theirs = (other.parameter_bounds
@@ -192,6 +201,8 @@ class QuantumCircuit:
         out = QuantumCircuit(self.num_qubits)
         out.gates = list(self.gates)
         out._num_parameters = self._num_parameters
+        if hasattr(self, "_encoding"):
+            out._encoding = self._encoding
         return out
 
     def assign_parameters(self, values) -> "QuantumCircuit":
@@ -213,6 +224,8 @@ class QuantumCircuit:
                 ang = ("const", float(ang[2] * values[ang[1]] + ang[3]))
             out.gates.append(Gate(gt.name, gt.qubits, ang, gt.data))
         out._num_parameters = 0
+        if hasattr(self, "_encoding"):
+            out._encoding = self._encoding
         return out
 
     # -- identity for caching ----------------------------------------------

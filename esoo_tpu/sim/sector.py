@@ -109,6 +109,14 @@ class SectorUCC:
             raise ValueError(
                 "sector simulation requires a UCC-family ansatz built by "
                 "sim.ansatz.UCC/UCCSD (carrying its excitation list)")
+        if getattr(ansatz, "_encoding", "jw") != "jw":
+            # the sector reads the initial-state X mask as an occupation
+            # bitmask and applies excitations as determinant rotations —
+            # only the Jordan-Wigner encoding preserves that reading
+            raise ValueError(
+                "sector simulation requires the Jordan-Wigner encoding; "
+                f"ansatz carries encoding "
+                f"{getattr(ansatz, '_encoding')!r}")
         if len(excs) != ansatz.num_parameters:
             raise ValueError(
                 f"ansatz has {ansatz.num_parameters} parameters but "
@@ -156,8 +164,12 @@ class SectorUCC:
             dst, sg = _apply_ladder_chain(src, occ, vir)
             lo = np.nonzero(domain)[0]
             hi = np.searchsorted(dets, dst)
-            if not np.array_equal(dets[hi], dst):
-                raise AssertionError("excitation left the sector basis")
+            if (hi >= nd).any() or not np.array_equal(dets[hi], dst):
+                # ValueError so eligibility probes (_sector_for) fall back
+                # to the full simulator instead of crashing
+                raise ValueError("excitation left the sector basis — the "
+                                 "ansatz does not conserve per-spin "
+                                 "particle number")
             pair_lo.append(lo)
             pair_hi.append(hi)
             pair_sg.append(sg)

@@ -37,7 +37,7 @@ def _sector_for(circuit: QuantumCircuit):
         sec = SectorUCC(circuit, circuit.num_qubits)
         if sec.init_index is None:
             sec = None
-    except ValueError:
+    except (ValueError, AssertionError):
         sec = None
     _SECTOR_CACHE[key] = sec
     return sec
@@ -123,7 +123,12 @@ def make_evaluators(circuit: QuantumCircuit, operator: SparsePauliOp):
     Returns (energy_fn(theta) -> float, vag_fn(theta) -> (float, grad)).
     """
     compiled = compile_circuit(circuit)
-    if getattr(operator, "fermionic", None) is not None:
+    # the fermionic fast path contracts RDMs from occupation-basis
+    # amplitudes, which only the Jordan-Wigner encoding preserves;
+    # parity/BK-encoded circuits take the per-Pauli path (the operator's
+    # Pauli terms already carry the right encoding)
+    occupation_basis = getattr(circuit, "_encoding", "jw") == "jw"
+    if getattr(operator, "fermionic", None) is not None and occupation_basis:
         h, g = operator.fermionic
         h_j = jnp.asarray(h)
         g_j = jnp.asarray(g)

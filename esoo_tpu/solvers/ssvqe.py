@@ -117,15 +117,21 @@ def _batched_evaluators(ansatz, init_states, operator, weights):
         thetas = jnp.asarray(thetas, dtype=jnp.float64)
         return jax.vmap(lambda t: energies(t))(thetas)
 
-    def variances(theta):
-        """Per-state Var[H] = <H^2> - <H>^2, used for the shot-noise
-        std-dev callback metadata (Aer estimator metadata parity)."""
-        h2 = (operator @ operator).simplify()
-        xs, zs, ys, coeffs = h2.mask_arrays()
-        phases = np.power(1j, ys % 4)
-        c_j = jnp.asarray(coeffs * phases)
-        xs_j, zs_j = jnp.asarray(xs), jnp.asarray(zs)
+    _h2_terms = []      # lazy one-time (operator @ operator).simplify():
+    # the O(T^2) symbolic Pauli product is paid at most ONCE per
+    # compute_eigenvalues, not per callback invocation
 
+    def _h2_arrays():
+        if not _h2_terms:
+            h2 = (operator @ operator).simplify()
+            xs, zs, ys, coeffs = h2.mask_arrays()
+            phases = np.power(1j, ys % 4)
+            _h2_terms.append((jnp.asarray(coeffs * phases),
+                              jnp.asarray(xs), jnp.asarray(zs)))
+        return _h2_terms[0]
+
+    @jax.jit
+    def _variances_jit(theta, c_j, xs_j, zs_j):
         def expect_h2(s0, theta):
             s = apply(s0, theta).astype(jnp.complex128)
             idx = jnp.arange(s.shape[0])
@@ -138,9 +144,14 @@ def _batched_evaluators(ansatz, init_states, operator, weights):
 
             return jnp.real(jnp.sum(c_j * jax.vmap(one)(xs_j, zs_j)))
 
-        theta = jnp.asarray(theta, dtype=jnp.float64)
         e2 = jax.vmap(expect_h2, in_axes=(0, None))(init_mat, theta)
         return e2 - energies(theta) ** 2
+
+    def variances(theta):
+        """Per-state Var[H] = <H^2> - <H>^2, used for the shot-noise
+        std-dev callback metadata (Aer estimator metadata parity)."""
+        theta = jnp.asarray(theta, dtype=jnp.float64)
+        return _variances_jit(theta, *_h2_arrays())
 
     return (jax.jit(energies), jax.jit(jax.value_and_grad(weighted)),
             jax.jit(energies_batch), variances)

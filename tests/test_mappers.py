@@ -132,3 +132,31 @@ def test_optorbvqe_parity_mapper_e2e(h2_631g):
     result = solver.compute_minimum_energy()
     np.testing.assert_array_almost_equal(result.eigenvalue,
                                          -1.8661038079694765, decimal=3)
+
+
+def test_sector_rejects_non_jw_ansatz():
+    """SectorUCC reads the initial-state X mask as occupations — only valid
+    under JW; non-JW circuits must raise ValueError (so eligibility probes
+    fall back to the full simulator instead of silently mis-simulating)."""
+    from esoo_tpu.sim.sector import SectorUCC
+
+    mapper = ParityMapper()
+    ansatz = UCCSD(2, (1, 1), qubit_mapper=mapper,
+                   initial_state=HartreeFock(2, (1, 1), qubit_mapper=mapper))
+    with pytest.raises(ValueError, match="Jordan-Wigner"):
+        SectorUCC(ansatz, 4)
+
+
+def test_sector_probe_none_for_non_jw():
+    from esoo_tpu.solvers.energy import _sector_for
+
+    mapper = BravyiKitaevMapper()
+    ansatz = UCCSD(2, (1, 1), qubit_mapper=mapper,
+                   initial_state=HartreeFock(2, (1, 1), qubit_mapper=mapper))
+    assert _sector_for(ansatz) is None
+
+
+def test_ucc_rejects_mismatched_initial_state_encoding():
+    with pytest.raises(ValueError, match="encoding"):
+        UCCSD(2, (1, 1), qubit_mapper=ParityMapper(),
+              initial_state=HartreeFock(2, (1, 1)))  # JW-encoded HF
