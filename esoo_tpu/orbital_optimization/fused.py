@@ -193,34 +193,10 @@ def _inner_bb(vag_fn, U0, data, stepsize, tol, decay, maxiter):
     return c[1]
 
 
-@partial(jax.jit, static_argnames=(
-    "state_fn", "n_active", "outer_maxiter", "inner_maxiter",
-    "vqe_maxiter", "sector", "callback"))
-def _fused_optorb_vqe(state_fn: Callable,
-                      n_active: int,
-                      theta0: jnp.ndarray,
-                      U0: jnp.ndarray,
-                      h_sp: jnp.ndarray,
-                      g_sp: jnp.ndarray,
-                      outer_tol: jnp.ndarray,
-                      inner_tol: jnp.ndarray,
-                      bb_stepsize: jnp.ndarray,
-                      decay: jnp.ndarray,
-                      outer_maxiter: int = 20,
-                      inner_maxiter: int = 10000,
-                      vqe_maxiter: int = 200,
-                      sector=None,
-                      callback=None):
-    """Returns (E, theta, U, n_outer, energy_trace).
-
-    With `sector` (a sim.sector.SectorUCC), the eigensolver runs in the
-    particle-number sector: the sparse Slater-Condon values are rebuilt
-    from the rotated integrals once per outer iteration and each BFGS
-    energy evaluation is Givens-rotation gates + a gather quadform —
-    O(nnz) instead of O(2^N) work per evaluation, no dense matrix."""
-
-    gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
-
+def _vqe_stage_fns(state_fn, n_active, sector, vqe_maxiter, dtype):
+    """(run_vqe, extract_rdms) for the eigensolver stage, shared by the
+    one-dispatch program and the two-dispatch eigensolver program."""
+    gtol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-5
     N = 2 * n_active
 
     if sector is None:
@@ -251,6 +227,80 @@ def _fused_optorb_vqe(state_fn: Callable,
             # sector-native RDMs: never touches the 2^N space
             return sector.rdms(sector.state(theta))
 
+    return run_vqe, extract_rdms
+
+
+@partial(jax.jit, static_argnames=(
+    "state_fn", "n_active", "vqe_maxiter", "sector"))
+def _eig_rdm_program(state_fn: Callable,
+                     n_active: int,
+                     theta: jnp.ndarray,
+                     U: jnp.ndarray,
+                     h_sp: jnp.ndarray,
+                     g_sp: jnp.ndarray,
+                     vqe_maxiter: int = 200,
+                     sector=None):
+    """Two-dispatch mode, program A: rotate integrals at U, solve the
+    eigensolver subproblem, extract spin-reduced RDMs.
+
+    The composite one-dispatch H8 m=112 -> N=16 program reproducibly
+    kills the shared axon TPU worker while every component passes
+    standalone (scripts/bisect_n16_fault.py, round-2 finding); splitting
+    the outer iteration into this program plus _orb_program keeps each
+    compiled program at a size the worker handles."""
+    run_vqe, extract_rdms = _vqe_stage_fns(state_fn, n_active, sector,
+                                           vqe_maxiter, h_sp.dtype)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    theta, E = run_vqe(theta, h_act, g_act)
+    gamma, Gamma = extract_rdms(theta)
+    gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
+    return theta, E, gamma_s, Gamma_s
+
+
+@partial(jax.jit, static_argnames=("inner_maxiter",))
+def _orb_program(U: jnp.ndarray,
+                 gamma_s: jnp.ndarray,
+                 Gamma_s: jnp.ndarray,
+                 h_sp: jnp.ndarray,
+                 g_sp: jnp.ndarray,
+                 bb_stepsize: jnp.ndarray,
+                 inner_tol: jnp.ndarray,
+                 decay: jnp.ndarray,
+                 inner_maxiter: int = 10000):
+    """Two-dispatch mode, program B: BB/Stiefel descent at fixed RDMs."""
+    return _inner_bb(_ORBITAL_VAG, U, (gamma_s, Gamma_s, h_sp, g_sp),
+                     bb_stepsize, inner_tol, decay, inner_maxiter)
+
+
+@partial(jax.jit, static_argnames=(
+    "state_fn", "n_active", "outer_maxiter", "inner_maxiter",
+    "vqe_maxiter", "sector", "callback"))
+def _fused_optorb_vqe(state_fn: Callable,
+                      n_active: int,
+                      theta0: jnp.ndarray,
+                      U0: jnp.ndarray,
+                      h_sp: jnp.ndarray,
+                      g_sp: jnp.ndarray,
+                      outer_tol: jnp.ndarray,
+                      inner_tol: jnp.ndarray,
+                      bb_stepsize: jnp.ndarray,
+                      decay: jnp.ndarray,
+                      outer_maxiter: int = 20,
+                      inner_maxiter: int = 10000,
+                      vqe_maxiter: int = 200,
+                      sector=None,
+                      callback=None):
+    """Returns (E, theta, U, n_outer, energy_trace).
+
+    With `sector` (a sim.sector.SectorUCC), the eigensolver runs in the
+    particle-number sector: the sparse Slater-Condon values are rebuilt
+    from the rotated integrals once per outer iteration and each BFGS
+    energy evaluation is Givens-rotation gates + a gather quadform —
+    O(nnz) instead of O(2^N) work per evaluation, no dense matrix."""
+
+    run_vqe, extract_rdms = _vqe_stage_fns(state_fn, n_active, sector,
+                                           vqe_maxiter, h_sp.dtype)
     vag = _ORBITAL_VAG
 
     def outer_cond(c):
@@ -1122,6 +1172,7 @@ class FusedOptOrbVQE:
                  dtype=None,
                  mesh=None,
                  simulation: str = "full",
+                 dispatch: str = "one",
                  outer_loop_callback=None,
                  checkpoint_dir=None,
                  resume_from=None):
@@ -1206,6 +1257,9 @@ class FusedOptOrbVQE:
         self.initial_BBstepsize = initial_BBstepsize
         self.decay_factor = decay_factor
         self.vqe_maxiter = vqe_maxiter
+        if dispatch not in ("one", "two"):
+            raise ValueError("dispatch must be 'one' or 'two'")
+        self.dispatch = dispatch
         # live per-outer-iteration host callback (iteration, energy/ies),
         # fired from inside the compiled loop via jax.debug.callback —
         # async, so use it for monitoring/checkpointing, not control flow
@@ -1217,7 +1271,70 @@ class FusedOptOrbVQE:
         dtype = self._h_sp.dtype
         mode = "fast" if jnp.finfo(dtype).bits < 64 else "high"
         with precision_mode(mode):
+            if getattr(self, "dispatch", "one") == "two":
+                return self._run_two_dispatch(dtype)
             return self._run(dtype)
+
+    def _run_two_dispatch(self, dtype) -> FusedOptOrbResult:
+        """Two compiled programs per outer iteration (eigensolver+RDM, then
+        BB/rotation) with a host convergence check in between.
+
+        Semantics match the one-dispatch program bit-for-bit (same stages,
+        same convergence rule, same pre-rotation-U-on-convergence choice);
+        the trade is ~2 dispatches per outer iteration against a much
+        smaller compiled program — the workaround for the composite-program
+        worker fault at H8 m=112 -> N=16 (round-2 verdict, top item).  As a
+        bonus, callbacks/checkpoints run live on the host here even on
+        backends without jax.debug.callback support (axon)."""
+        cb = _make_program_callback(self.outer_loop_callback,
+                                    self.checkpoint_dir)
+        state_fn = self._compiled.state_fn
+        n_active = self.num_spin_orbitals // 2
+        h_sp, g_sp = self._h_sp, self._g_sp
+        bb = jnp.asarray(self.initial_BBstepsize, dtype)
+        inner_tol = jnp.asarray(self.inner_stopping_tolerance, dtype)
+        decay = jnp.asarray(self.decay_factor, dtype)
+
+        theta = self._theta0
+        U = orth(self._U0)
+        trace = np.full((self.maxiter,), np.nan)
+        E_prev = np.inf
+        it = 0
+        converged = False
+        while True:
+            theta, E, gamma_s, Gamma_s = _eig_rdm_program(
+                state_fn, n_active, theta, U, h_sp, g_sp,
+                vqe_maxiter=self.vqe_maxiter, sector=self._sector)
+            E_f = float(E)              # the one host sync per iteration
+            trace[it] = E_f
+            if cb is not None:
+                cb(it + 1, E_f, np.asarray(theta), np.asarray(U), trace)
+            converged = abs(E_f - E_prev) < self.stopping_tolerance
+            it += 1
+            if converged or it >= self.maxiter:
+                break
+            U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
+                             bb, inner_tol, decay,
+                             inner_maxiter=self.inner_maxiter)
+            E_prev = E_f
+        if not converged:
+            # loop ended on hit_max with U freshly rotated: re-solve so
+            # (E, theta, U) are mutually consistent (one-dispatch parity)
+            U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
+                             bb, inner_tol, decay,
+                             inner_maxiter=self.inner_maxiter)
+            theta, E, _, _ = _eig_rdm_program(
+                state_fn, n_active, theta, U, h_sp, g_sp,
+                vqe_maxiter=self.vqe_maxiter, sector=self._sector)
+            E_f = float(E)
+        return FusedOptOrbResult(
+            eigenvalue=E_f,
+            optimal_point=np.asarray(theta),
+            optimal_partial_unitary=np.asarray(U),
+            energy_convergence_list=[float(e) for e in trace[:it]],
+            outer_iterations=it,
+            optimal_circuit=self.ansatz,
+        )
 
     def _run(self, dtype) -> FusedOptOrbResult:
         live_cb, post_cb = _cached_callbacks(self)
@@ -1291,6 +1408,10 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
         if excs is not None and len(excs) == self._P:
             padded._ucc_excitations = list(excs) * self._R
             padded._ucc_initial_state = initial
+        if kwargs.get("dispatch", "one") != "one":
+            raise ValueError(
+                "FusedOptOrbAdaptVQE supports dispatch='one' only (the "
+                "ADAPT growth loop is part of the compiled program)")
         super().__init__(num_spin_orbitals, padded, **kwargs)
         self.gradient_threshold = gradient_threshold
         self.eigenvalue_threshold = eigenvalue_threshold

@@ -240,3 +240,40 @@ def test_fused_callback_resolution_is_memoized(h2_631g):
     first = _cached_callbacks(sol)
     second = _cached_callbacks(sol)
     assert first[0] is second[0] and first[1] is second[1]
+
+
+@pytest.mark.parametrize("simulation", ["full", "sector"])
+def test_fused_two_dispatch_matches_one_dispatch(h2_631g, simulation):
+    """dispatch='two' (eigensolver program + orbital program per outer
+    iteration, host convergence check) reproduces the one-dispatch
+    result — the N=16 worker-fault workaround must not change semantics."""
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    one = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
+                         problem=h2_631g, maxiter=20,
+                         simulation=simulation).compute_minimum_energy()
+    two = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
+                         problem=h2_631g, maxiter=20, simulation=simulation,
+                         dispatch="two").compute_minimum_energy()
+    np.testing.assert_allclose(two.eigenvalue, one.eigenvalue, atol=1e-9)
+    assert two.outer_iterations == one.outer_iterations
+    np.testing.assert_allclose(two.energy_convergence_list,
+                               one.energy_convergence_list, atol=1e-9)
+    np.testing.assert_allclose(two.optimal_partial_unitary,
+                               one.optimal_partial_unitary, atol=1e-7)
+
+
+def test_fused_two_dispatch_live_checkpoints(h2_631g, tmp_path):
+    """Two-dispatch mode writes per-iteration checkpoints from the host
+    loop (works even on backends without jax.debug.callback)."""
+    import glob
+    import os
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    d = str(tmp_path)
+    seen = []
+    r = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz, problem=h2_631g,
+                       maxiter=20, dispatch="two", checkpoint_dir=d,
+                       outer_loop_callback=lambda it, e: seen.append(it),
+                       ).compute_minimum_energy()
+    cks = sorted(glob.glob(os.path.join(d, "fused_iter_*.npz")))
+    assert len(cks) == r.outer_iterations
+    assert seen == list(range(1, r.outer_iterations + 1))
