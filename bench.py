@@ -97,7 +97,8 @@ def h8_spatial_tensors():
     return h_sp, g_sp, p.num_particles, p.nuclear_repulsion_energy
 
 
-def run_h8_scale(n_red_so=12, maxiter=10, simulation="full"):
+def run_h8_scale(n_red_so=12, maxiter=10, simulation="full",
+                 dispatch="one"):
     """Production-scale fused run on the default device: H8 cc-pVTZ
     M=224 spin orbitals (m=112 spatial, the sharded-relevant size)
     reduced to `n_red_so`.  Returns wall times + energies.
@@ -126,7 +127,7 @@ def run_h8_scale(n_red_so=12, maxiter=10, simulation="full"):
         return FusedOptOrbVQE(num_spin_orbitals=n_red_so, ansatz=ansatz,
                               problem=_P(), maxiter=maxiter,
                               stopping_tolerance=1e-5, dtype=jnp.float32,
-                              simulation=simulation)
+                              simulation=simulation, dispatch=dispatch)
 
     t0 = time.perf_counter()
     r = make().compute_minimum_energy()
@@ -136,7 +137,8 @@ def run_h8_scale(n_red_so=12, maxiter=10, simulation="full"):
     warm = time.perf_counter() - t0
     return dict(energy=r.eigenvalue, cold_s=round(cold, 2),
                 warm_s=round(warm, 2), outer_iters=r.outer_iterations,
-                e_nn=e_nn, simulation=simulation)
+                e_nn=e_nn, simulation=simulation, dispatch=dispatch,
+                n_red_so=n_red_so)
 
 
 def run_h8_scale_subprocess():

@@ -58,6 +58,42 @@ STO3G = {
     "Ne": _sto3g((207.0156100, 37.7081510, 10.2052970), (8.2463151, 1.9162662, 0.6232293)),
 }
 
+# third row: (1s)(2sp)(3sp); the 3sp expansion coefficients are the
+# universal STO-3G fit constants (Hehre/Stewart/Pople), exponents are the
+# published per-atom values (validated in tests against literature
+# molecular RHF energies, e.g. HCl)
+_STO3G_3S_COEFFS = (-0.2196203936, 0.2255954336, 0.9003984260)
+_STO3G_3P_COEFFS = (0.0105876043, 0.5951670053, 0.4620010120)
+
+
+def _sto3g3(exps_1s, exps_2sp, exps_3sp):
+    return [
+        {"l": 0, "prims": list(zip(exps_1s, _STO3G_S_COEFFS))},
+        {"l": 0, "prims": list(zip(exps_2sp, _STO3G_2S_COEFFS))},
+        {"l": 1, "prims": list(zip(exps_2sp, _STO3G_2P_COEFFS))},
+        {"l": 0, "prims": list(zip(exps_3sp, _STO3G_3S_COEFFS))},
+        {"l": 1, "prims": list(zip(exps_3sp, _STO3G_3P_COEFFS))},
+    ]
+
+
+STO3G.update({
+    "Si": _sto3g3((407.7975514, 74.28083305, 20.10329229),
+                  (23.19365606, 5.389706871, 1.752899952),
+                  (1.4787406220, 0.4125648801, 0.1614750979)),
+    "P": _sto3g3((468.3656378, 85.31338559, 23.09131500),
+                 (28.03263958, 6.514182577, 2.118614352),
+                 (1.7431032310, 0.4863213771, 0.1903428909)),
+    "S": _sto3g3((533.1257359, 97.10951830, 26.28162542),
+                 (33.32975173, 7.745117521, 2.518952599),
+                 (2.0291942740, 0.5661400518, 0.2215833792)),
+    "Cl": _sto3g3((601.3456136, 109.5358542, 29.64467686),
+                  (38.96041889, 9.053563477, 2.944499834),
+                  (2.1293864950, 0.5940934274, 0.2325241410)),
+    "Ar": _sto3g3((674.4465184, 122.8512753, 33.24834945),
+                  (45.16424392, 10.49519900, 3.413364448),
+                  (2.6213665180, 0.7313546050, 0.2862472356)),
+})
+
 def _pople_631g(s6_exps, s6_coeffs, sp3_exps, sp3_s, sp3_p, sp1_exp):
     """First-row 6-31G shell structure: (10s4p) -> [3s2p].
 
@@ -255,6 +291,28 @@ CCPVDZ = {
         2.2020),
 }
 
+def _dunning_vtz_row1(s_exps, s_c1, s_c2, s_free1, s_free2,
+                      p_exps, p_c, p_free1, p_free2, d1, d2, f1):
+    """First-row cc-pVTZ shell structure: (10s5p2d1f) -> [4s3p2d1f].
+
+    Two general s contractions over the 8 listed primitives, two free s;
+    one p contraction over 3 primitives, two free p; two free d, one free
+    f.  Data: Dunning, J. Chem. Phys. 90, 1007 (1989) / EMSL exchange;
+    validated against literature RHF energies in tests (H2O cc-pVTZ)."""
+    return [
+        {"l": 0, "prims": list(zip(s_exps, s_c1))},
+        {"l": 0, "prims": list(zip(s_exps, s_c2))},
+        {"l": 0, "prims": [(s_free1, 1.0)]},
+        {"l": 0, "prims": [(s_free2, 1.0)]},
+        {"l": 1, "prims": list(zip(p_exps, p_c))},
+        {"l": 1, "prims": [(p_free1, 1.0)]},
+        {"l": 1, "prims": [(p_free2, 1.0)]},
+        {"l": 2, "prims": [(d1, 1.0)]},
+        {"l": 2, "prims": [(d2, 1.0)]},
+        {"l": 3, "prims": [(f1, 1.0)]},
+    ]
+
+
 CCPVTZ = {
     "H": [
         {"l": 0, "prims": [(33.8700, 0.0060680), (5.0950, 0.0453080),
@@ -265,6 +323,33 @@ CCPVTZ = {
         {"l": 1, "prims": [(0.3880, 1.0)]},
         {"l": 2, "prims": [(1.0570, 1.0)]},
     ],
+    "C": _dunning_vtz_row1(
+        (8236.0, 1235.0, 280.8, 79.27, 25.59, 8.997, 3.319, 0.3643),
+        (0.000531, 0.004108, 0.021087, 0.081853, 0.234817, 0.434401,
+         0.346129, -0.008983),
+        (-0.000113, -0.000878, -0.004540, -0.018133, -0.055760, -0.126895,
+         -0.170352, 0.598684),
+        0.9059, 0.1285,
+        (18.71, 4.133, 1.200), (0.014031, 0.086866, 0.290216),
+        0.3827, 0.1209, 1.097, 0.318, 0.761),
+    "N": _dunning_vtz_row1(
+        (11420.0, 1712.0, 389.3, 110.0, 35.57, 12.54, 4.644, 0.5118),
+        (0.000523, 0.004045, 0.020775, 0.080727, 0.233074, 0.433501,
+         0.347472, -0.008508),
+        (-0.000115, -0.000895, -0.004624, -0.018528, -0.057339, -0.132076,
+         -0.172510, 0.599944),
+        1.293, 0.1787,
+        (26.63, 5.948, 1.742), (0.014670, 0.091764, 0.298683),
+        0.555, 0.1725, 1.654, 0.469, 1.093),
+    "O": _dunning_vtz_row1(
+        (15330.0, 2299.0, 522.4, 147.3, 47.55, 16.76, 6.207, 0.6882),
+        (0.000508, 0.003929, 0.020243, 0.079181, 0.230687, 0.433118,
+         0.350260, -0.008154),
+        (-0.000115, -0.000895, -0.004636, -0.018724, -0.058463, -0.136463,
+         -0.175740, 0.603418),
+        1.752, 0.2384,
+        (34.46, 7.749, 2.280), (0.015928, 0.099740, 0.310492),
+        0.7156, 0.2140, 2.314, 0.645, 1.428),
 }
 
 CCPVQZ = {
@@ -334,6 +419,8 @@ BASIS_SETS = {
 ATOMIC_NUMBERS = {
     "H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5,
     "C": 6, "N": 7, "O": 8, "F": 9, "Ne": 10,
+    "Na": 11, "Mg": 12, "Al": 13, "Si": 14, "P": 15,
+    "S": 16, "Cl": 17, "Ar": 18,
 }
 
 ANGSTROM_TO_BOHR = 1.0 / 0.52917721092
@@ -512,7 +599,20 @@ def build_shells(atom: str, basis: str, custom_basis: dict | None = None):
         (shells, symbols, coords_bohr)
     """
     symbols, coords = parse_geometry(atom)
-    table = custom_basis if custom_basis is not None else BASIS_SETS[basis.lower()]
+    if custom_basis is not None:
+        table = custom_basis
+    elif basis.lower().endswith(".gbs"):
+        # universal ingestion: any Gaussian94 basis file (the interchange
+        # format the Basis Set Exchange exports for every published set)
+        from .gbs import load_gbs
+        table = load_gbs(basis)
+    elif basis.lower() not in BASIS_SETS:
+        raise ValueError(
+            f"unknown basis {basis!r}: choose from "
+            f"{sorted(set(BASIS_SETS))}, pass a .gbs file path, or pass "
+            f"custom_basis=")
+    else:
+        table = BASIS_SETS[basis.lower()]
     shells = []
     for sym, xyz in zip(symbols, coords):
         if sym not in table:

@@ -31,6 +31,11 @@ from .basis import ATOMIC_NUMBERS, build_shells
 from .integrals import IntegralEngine
 from .scf import SCFResult, rhf, rohf
 
+# chemical-core spatial-orbital counts by atomic number (frozen-core
+# convention: 1s for Li-Ne; 1s2s2p for Na-Ar)
+_CORE_ORBITALS = {z: (0 if z <= 2 else 1 if z <= 10 else 5)
+                  for z in range(1, 19)}
+
 
 @dataclasses.dataclass
 class ElectronicStructureProblem:
@@ -44,10 +49,74 @@ class ElectronicStructureProblem:
     scf: Optional[SCFResult] = None
     atom: str = ""
     basis: str = ""
+    core_energy: float = 0.0      # frozen-core mean-field energy (active-
+    # space problems: total electronic = solver energy + core_energy)
 
     @property
     def num_spin_orbitals(self) -> int:
         return 2 * self.num_spatial_orbitals
+
+    def active_space(self, n_frozen: Optional[int] = None,
+                     n_active_orbitals: Optional[int] = None
+                     ) -> "ElectronicStructureProblem":
+        """Frozen-core / active-space reduction (the qiskit-nature
+        ActiveSpaceTransformer role the reference relies on for heavy
+        atoms; cf. reference base_opt_orb_solver.py:87-91 consuming the
+        transformed problem).
+
+        The lowest `n_frozen` (doubly occupied) MOs are folded into an
+        effective one-body operator and a scalar `core_energy`:
+
+            E_core    = 2 sum_i h_ii + sum_ij [2(ii|jj) - (ij|ji)]
+            h_eff[pq] = h[pq] + sum_i [2(pq|ii) - (pi|iq)]
+
+        (chemist-notation (pq|rs) integrals, i/j over frozen MOs).  With
+        `n_active_orbitals`, high virtuals beyond the window are dropped
+        too.  `n_frozen=None` freezes the standard chemical core per atom
+        (He: 0 / first row: 1 / second row: 5).
+
+        Solver energies on the returned problem are ACTIVE-space
+        electronic energies; the physical total is
+        ``result + problem.core_energy + problem.nuclear_repulsion_energy``.
+        """
+        if n_frozen is None:
+            from .basis import parse_geometry
+            symbols, _ = parse_geometry(self.atom)
+            n_frozen = sum(_CORE_ORBITALS[ATOMIC_NUMBERS[s]]
+                           for s in symbols)
+        na, nb = self.num_particles
+        if n_frozen > min(na, nb):
+            raise ValueError(
+                f"cannot freeze {n_frozen} orbitals with only "
+                f"({na}, {nb}) electrons per spin")
+        nc = int(n_frozen)
+        stop = (self.num_spatial_orbitals if n_active_orbitals is None
+                else nc + int(n_active_orbitals))
+        if stop > self.num_spatial_orbitals or stop <= nc:
+            raise ValueError(
+                f"active window [{nc}:{stop}] out of range for "
+                f"{self.num_spatial_orbitals} orbitals")
+        h = self.hcore_mo
+        eri = self.eri_mo
+        core = slice(0, nc)
+        act = slice(nc, stop)
+        e_core = (2.0 * np.trace(h[core, core])
+                  + 2.0 * np.einsum("iijj->", eri[core, core, core, core])
+                  - np.einsum("ijji->", eri[core, core, core, core]))
+        h_eff = (h[act, act]
+                 + 2.0 * np.einsum("pqii->pq", eri[act, act, core, core])
+                 - np.einsum("piiq->pq", eri[act, core, core, act]))
+        return ElectronicStructureProblem(
+            num_particles=(na - nc, nb - nc),
+            num_spatial_orbitals=stop - nc,
+            nuclear_repulsion_energy=self.nuclear_repulsion_energy,
+            hcore_mo=h_eff,
+            eri_mo=eri[act, act, act, act].copy(),
+            scf=self.scf,
+            atom=self.atom,
+            basis=self.basis,
+            core_energy=self.core_energy + float(e_core),
+        )
 
     def one_body_tensor(self) -> np.ndarray:
         """Spin-orbital one-body tensor h[p,q] (block spin ordering)."""
