@@ -819,9 +819,24 @@ def _fused_optorb_vqd(apply_fn: Callable,
     # pad at the END so index k-1 (never a previous state) is inert
     bpad = jnp.concatenate([betas, jnp.zeros(1, betas.dtype)])
 
+    if isinstance(apply_fn, tuple):
+        # per-state ansatze (reference vqd.py:17-18,203-206): k compiled
+        # apply functions dispatched by lax.switch on the traced state
+        # index; thetas are END-padded to the widest parameter count, and
+        # branch i consumes only its own leading slice (pad gradients are
+        # exactly zero, so the masked L-BFGS never moves them)
+        _branches = tuple(
+            (lambda v, t, f=f, P=P: f(v, t[:P])) for f, P in apply_fn)
+
+        def apply_state(j, v, theta):
+            return jax.lax.switch(j, _branches, v, theta)
+    else:
+        def apply_state(j, v, theta):
+            return apply_fn(v, theta)
+
     if sector is None:
         def deflated_cost(theta, j, prev_states, h_so, g_so):
-            s = apply_fn(init_mat[j], theta)
+            s = apply_state(j, init_mat[j], theta)
             e = rdm_energy(s, h_so, g_so)
             ov = prev_states @ s                      # (k,) overlaps
             mask = (jnp.arange(k) < j).astype(s.dtype)
@@ -836,7 +851,7 @@ def _fused_optorb_vqd(apply_fn: Callable,
                     deflated_cost, thetas[j],
                     args=(j, prev_states, h_so, g_so),
                     maxiter=vqe_maxiter, gtol=gtol)
-                s = apply_fn(init_mat[j], res.x)
+                s = apply_state(j, init_mat[j], res.x)
                 e = rdm_energy(s, h_so, g_so)   # deflation-free eigenvalue
                 return (thetas.at[j].set(res.x),
                         prev_states.at[j].set(s),
@@ -929,17 +944,65 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
     """One-dispatch VQD OptOrb loop: sequential beta-penalized deflation
     over k states inside the single compiled outer loop.
 
-    Restriction of the fused path: all k states share one ansatz circuit
-    (per-state *initial states* may differ); use the class-based OptOrbVQD
-    for fully heterogeneous per-state ansatze.
+    `ansatz` may be one shared circuit or a LIST of k per-state circuits
+    (the reference VQD's signature feature, vqd.py:17-18,203-206): with a
+    list, each state's circuit compiles into the single program and is
+    selected by lax.switch on the state index; parameter vectors are
+    end-padded to the widest circuit (`optimal_point` row i is ansatz i's
+    parameters in its leading slice).  Per-state ansatze require
+    simulation='full' (the sector program compiles one excitation table).
     """
 
     _requires_orthogonal_inits = False  # deflation separates the states
 
     def __init__(self, num_spin_orbitals: int, ansatz, initial_states,
                  betas=None, weight_vector=None, **kwargs):
+        ansatz_list = None
+        if isinstance(ansatz, (list, tuple)):
+            ansatz_list = list(ansatz)
+            if len(ansatz_list) != len(initial_states):
+                raise ValueError(
+                    f"need one ansatz per state: got {len(ansatz_list)} "
+                    f"ansatze for {len(initial_states)} initial states")
+            if kwargs.get("simulation", "full") == "sector":
+                raise ValueError(
+                    "per-state ansatze require simulation='full'")
+            user_point = kwargs.pop("initial_point", None)
+            ansatz = ansatz_list[0]
+            kwargs["initial_point"] = None
         super().__init__(num_spin_orbitals, ansatz, initial_states,
                          weight_vector=weight_vector, **kwargs)
+        if ansatz_list is not None:
+            compiled = []
+            for a in ansatz_list:
+                enc = getattr(a, "_encoding", "jw")
+                if enc != "jw":
+                    raise ValueError(
+                        f"fused solvers require Jordan-Wigner-encoded "
+                        f"ansatze; got encoding {enc!r}")
+                c = compile_circuit(a)
+                if not c.is_real:
+                    raise ValueError(
+                        "fused path requires real-safe ansatze")
+                compiled.append(c)
+            self._apply_raw = tuple(
+                (c.apply_raw, a.num_parameters)
+                for c, a in zip(compiled, ansatz_list))
+            pmax = max(a.num_parameters for a in ansatz_list)
+            theta0 = np.zeros((self.k, pmax))
+            if user_point is not None:
+                pts = (user_point if isinstance(user_point[0],
+                                                (list, tuple, np.ndarray))
+                       else [user_point] * self.k)
+                for i, (p, a) in enumerate(zip(pts, ansatz_list)):
+                    p = np.asarray(p, dtype=np.float64)
+                    if p.shape[0] != a.num_parameters:
+                        raise ValueError(
+                            f"initial point {i} has {p.shape[0]} values "
+                            f"for a {a.num_parameters}-parameter ansatz")
+                    theta0[i, : p.shape[0]] = p
+            self._theta0 = jnp.asarray(theta0, dtype=self._h_sp.dtype)
+            self._ansatz_list = ansatz_list
         if betas is None:
             # deflation only works when beta exceeds the relevant energy
             # gap; derive the bound from the active-space integrals at the

@@ -277,3 +277,61 @@ def test_fused_two_dispatch_live_checkpoints(h2_631g, tmp_path):
     cks = sorted(glob.glob(os.path.join(d, "fused_iter_*.npz")))
     assert len(cks) == r.outer_iterations
     assert seen == list(range(1, r.outer_iterations + 1))
+
+
+def test_fused_vqd_per_state_ansatz(h2_631g):
+    """FusedOptOrbVQD accepts a LIST of per-state ansatze (the reference
+    VQD's signature feature, vqd.py:17-18,203-206).  Identical copies must
+    reproduce the shared-ansatz result; heterogeneous circuits (different
+    reps) must still reach the reference eigenvalues."""
+    from esoo_tpu.sim import QuantumCircuit
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQD
+
+    init0 = HartreeFock(2, (1, 1))
+    init1 = QuantumCircuit(4)
+    init1.x(1)
+    init1.x(2)
+
+    shared = FusedOptOrbVQD(
+        num_spin_orbitals=4, ansatz=UCCSD(2, (1, 1), reps=2),
+        initial_states=[init0, init1], betas=[2.0],
+        weight_vector=[2, 1], problem=h2_631g,
+        maxiter=20).compute_energies()
+    same = FusedOptOrbVQD(
+        num_spin_orbitals=4,
+        ansatz=[UCCSD(2, (1, 1), reps=2), UCCSD(2, (1, 1), reps=2)],
+        initial_states=[init0, init1], betas=[2.0],
+        weight_vector=[2, 1], problem=h2_631g,
+        maxiter=20).compute_energies()
+    np.testing.assert_allclose(same.eigenvalues, shared.eigenvalues,
+                               atol=1e-8)
+
+    hetero = FusedOptOrbVQD(
+        num_spin_orbitals=4,
+        ansatz=[UCCSD(2, (1, 1), reps=1), UCCSD(2, (1, 1), reps=2)],
+        initial_states=[init0, init1], betas=[2.0],
+        weight_vector=[2, 1], problem=h2_631g,
+        maxiter=20).compute_energies()
+    np.testing.assert_array_almost_equal(
+        hetero.eigenvalues, [-1.8540352, -1.37044389], decimal=3)
+    # padded parameter rows: state 0 has reps=1 params in its lead slice
+    p1 = UCCSD(2, (1, 1), reps=1).num_parameters
+    p2 = UCCSD(2, (1, 1), reps=2).num_parameters
+    assert hetero.optimal_point.shape == (2, p2)
+    np.testing.assert_allclose(hetero.optimal_point[0, p1:], 0.0,
+                               atol=1e-12)
+
+
+def test_fused_vqd_per_state_ansatz_validation(h2_631g):
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQD
+    init0 = HartreeFock(2, (1, 1))
+    with pytest.raises(ValueError, match="one ansatz per state"):
+        FusedOptOrbVQD(num_spin_orbitals=4,
+                       ansatz=[UCCSD(2, (1, 1))],
+                       initial_states=[init0, init0], betas=[2.0],
+                       problem=h2_631g)
+    with pytest.raises(ValueError, match="simulation='full'"):
+        FusedOptOrbVQD(num_spin_orbitals=4,
+                       ansatz=[UCCSD(2, (1, 1)), UCCSD(2, (1, 1))],
+                       initial_states=[init0, init0], betas=[2.0],
+                       problem=h2_631g, simulation="sector")
