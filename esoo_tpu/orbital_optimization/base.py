@@ -170,6 +170,10 @@ class BaseOptOrbSolver:
                 offered the callback seam, base_opt_orb_solver.py:60-62).
             seed: RNG seed for perturbations.
         """
+        # drop-in interop: accept qiskit-nature problems / qiskit mappers
+        # where the reference does (base_opt_orb_solver.py:22,87-91,115)
+        from ..interop import adapt as _interop_adapt
+        problem, mapper = _interop_adapt(problem, mapper)
         self.mapper = mapper or JordanWignerMapper()
         self.estimator = estimator or Estimator()
         self.partial_unitary_optimizer = (

@@ -511,6 +511,8 @@ class FusedOptOrbSSVQE:
                  resume_from=None,
                  _spatial_tensors=None):
         from .kernels import spatial_blocks, spin_blocks_consistent
+        from ..interop import adapt as _interop_adapt
+        problem, _ = _interop_adapt(problem, None)
 
         if _spatial_tensors is not None:
             h_sp, g_sp = _spatial_tensors
@@ -1240,6 +1242,8 @@ class FusedOptOrbVQE:
                  checkpoint_dir=None,
                  resume_from=None):
         from .kernels import spatial_blocks, spin_blocks_consistent
+        from ..interop import adapt as _interop_adapt
+        problem, _ = _interop_adapt(problem, None)
 
         if resume_from is not None:
             from .checkpoint import load_checkpoint
