@@ -107,16 +107,105 @@ def f(u, h, g):
     return jnp.sum(sec.build_hamiltonian(h_so, g_so))
 print("sector_hbuild:", float(np.asarray(f(u, h, g))))
 """,
+    # 6. FULL-SPACE L-BFGS VQE at N=16 with fixed active integrals (no
+    # m=112 transform).  Round 3: the two-dispatch eigensolver program
+    # (transform + full-space L-BFGS + RDMs) still crashed the worker, so
+    # the full-space N=16 VQE itself — untested in round 2 — is the next
+    # suspect.
+    "full_lbfgs_n16": """
+import numpy as np, jax, jax.numpy as jnp
+from esoo_tpu.sim import UCCSD, HartreeFock
+from esoo_tpu.sim.statevector import compile_circuit
+from esoo_tpu.sim.rdm import rdm_energy
+from esoo_tpu.solvers.lbfgs import lbfgs_minimize
+ans = UCCSD(8, (4, 4), initial_state=HartreeFock(8, (4, 4)))
+state_fn = compile_circuit(ans).state_fn
+rng = np.random.default_rng(0)
+h_so = jnp.asarray(rng.normal(size=(16, 16)) * 0.05, jnp.float32)
+h_so = (h_so + h_so.T) / 2
+g_so = jnp.asarray(rng.normal(size=(16,)*4) * 0.005, jnp.float32)
+def cost(t, h, g):
+    return rdm_energy(state_fn(t), h, g)
+f = jax.jit(lambda t, h, g: lbfgs_minimize(cost, t, args=(h, g),
+                                           maxiter=60, gtol=1e-5).fun)
+th0 = jnp.zeros(ans.num_parameters, jnp.float32)
+print("full_lbfgs_n16:", float(np.asarray(f(th0, h_so, g_so))))
+""",
+    # 7. full-space RDM extraction at N=16
+    "full_rdms_n16": """
+import numpy as np, jax, jax.numpy as jnp
+from esoo_tpu.sim import UCCSD, HartreeFock
+from esoo_tpu.sim.statevector import compile_circuit
+from esoo_tpu.sim.rdm import one_rdm, two_rdm
+ans = UCCSD(8, (4, 4), initial_state=HartreeFock(8, (4, 4)))
+state_fn = compile_circuit(ans).state_fn
+@jax.jit
+def f(t):
+    s = state_fn(t)
+    return jnp.sum(one_rdm(s, 16)) + jnp.sum(two_rdm(s, 16))
+th0 = jnp.full((ans.num_parameters,), 0.01, jnp.float32)
+print("full_rdms_n16:", float(np.asarray(f(th0))))
+""",
+    # 8. the two-dispatch eigensolver program at m=112 -> N=16 with a
+    # SHORT L-BFGS (is the crash scan-length-dependent?)
+    "eig_program_short": """
+import numpy as np, jax, jax.numpy as jnp
+from esoo_tpu.sim import UCCSD, HartreeFock
+from esoo_tpu.sim.statevector import compile_circuit
+from esoo_tpu.orbital_optimization.fused import _eig_rdm_program
+ans = UCCSD(8, (4, 4), initial_state=HartreeFock(8, (4, 4)))
+state_fn = compile_circuit(ans).state_fn
+rng = np.random.default_rng(0)
+g = jnp.asarray(rng.normal(size=(112,)*4) / 112, jnp.float32)
+h = jnp.asarray(rng.normal(size=(112, 112)), jnp.float32)
+h = (h + h.T) / 2
+u = jnp.asarray(np.linalg.qr(rng.normal(size=(112, 8)))[0], jnp.float32)
+th0 = jnp.zeros(ans.num_parameters, jnp.float32)
+th, E, gam, Gam = _eig_rdm_program(state_fn, 8, th0, u, h, g,
+                                   vqe_maxiter=10)
+print("eig_program_short:", float(np.asarray(E)))
+""",
 }
+
+PROBE = """
+import numpy as np, jax, jax.numpy as jnp
+x = jnp.ones((256, 256), jnp.float32)
+print("alive", float(np.asarray(x @ x)[0, 0]))
+"""
+
+
+def wait_for_worker(max_tries=12, wait_s=60):
+    """Block until the shared TPU worker answers a trivial matmul (it can
+    need many minutes to come back after a kernel fault)."""
+    import time
+    for i in range(max_tries):
+        try:
+            r = subprocess.run([sys.executable, "-c", PROBE],
+                               capture_output=True, text=True, timeout=120)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"  worker not ready (probe {i + 1}), waiting {wait_s}s",
+              flush=True)
+        time.sleep(wait_s)
+    return False
 
 
 def main():
     results = {}
+    only = set(sys.argv[1:])
     for name, body in CASES.items():
+        if only and name not in only:
+            continue
+        if not wait_for_worker():
+            results[name] = (False, "worker never recovered")
+            print(name, "SKIPPED (worker down)", flush=True)
+            continue
         print(f"--- {name}", flush=True)
         try:
             r = subprocess.run([sys.executable, "-c", body],
-                               capture_output=True, text=True, timeout=1200)
+                               capture_output=True, text=True, timeout=2400)
         except subprocess.TimeoutExpired:
             results[name] = (False, "TIMEOUT (tunnel down or huge compile)")
             print(name, "TIMEOUT", flush=True)

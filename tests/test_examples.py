@@ -67,3 +67,17 @@ def test_h2_sector_callbacks_checkpoint_example():
     line = [ln for ln in out.splitlines() if ln.startswith("converged:")][0]
     energy = float(line.split(":")[1].split("Ha")[0])
     np.testing.assert_allclose(energy, -1.8661, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_h2s_frozen_core_example():
+    out = _run("examples/H2S_FrozenCore_OptOrbVQE.py")
+    line = [ln for ln in out.splitlines() if ln.startswith("H2S total")][0]
+    total = float(line.split(":")[1].split("Ha")[0])
+    # below the RHF total (correlation), above a generous bound
+    assert -394.9 < total < -394.3116
+
+
+def test_custom_basis_gbs_example():
+    out = _run("examples/Custom_Basis_GBS.py")
+    assert "identical" in out
