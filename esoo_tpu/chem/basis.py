@@ -350,6 +350,24 @@ CCPVTZ = {
         1.752, 0.2384,
         (34.46, 7.749, 2.280), (0.015928, 0.099740, 0.310492),
         0.7156, 0.2140, 2.314, 0.645, 1.428),
+    "F": _dunning_vtz_row1(
+        (19500.0, 2923.0, 664.5, 187.5, 60.62, 21.42, 7.950, 0.8815),
+        (0.000507, 0.003923, 0.020200, 0.079010, 0.230439, 0.432872,
+         0.349964, -0.007892),
+        (-0.000117, -0.000912, -0.004717, -0.019086, -0.059655, -0.140010,
+         -0.176782, 0.605043),
+        2.257, 0.3041,
+        (43.88, 9.926, 2.930), (0.016665, 0.104472, 0.317260),
+        0.9132, 0.2672, 3.107, 0.855, 1.917),
+    "Ne": _dunning_vtz_row1(
+        (24350.0, 3650.0, 829.6, 237.0, 75.61, 26.73, 9.927, 1.102),
+        (0.000502, 0.003881, 0.019977, 0.078418, 0.229676, 0.432722,
+         0.350642, -0.007645),
+        (-0.000118, -0.000915, -0.004737, -0.019233, -0.060269, -0.142508,
+         -0.177878, 0.605836),
+        2.836, 0.3782,
+        (54.70, 12.43, 3.679), (0.017151, 0.108656, 0.324669),
+        1.143, 0.3300, 4.014, 1.096, 2.544),
 }
 
 CCPVQZ = {

@@ -198,3 +198,16 @@ def test_h2s_frozen_core_optorbvqe_e2e():
     assert total > e_hf_full - 0.5
     U = r.optimal_partial_unitary
     np.testing.assert_allclose(U.T @ U, np.eye(5), atol=1e-6)
+
+
+def test_hf_molecule_ccpvtz_rhf_literature():
+    """HF/cc-pVTZ RHF = -100.0580 Ha at r=0.9168 A (validates F)."""
+    p = MoleculeDriver(atom="H 0 0 0; F 0 0 0.9168", basis="cc-pvtz").run()
+    total = p.scf.energy_electronic + p.nuclear_repulsion_energy
+    np.testing.assert_allclose(total, -100.0580, atol=5e-4)
+
+
+def test_ne_ccpvtz_rhf_literature():
+    p = MoleculeDriver(atom="Ne 0 0 0", basis="cc-pvtz").run()
+    np.testing.assert_allclose(p.scf.energy_electronic, -128.5313,
+                               atol=1e-3)
