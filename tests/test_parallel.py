@@ -160,3 +160,21 @@ def test_state_mesh_divisibility_error(h2_631g):
     with _pytest.raises(ValueError, match="divisible"):
         FusedOptOrbSSVQE(num_spin_orbitals=4, ansatz=ansatz,
                          initial_states=states, problem=h2_631g, mesh=mesh)
+
+
+def test_fused_two_dispatch_mesh_matches_one_dispatch(h2_631g):
+    """dispatch='two' through a GSPMD mesh == one-dispatch mesh result
+    (both programs see the same last-axis g sharding)."""
+    from esoo_tpu.parallel import make_orbital_mesh
+    from esoo_tpu.sim import HartreeFock, UCCSD
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQE
+
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    mesh = make_orbital_mesh(4)
+    one = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
+                         problem=h2_631g, maxiter=10,
+                         mesh=mesh).compute_minimum_energy()
+    two = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
+                         problem=h2_631g, maxiter=10, mesh=mesh,
+                         dispatch="two").compute_minimum_energy()
+    np.testing.assert_allclose(two.eigenvalue, one.eigenvalue, atol=1e-9)
