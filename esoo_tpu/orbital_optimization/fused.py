@@ -1061,48 +1061,10 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
         return result
 
 
-@partial(jax.jit, static_argnames=(
-    "state_fn", "n_active", "R", "P", "outer_maxiter", "inner_maxiter",
-    "vqe_maxiter", "sector", "callback"))
-def _fused_optorb_adapt_vqe(state_fn: Callable,
-                            n_active: int,
-                            R: int,                 # growth slots
-                            P: int,                 # pool size
-                            U0: jnp.ndarray,
-                            h_sp: jnp.ndarray,
-                            g_sp: jnp.ndarray,
-                            grad_tol: jnp.ndarray,
-                            eig_tol: jnp.ndarray,
-                            outer_tol: jnp.ndarray,
-                            inner_tol: jnp.ndarray,
-                            bb_stepsize: jnp.ndarray,
-                            decay: jnp.ndarray,
-                            outer_maxiter: int = 20,
-                            inner_maxiter: int = 10000,
-                            vqe_maxiter: int = 200,
-                            sector=None,
-                            callback=None):
-    """Fused ADAPT-VQE OptOrb loop: (E, theta, mask, U, n_outer, trace).
-
-    ADAPT growth runs entirely on device as masking over a fixed padded
-    circuit of R slots x P pool groups (`theta` has R*P entries, unselected
-    angles pinned to zero): per growth step the pool is screened by one
-    backward pass (dE/dtheta of slot r at zero IS the commutator gradient),
-    the argmax operator's mask bit is set, and a BFGS solve optimizes the
-    unmasked angles.  Growth terminates on gradient threshold, immediate
-    repeat selection (cyclicity), or energy-improvement threshold — all as
-    lax control flow, so the whole OptOrb run stays one dispatch.
-
-    The ansatz re-grows from scratch every outer iteration (reference
-    OptOrbAdaptVQE.parameter_update_rule is a no-op, opt_orb_adapt_vqe.py:86-89).
-
-    With `sector` (a SectorUCC over the padded R x P circuit), every
-    screening backward pass and every BFGS evaluation runs in the
-    particle-number sector against a dense sector Hamiltonian rebuilt once
-    per outer iteration; the RDM extraction (sector.rdms) stays in the
-    sector too, so the 2^N space is never touched.
-    """
-    dtype = h_sp.dtype
+def _adapt_stage_fns(state_fn, n_active, R, P, sector, vqe_maxiter, dtype,
+                     grad_tol, eig_tol):
+    """(run_adapt, extract_rdms) for the ADAPT eigensolver stage, shared
+    by the one-dispatch program and the two-dispatch variant."""
     N = 2 * n_active
     gtol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-5
 
@@ -1175,6 +1137,80 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
         _, theta, mask, _, E, _ = jax.lax.while_loop(grow_cond, grow_body, c)
         return theta, mask, E
 
+    return run_adapt, extract_rdms
+
+
+@partial(jax.jit, static_argnames=(
+    "state_fn", "n_active", "R", "P", "vqe_maxiter", "sector"))
+def _adapt_eig_rdm_program(state_fn: Callable,
+                           n_active: int,
+                           R: int,
+                           P: int,
+                           U: jnp.ndarray,
+                           h_sp: jnp.ndarray,
+                           g_sp: jnp.ndarray,
+                           grad_tol: jnp.ndarray,
+                           eig_tol: jnp.ndarray,
+                           vqe_maxiter: int = 200,
+                           sector=None):
+    """Two-dispatch mode, ADAPT program A: rotate integrals, run the
+    on-device growth loop from scratch, extract spin-reduced RDMs."""
+    run_adapt, extract_rdms = _adapt_stage_fns(
+        state_fn, n_active, R, P, sector, vqe_maxiter, h_sp.dtype,
+        grad_tol, eig_tol)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    theta, mask, E = run_adapt(h_act, g_act)
+    gamma, Gamma = extract_rdms(theta * mask)
+    gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
+    return theta, mask, E, gamma_s, Gamma_s
+
+
+@partial(jax.jit, static_argnames=(
+    "state_fn", "n_active", "R", "P", "outer_maxiter", "inner_maxiter",
+    "vqe_maxiter", "sector", "callback"))
+def _fused_optorb_adapt_vqe(state_fn: Callable,
+                            n_active: int,
+                            R: int,                 # growth slots
+                            P: int,                 # pool size
+                            U0: jnp.ndarray,
+                            h_sp: jnp.ndarray,
+                            g_sp: jnp.ndarray,
+                            grad_tol: jnp.ndarray,
+                            eig_tol: jnp.ndarray,
+                            outer_tol: jnp.ndarray,
+                            inner_tol: jnp.ndarray,
+                            bb_stepsize: jnp.ndarray,
+                            decay: jnp.ndarray,
+                            outer_maxiter: int = 20,
+                            inner_maxiter: int = 10000,
+                            vqe_maxiter: int = 200,
+                            sector=None,
+                            callback=None):
+    """Fused ADAPT-VQE OptOrb loop: (E, theta, mask, U, n_outer, trace).
+
+    ADAPT growth runs entirely on device as masking over a fixed padded
+    circuit of R slots x P pool groups (`theta` has R*P entries, unselected
+    angles pinned to zero): per growth step the pool is screened by one
+    backward pass (dE/dtheta of slot r at zero IS the commutator gradient),
+    the argmax operator's mask bit is set, and a BFGS solve optimizes the
+    unmasked angles.  Growth terminates on gradient threshold, immediate
+    repeat selection (cyclicity), or energy-improvement threshold — all as
+    lax control flow, so the whole OptOrb run stays one dispatch.
+
+    The ansatz re-grows from scratch every outer iteration (reference
+    OptOrbAdaptVQE.parameter_update_rule is a no-op, opt_orb_adapt_vqe.py:86-89).
+
+    With `sector` (a SectorUCC over the padded R x P circuit), every
+    screening backward pass and every BFGS evaluation runs in the
+    particle-number sector against a dense sector Hamiltonian rebuilt once
+    per outer iteration; the RDM extraction (sector.rdms) stays in the
+    sector too, so the 2^N space is never touched.
+    """
+    dtype = h_sp.dtype
+    run_adapt, extract_rdms = _adapt_stage_fns(
+        state_fn, n_active, R, P, sector, vqe_maxiter, dtype,
+        grad_tol, eig_tol)
     vag = _ORBITAL_VAG
 
     def outer_cond(c):
@@ -1475,13 +1511,66 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
         if excs is not None and len(excs) == self._P:
             padded._ucc_excitations = list(excs) * self._R
             padded._ucc_initial_state = initial
-        if kwargs.get("dispatch", "one") != "one":
-            raise ValueError(
-                "FusedOptOrbAdaptVQE supports dispatch='one' only (the "
-                "ADAPT growth loop is part of the compiled program)")
         super().__init__(num_spin_orbitals, padded, **kwargs)
         self.gradient_threshold = gradient_threshold
         self.eigenvalue_threshold = eigenvalue_threshold
+
+    def _run_two_dispatch(self, dtype) -> FusedOptOrbResult:
+        """Two compiled programs per outer iteration: ADAPT growth + RDMs,
+        then BB/rotation (same split as FusedOptOrbVQE dispatch='two')."""
+        cb = _make_program_callback(self.outer_loop_callback,
+                                    self.checkpoint_dir)
+        state_fn = self._compiled.state_fn
+        n_active = self.num_spin_orbitals // 2
+        h_sp, g_sp = self._h_sp, self._g_sp
+        bb = jnp.asarray(self.initial_BBstepsize, dtype)
+        inner_tol = jnp.asarray(self.inner_stopping_tolerance, dtype)
+        decay = jnp.asarray(self.decay_factor, dtype)
+        grad_tol = jnp.asarray(self.gradient_threshold, dtype)
+        eig_tol = jnp.asarray(self.eigenvalue_threshold, dtype)
+
+        def program_a(U):
+            return _adapt_eig_rdm_program(
+                state_fn, n_active, self._R, self._P, U, h_sp, g_sp,
+                grad_tol, eig_tol, vqe_maxiter=self.vqe_maxiter,
+                sector=self._sector)
+
+        U = orth(self._U0)
+        trace = np.full((self.maxiter,), np.nan)
+        E_prev = np.inf
+        it = 0
+        converged = False
+        while True:
+            theta, mask, E, gamma_s, Gamma_s = program_a(U)
+            E_f = float(E)
+            trace[it] = E_f
+            if cb is not None:
+                cb(it + 1, E_f, np.asarray(theta * mask), np.asarray(U),
+                   trace)
+            converged = abs(E_f - E_prev) < self.stopping_tolerance
+            it += 1
+            if converged or it >= self.maxiter:
+                break
+            U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
+                             bb, inner_tol, decay,
+                             inner_maxiter=self.inner_maxiter)
+            E_prev = E_f
+        if not converged:
+            U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
+                             bb, inner_tol, decay,
+                             inner_maxiter=self.inner_maxiter)
+            theta, mask, E, _, _ = program_a(U)
+            E_f = float(E)
+        result = FusedOptOrbResult(
+            eigenvalue=E_f,
+            optimal_point=np.asarray(theta * mask),
+            optimal_partial_unitary=np.asarray(U),
+            energy_convergence_list=[float(e) for e in trace[:it]],
+            outer_iterations=it,
+            optimal_circuit=self.ansatz,
+        )
+        result.selection_mask = np.asarray(mask)
+        return result
         self._template = ansatz
 
     def _run(self, dtype) -> FusedOptOrbResult:

@@ -335,3 +335,19 @@ def test_fused_vqd_per_state_ansatz_validation(h2_631g):
                        ansatz=[UCCSD(2, (1, 1)), UCCSD(2, (1, 1))],
                        initial_states=[init0, init0], betas=[2.0],
                        problem=h2_631g, simulation="sector")
+
+
+def test_fused_adapt_two_dispatch_matches_one_dispatch(h2_631g):
+    from esoo_tpu.orbital_optimization import FusedOptOrbAdaptVQE
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    one = FusedOptOrbAdaptVQE(num_spin_orbitals=4, ansatz=ansatz,
+                              problem=h2_631g,
+                              maxiter=20).compute_minimum_energy()
+    two = FusedOptOrbAdaptVQE(num_spin_orbitals=4, ansatz=ansatz,
+                              problem=h2_631g, maxiter=20,
+                              dispatch="two").compute_minimum_energy()
+    np.testing.assert_allclose(two.eigenvalue, one.eigenvalue, atol=1e-9)
+    assert two.outer_iterations == one.outer_iterations
+    np.testing.assert_allclose(two.energy_convergence_list,
+                               one.energy_convergence_list, atol=1e-9)
+    np.testing.assert_allclose(two.selection_mask, one.selection_mask)
