@@ -358,35 +358,13 @@ class FusedOptOrbEigensolverResult:
         return self.optimal_point
 
 
-@partial(jax.jit, static_argnames=(
-    "apply_fn", "n_active", "outer_maxiter", "inner_maxiter", "vqe_maxiter",
-    "sector", "callback"))
-def _fused_optorb_ssvqe(apply_fn: Callable,
-                        n_active: int,
-                        init_mat: jnp.ndarray,          # (k, 2^N)
-                        weights: jnp.ndarray,           # (k,)
-                        theta0: jnp.ndarray,
-                        U0: jnp.ndarray,
-                        h_sp: jnp.ndarray,
-                        g_sp: jnp.ndarray,
-                        outer_tol: jnp.ndarray,
-                        inner_tol: jnp.ndarray,
-                        bb_stepsize: jnp.ndarray,
-                        decay: jnp.ndarray,
-                        outer_maxiter: int = 20,
-                        inner_maxiter: int = 10000,
-                        vqe_maxiter: int = 300,
-                        sector=None,
-                        sector_init: jnp.ndarray = None,   # (k, nd + 1)
-                        callback=None):
-    """Fused SSVQE outer loop: (energies, theta, U, n_outer, trace).
-
-    With `sector` (sim.sector.SectorUCC) + `sector_init`, the k state
-    simulations, the weighted cost, and the per-outer-iteration RDM
-    extraction (sector.rdms) all run in the particle-number sector — the
-    2^N space is never touched."""
+def _ssvqe_stage_fns(apply_fn, n_active, init_mat, weights, sector,
+                     sector_init, vqe_maxiter, dtype):
+    """(run_ssvqe, state_energies, batch_rdms) for the SSVQE eigensolver
+    stage, shared by the one-dispatch program and the two-dispatch
+    variant."""
     N = 2 * n_active
-    gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
+    gtol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-5
 
     if sector is None:
         def state_energies(theta, h_act, g_act):
@@ -434,6 +412,92 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
                                                            theta)
             return jax.vmap(sector.rdms)(vs)
 
+    return run_ssvqe, state_energies, batch_rdms
+
+
+@partial(jax.jit, static_argnames=(
+    "apply_fn", "n_active", "vqe_maxiter", "sector"))
+def _ssvqe_eig_rdm_program(apply_fn: Callable,
+                           n_active: int,
+                           init_mat: jnp.ndarray,
+                           weights: jnp.ndarray,
+                           theta: jnp.ndarray,
+                           U: jnp.ndarray,
+                           h_sp: jnp.ndarray,
+                           g_sp: jnp.ndarray,
+                           vqe_maxiter: int = 300,
+                           sector=None,
+                           sector_init: jnp.ndarray = None):
+    """Two-dispatch mode, SSVQE program A: rotate, optimize the weighted
+    sum, per-state energies, weight-combined spin-reduced RDMs."""
+    run_ssvqe, state_energies, batch_rdms = _ssvqe_stage_fns(
+        apply_fn, n_active, init_mat, weights, sector, sector_init,
+        vqe_maxiter, h_sp.dtype)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    theta, Ew = run_ssvqe(theta, h_act, g_act)
+    energies = state_energies(theta, h_act, g_act)
+    gammas, Gammas = batch_rdms(theta)
+    gamma_s, Gamma_s = spin_reduce_rdms(
+        jnp.tensordot(weights, gammas, axes=1),
+        jnp.tensordot(weights, Gammas, axes=1))
+    return theta, Ew, energies, gamma_s, Gamma_s
+
+
+@partial(jax.jit, static_argnames=(
+    "apply_fn", "n_active", "vqe_maxiter", "sector"))
+def _ssvqe_energies_program(apply_fn: Callable,
+                            n_active: int,
+                            init_mat: jnp.ndarray,
+                            weights: jnp.ndarray,
+                            theta: jnp.ndarray,
+                            U: jnp.ndarray,
+                            h_sp: jnp.ndarray,
+                            g_sp: jnp.ndarray,
+                            vqe_maxiter: int = 300,
+                            sector=None,
+                            sector_init: jnp.ndarray = None):
+    """Per-state energies at (theta, U) only — the hit-max tail of the
+    two-dispatch SSVQE loop (one-dispatch parity: energies of the last
+    theta under the freshly rotated Hamiltonian)."""
+    _, state_energies, _ = _ssvqe_stage_fns(
+        apply_fn, n_active, init_mat, weights, sector, sector_init,
+        vqe_maxiter, h_sp.dtype)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    return state_energies(theta, h_act, g_act)
+
+
+@partial(jax.jit, static_argnames=(
+    "apply_fn", "n_active", "outer_maxiter", "inner_maxiter", "vqe_maxiter",
+    "sector", "callback"))
+def _fused_optorb_ssvqe(apply_fn: Callable,
+                        n_active: int,
+                        init_mat: jnp.ndarray,          # (k, 2^N)
+                        weights: jnp.ndarray,           # (k,)
+                        theta0: jnp.ndarray,
+                        U0: jnp.ndarray,
+                        h_sp: jnp.ndarray,
+                        g_sp: jnp.ndarray,
+                        outer_tol: jnp.ndarray,
+                        inner_tol: jnp.ndarray,
+                        bb_stepsize: jnp.ndarray,
+                        decay: jnp.ndarray,
+                        outer_maxiter: int = 20,
+                        inner_maxiter: int = 10000,
+                        vqe_maxiter: int = 300,
+                        sector=None,
+                        sector_init: jnp.ndarray = None,   # (k, nd + 1)
+                        callback=None):
+    """Fused SSVQE outer loop: (energies, theta, U, n_outer, trace).
+
+    With `sector` (sim.sector.SectorUCC) + `sector_init`, the k state
+    simulations, the weighted cost, and the per-outer-iteration RDM
+    extraction (sector.rdms) all run in the particle-number sector — the
+    2^N space is never touched."""
+    run_ssvqe, state_energies, batch_rdms = _ssvqe_stage_fns(
+        apply_fn, n_active, init_mat, weights, sector, sector_init,
+        vqe_maxiter, h_sp.dtype)
     vag = _ORBITAL_VAG
 
     def outer_cond(c):
@@ -506,6 +570,7 @@ class FusedOptOrbSSVQE:
                  dtype=None,
                  mesh=None,
                  simulation: str = "full",
+                 dispatch: str = "one",
                  outer_loop_callback=None,
                  checkpoint_dir=None,
                  resume_from=None,
@@ -643,13 +708,73 @@ class FusedOptOrbSSVQE:
         self.initial_BBstepsize = initial_BBstepsize
         self.decay_factor = decay_factor
         self.vqe_maxiter = vqe_maxiter
+        if dispatch not in ("one", "two"):
+            raise ValueError("dispatch must be 'one' or 'two'")
+        self.dispatch = dispatch
         self.outer_loop_callback = outer_loop_callback
         self.checkpoint_dir = checkpoint_dir
+
+    def _run_two_dispatch(self, dtype) -> FusedOptOrbEigensolverResult:
+        """Two compiled programs per outer iteration (weighted eigensolver
+        + RDMs, then BB/rotation) with a host convergence check — same
+        semantics as the one-dispatch program (see FusedOptOrbVQE)."""
+        cb = _make_program_callback(self.outer_loop_callback,
+                                    self.checkpoint_dir)
+        n_active = self.num_spin_orbitals // 2
+        h_sp, g_sp = self._h_sp, self._g_sp
+        bb = jnp.asarray(self.initial_BBstepsize, dtype)
+        inner_tol = jnp.asarray(self.inner_stopping_tolerance, dtype)
+        decay = jnp.asarray(self.decay_factor, dtype)
+        common = dict(vqe_maxiter=self.vqe_maxiter, sector=self._sector,
+                      sector_init=self._sector_init)
+
+        theta = self._theta0
+        U = orth(self._U0)
+        trace = np.full((self.maxiter,), np.nan)
+        E_prev = np.inf
+        it = 0
+        converged = False
+        while True:
+            theta, Ew, energies, gamma_s, Gamma_s = _ssvqe_eig_rdm_program(
+                self._apply_raw, n_active, self._init_mat, self._weights,
+                theta, U, h_sp, g_sp, **common)
+            Ew_f = float(Ew)
+            trace[it] = Ew_f
+            if cb is not None:
+                cb(it + 1, np.asarray(energies), np.asarray(theta),
+                   np.asarray(U), trace)
+            converged = abs(Ew_f - E_prev) < self.stopping_tolerance
+            it += 1
+            if converged or it >= self.maxiter:
+                break
+            U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
+                             bb, inner_tol, decay,
+                             inner_maxiter=self.inner_maxiter)
+            E_prev = Ew_f
+        if not converged:
+            # hit_max: rotate once more, report energies of the last theta
+            # under the fresh Hamiltonian (one-dispatch parity)
+            U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
+                             bb, inner_tol, decay,
+                             inner_maxiter=self.inner_maxiter)
+            energies = _ssvqe_energies_program(
+                self._apply_raw, n_active, self._init_mat, self._weights,
+                theta, U, h_sp, g_sp, **common)
+        return FusedOptOrbEigensolverResult(
+            eigenvalues=np.asarray(energies),
+            optimal_point=np.asarray(theta),
+            optimal_partial_unitary=np.asarray(U),
+            energy_convergence_list=[float(e) for e in trace[:it]],
+            outer_iterations=it,
+        )
 
     def compute_energies(self) -> FusedOptOrbEigensolverResult:
         from ..utils.config import precision_mode
         dtype = self._h_sp.dtype
         mode = "fast" if jnp.finfo(dtype).bits < 64 else "high"
+        if getattr(self, "dispatch", "one") == "two":
+            with precision_mode(mode):
+                return self._run_two_dispatch(dtype)
         live_cb, post_cb = _cached_callbacks(self)
         with precision_mode(mode):
             energies, theta, U, it, trace = _fused_optorb_ssvqe(
@@ -782,41 +907,14 @@ def _mcvqe_batched_energies(apply_raw, stack, theta, h_so, g_so):
         lambda v: rdm_energy(apply_raw(v, theta), h_so, g_so))(stack)
 
 
-@partial(jax.jit, static_argnames=(
-    "apply_fn", "n_active", "k", "outer_maxiter", "inner_maxiter",
-    "vqe_maxiter", "sector", "callback"))
-def _fused_optorb_vqd(apply_fn: Callable,
-                      n_active: int,
-                      k: int,
-                      init_mat: jnp.ndarray,        # (k, 2^N) initial states
-                      betas: jnp.ndarray,           # (k-1,)
-                      weights: jnp.ndarray,         # (k,) orbital weights
-                      theta0: jnp.ndarray,          # (k, n_params)
-                      U0: jnp.ndarray,
-                      h_sp: jnp.ndarray,
-                      g_sp: jnp.ndarray,
-                      outer_tol: jnp.ndarray,
-                      inner_tol: jnp.ndarray,
-                      bb_stepsize: jnp.ndarray,
-                      decay: jnp.ndarray,
-                      outer_maxiter: int = 20,
-                      inner_maxiter: int = 10000,
-                      vqe_maxiter: int = 300,
-                      sector=None,
-                      sector_init: jnp.ndarray = None,   # (k, nd + 1)
-                      callback=None):
-    """Fused VQD OptOrb loop.  Deflation is sequential over the k states
-    (mandatory: state j's penalty references states < j), but each state's
-    BFGS, the overlap penalties, the RDMs and the BB descent all live in
-    the single compiled program.  Returns (energies, thetas, U, it, trace).
-
-    With `sector` + `sector_init`, each state's cost, its deflation
-    overlaps, and the eigenvalues run in the particle-number sector; the
-    per-state RDM extraction (sector.rdms) stays in the sector too.
-    """
+def _vqd_stage_fns(apply_fn, n_active, k, init_mat, betas, weights,
+                   sector, sector_init, vqe_maxiter, dtype):
+    """(run_vqd, batch_rdms) for the sequential-deflation eigensolver
+    stage, shared by the one-dispatch program and the two-dispatch
+    variant."""
     N = 2 * n_active
     dim = init_mat.shape[1]
-    gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
+    gtol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-5
     # beta for previous state i is betas[i] (ref vqd.py:413-414);
     # pad at the END so index k-1 (never a previous state) is inert
     bpad = jnp.concatenate([betas, jnp.zeros(1, betas.dtype)])
@@ -859,8 +957,8 @@ def _fused_optorb_vqd(apply_fn: Callable,
                         prev_states.at[j].set(s),
                         energies.at[j].set(e))
 
-            prev0 = jnp.zeros((k, dim), dtype=h_sp.dtype)
-            e0 = jnp.zeros((k,), dtype=h_sp.dtype)
+            prev0 = jnp.zeros((k, dim), dtype=dtype)
+            e0 = jnp.zeros((k,), dtype=dtype)
             thetas, states, energies = jax.lax.fori_loop(
                 0, k, step, (thetas, prev0, e0))
             return thetas, states, energies
@@ -892,8 +990,8 @@ def _fused_optorb_vqd(apply_fn: Callable,
                         prev_vs.at[j].set(v),
                         energies.at[j].set(e))
 
-            prev0 = jnp.zeros((k, sector.dim + 1), dtype=h_sp.dtype)
-            e0 = jnp.zeros((k,), dtype=h_sp.dtype)
+            prev0 = jnp.zeros((k, sector.dim + 1), dtype=dtype)
+            e0 = jnp.zeros((k,), dtype=dtype)
             thetas, vs, energies = jax.lax.fori_loop(
                 0, k, step, (thetas, prev0, e0))
             return thetas, vs, energies
@@ -902,6 +1000,64 @@ def _fused_optorb_vqd(apply_fn: Callable,
             # sector-native RDMs: never touches the 2^N space
             return jax.vmap(sector.rdms)(vs)
 
+    return run_vqd, batch_rdms
+
+
+@partial(jax.jit, static_argnames=(
+    "apply_fn", "n_active", "k", "vqe_maxiter", "sector"))
+def _vqd_eig_rdm_program(apply_fn, n_active, k, init_mat, betas, weights,
+                         thetas, U, h_sp, g_sp, vqe_maxiter=300,
+                         sector=None, sector_init=None):
+    """Two-dispatch mode, VQD program A: rotate, sequential deflation
+    over the k states, weight-combined spin-reduced RDMs."""
+    run_vqd, batch_rdms = _vqd_stage_fns(
+        apply_fn, n_active, k, init_mat, betas, weights, sector,
+        sector_init, vqe_maxiter, h_sp.dtype)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    thetas, states, energies = run_vqd(thetas, h_act, g_act)
+    gammas, Gammas = batch_rdms(states)
+    gamma_s, Gamma_s = spin_reduce_rdms(
+        jnp.tensordot(weights, gammas, axes=1),
+        jnp.tensordot(weights, Gammas, axes=1))
+    return thetas, energies, gamma_s, Gamma_s
+
+
+@partial(jax.jit, static_argnames=(
+    "apply_fn", "n_active", "k", "outer_maxiter", "inner_maxiter",
+    "vqe_maxiter", "sector", "callback"))
+def _fused_optorb_vqd(apply_fn: Callable,
+                      n_active: int,
+                      k: int,
+                      init_mat: jnp.ndarray,        # (k, 2^N) initial states
+                      betas: jnp.ndarray,           # (k-1,)
+                      weights: jnp.ndarray,         # (k,) orbital weights
+                      theta0: jnp.ndarray,          # (k, n_params)
+                      U0: jnp.ndarray,
+                      h_sp: jnp.ndarray,
+                      g_sp: jnp.ndarray,
+                      outer_tol: jnp.ndarray,
+                      inner_tol: jnp.ndarray,
+                      bb_stepsize: jnp.ndarray,
+                      decay: jnp.ndarray,
+                      outer_maxiter: int = 20,
+                      inner_maxiter: int = 10000,
+                      vqe_maxiter: int = 300,
+                      sector=None,
+                      sector_init: jnp.ndarray = None,   # (k, nd + 1)
+                      callback=None):
+    """Fused VQD OptOrb loop.  Deflation is sequential over the k states
+    (mandatory: state j's penalty references states < j), but each state's
+    BFGS, the overlap penalties, the RDMs and the BB descent all live in
+    the single compiled program.  Returns (energies, thetas, U, it, trace).
+
+    With `sector` + `sector_init`, each state's cost, its deflation
+    overlaps, and the eigenvalues run in the particle-number sector; the
+    per-state RDM extraction (sector.rdms) stays in the sector too.
+    """
+    run_vqd, batch_rdms = _vqd_stage_fns(
+        apply_fn, n_active, k, init_mat, betas, weights, sector,
+        sector_init, vqe_maxiter, h_sp.dtype)
     vag = _ORBITAL_VAG
 
     def outer_cond(c):
@@ -1021,10 +1177,71 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
         self._betas = jnp.asarray(betas[: self.k - 1],
                                   dtype=self._h_sp.dtype)
 
+    def _run_two_dispatch(self, dtype) -> FusedOptOrbEigensolverResult:
+        """Two compiled programs per outer iteration (sequential deflation
+        + RDMs, then BB/rotation) with a host convergence check."""
+        cb = _make_program_callback(self.outer_loop_callback,
+                                    self.checkpoint_dir)
+        n_active = self.num_spin_orbitals // 2
+        h_sp, g_sp = self._h_sp, self._g_sp
+        bb = jnp.asarray(self.initial_BBstepsize, dtype)
+        inner_tol = jnp.asarray(self.inner_stopping_tolerance, dtype)
+        decay = jnp.asarray(self.decay_factor, dtype)
+        thetas = self._theta0.astype(dtype) if self._theta0.ndim == 2 \
+            else jnp.broadcast_to(
+                self._theta0, (self.k, self._theta0.shape[0])).astype(dtype)
+
+        def program_a(thetas, U):
+            return _vqd_eig_rdm_program(
+                self._apply_raw, n_active, self.k, self._init_mat,
+                self._betas, self._weights, thetas, U, h_sp, g_sp,
+                vqe_maxiter=self.vqe_maxiter, sector=self._sector,
+                sector_init=self._sector_init)
+
+        w = np.asarray(self._weights)
+        U = orth(self._U0)
+        trace = np.full((self.maxiter,), np.nan)
+        E_prev = np.inf
+        it = 0
+        converged = False
+        while True:
+            thetas, energies, gamma_s, Gamma_s = program_a(thetas, U)
+            Ew_f = float(np.dot(w, np.asarray(energies)))
+            trace[it] = Ew_f
+            if cb is not None:
+                cb(it + 1, np.asarray(energies), np.asarray(thetas),
+                   np.asarray(U), trace)
+            converged = abs(Ew_f - E_prev) < self.stopping_tolerance
+            it += 1
+            if converged or it >= self.maxiter:
+                break
+            U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
+                             bb, inner_tol, decay,
+                             inner_maxiter=self.inner_maxiter)
+            E_prev = Ew_f
+        if not converged:
+            # hit_max: rotate once more and re-solve (one-dispatch parity:
+            # the VQD program re-runs the deflation at the final U)
+            U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
+                             bb, inner_tol, decay,
+                             inner_maxiter=self.inner_maxiter)
+            thetas, energies, _, _ = program_a(thetas, U)
+        result = FusedOptOrbEigensolverResult(
+            eigenvalues=np.asarray(energies),
+            optimal_point=np.asarray(thetas),
+            optimal_partial_unitary=np.asarray(U),
+            energy_convergence_list=[float(e) for e in trace[:it]],
+            outer_iterations=it,
+        )
+        return result
+
     def compute_energies(self) -> FusedOptOrbEigensolverResult:
         from ..utils.config import precision_mode
         dtype = self._h_sp.dtype
         mode = "fast" if jnp.finfo(dtype).bits < 64 else "high"
+        if getattr(self, "dispatch", "one") == "two":
+            with precision_mode(mode):
+                return self._run_two_dispatch(dtype)
         theta0 = self._theta0.astype(dtype) if self._theta0.ndim == 2 \
             else jnp.broadcast_to(
                 self._theta0, (self.k, self._theta0.shape[0])).astype(dtype)

@@ -351,3 +351,63 @@ def test_fused_adapt_two_dispatch_matches_one_dispatch(h2_631g):
     np.testing.assert_allclose(two.energy_convergence_list,
                                one.energy_convergence_list, atol=1e-9)
     np.testing.assert_allclose(two.selection_mask, one.selection_mask)
+
+
+@pytest.mark.parametrize("simulation", ["full", "sector"])
+def test_fused_ssvqe_two_dispatch_matches_one(h2_631g, simulation):
+    from esoo_tpu.sim import QuantumCircuit
+    from esoo_tpu.orbital_optimization import FusedOptOrbSSVQE
+    ansatz = UCCSD(2, (1, 1), reps=2)
+    init0 = HartreeFock(2, (1, 1))
+    init1 = QuantumCircuit(4)
+    init1.x(1)
+    init1.x(2)
+
+    def run(dispatch):
+        return FusedOptOrbSSVQE(num_spin_orbitals=4, ansatz=ansatz,
+                                initial_states=[init0, init1],
+                                weight_vector=[2, 1], problem=h2_631g,
+                                maxiter=20, simulation=simulation,
+                                dispatch=dispatch).compute_energies()
+
+    one, two = run("one"), run("two")
+    np.testing.assert_allclose(two.eigenvalues, one.eigenvalues, atol=1e-9)
+    assert two.outer_iterations == one.outer_iterations
+    np.testing.assert_allclose(two.energy_convergence_list,
+                               one.energy_convergence_list, atol=1e-9)
+
+
+def test_fused_mcvqe_two_dispatch_matches_one(h2_631g):
+    from esoo_tpu.orbital_optimization import FusedOptOrbMCVQE
+    ansatz = UCCSD(2, (1, 1), reps=2)
+
+    def run(dispatch):
+        return FusedOptOrbMCVQE(num_spin_orbitals=4, ansatz=ansatz,
+                                num_particles=(1, 1), k=2, excitations="s",
+                                weight_vector=[2, 1], problem=h2_631g,
+                                maxiter=20,
+                                dispatch=dispatch).compute_energies()
+
+    one, two = run("one"), run("two")
+    np.testing.assert_allclose(two.eigenvalues, one.eigenvalues, atol=1e-8)
+
+
+def test_fused_vqd_two_dispatch_matches_one(h2_631g):
+    from esoo_tpu.sim import QuantumCircuit
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQD
+    ansatz = UCCSD(2, (1, 1), reps=2)
+    init0 = HartreeFock(2, (1, 1))
+    init1 = QuantumCircuit(4)
+    init1.x(1)
+    init1.x(2)
+
+    def run(dispatch):
+        return FusedOptOrbVQD(num_spin_orbitals=4, ansatz=ansatz,
+                              initial_states=[init0, init1], betas=[2.0],
+                              weight_vector=[2, 1], problem=h2_631g,
+                              maxiter=20,
+                              dispatch=dispatch).compute_energies()
+
+    one, two = run("one"), run("two")
+    np.testing.assert_allclose(two.eigenvalues, one.eigenvalues, atol=1e-9)
+    assert two.outer_iterations == one.outer_iterations
