@@ -117,6 +117,23 @@ def _resolve_callback(user_callback, checkpoint_dir):
     return None, cb
 
 
+def _resolve_simulation(simulation: str, num_spin_orbitals: int) -> str:
+    """'auto' -> 'sector'/'full' from the measured crossover (docs/PERF.md):
+    sector wins broadly on CPU and is the only path that fits past the 2^N
+    wall (the H8 N=16 full-space program also crashes the shared v5e
+    worker); the dense full-space path vectorizes better on the TPU chip
+    at small N."""
+    if simulation != "auto":
+        return simulation
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    if num_spin_orbitals >= 16 or backend == "cpu":
+        return "sector"
+    return "full"
+
+
 def _cached_callbacks(solver):
     """Memoize _resolve_callback on the solver instance: `callback` is a
     jit STATIC argname, so a fresh closure per run would retrace the whole
@@ -644,8 +661,11 @@ class FusedOptOrbSSVQE:
                     "weighted-sum variational argument requires it)")
         self._init_mat = jnp.asarray(V, dtype=dtype)
         self.k = len(initial_states)
-        if simulation not in ("full", "sector"):
-            raise ValueError("simulation must be 'full' or 'sector'")
+        if simulation not in ("full", "sector", "auto"):
+            raise ValueError("simulation must be 'full', 'sector' or "
+                             "'auto'")
+        auto = simulation == "auto"
+        simulation = _resolve_simulation(simulation, num_spin_orbitals)
         self._sector = None
         self._sector_init = None
         if simulation == "sector":
@@ -660,10 +680,20 @@ class FusedOptOrbSSVQE:
             lead = int(np.argmax(np.abs(V[0])))
             parts = (bin(lead & ((1 << nsp) - 1)).count("1"),
                      bin(lead >> nsp).count("1"))
-            self._sector = SectorUCC(ansatz, nq, num_particles=parts)
-            self._sector_init = jnp.asarray(
-                np.stack([self._sector.project_full(v) for v in V]),
-                dtype=dtype)
+            try:
+                self._sector = SectorUCC(ansatz, nq, num_particles=parts)
+                self._sector_init = jnp.asarray(
+                    np.stack([self._sector.project_full(v) for v in V]),
+                    dtype=dtype)
+            except ValueError:
+                if not auto:
+                    raise
+                # auto: non-UCC/non-conserving circuits fall back to the
+                # full 2^N simulator
+                self._sector = None
+                self._sector_init = None
+                simulation = "full"
+        self.simulation = simulation
         if mesh is not None and "state" in mesh.shape:
             # 2-D mesh (parallel.make_orbital_state_mesh): the k
             # statevector simulations data-parallelize over the state
@@ -1548,15 +1578,25 @@ class FusedOptOrbVQE:
         self._compiled = compile_circuit(ansatz)
         if not self._compiled.is_real:
             raise ValueError("fused path requires a real-safe ansatz")
-        if simulation not in ("full", "sector"):
-            raise ValueError("simulation must be 'full' or 'sector'")
+        if simulation not in ("full", "sector", "auto"):
+            raise ValueError("simulation must be 'full', 'sector' or "
+                             "'auto'")
+        auto = simulation == "auto"
+        simulation = _resolve_simulation(simulation, num_spin_orbitals)
         self._sector = None
         if simulation == "sector":
             # particle-number-sector fast path: requires a UCC-family
             # ansatz (it carries its excitation list) over an
             # occupation-basis initial state — validated by SectorUCC
             from ..sim.sector import SectorUCC
-            self._sector = SectorUCC(ansatz, num_spin_orbitals)
+            try:
+                self._sector = SectorUCC(ansatz, num_spin_orbitals)
+            except ValueError:
+                if not auto:
+                    raise
+                self._sector = None
+                simulation = "full"
+        self.simulation = simulation
 
         m = h_sp.shape[0]
         n = num_spin_orbitals // 2

@@ -411,3 +411,32 @@ def test_fused_vqd_two_dispatch_matches_one(h2_631g):
     one, two = run("one"), run("two")
     np.testing.assert_allclose(two.eigenvalues, one.eigenvalues, atol=1e-9)
     assert two.outer_iterations == one.outer_iterations
+
+
+def test_fused_simulation_auto(h2_631g):
+    """simulation='auto' picks the sector on CPU for UCC-family circuits
+    (measured crossover, docs/PERF.md) and falls back to the full
+    simulator for circuits the sector cannot compile; explicit 'sector'
+    still raises for those."""
+    from esoo_tpu.sim import QuantumCircuit
+
+    ucc = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    s = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ucc, problem=h2_631g,
+                       simulation="auto")
+    assert s.simulation == "sector"           # CPU backend in tests
+    r = s.compute_minimum_energy()
+    np.testing.assert_array_almost_equal(r.eigenvalue,
+                                         -1.8661038079694765, decimal=3)
+
+    # non-UCC real ansatz: auto falls back to full
+    qc = QuantumCircuit(4)
+    qc.x(0)
+    qc.x(2)
+    qc.ry(qc.parameter(), 1)
+    qc.cx(1, 3)
+    s2 = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=qc, problem=h2_631g,
+                        simulation="auto")
+    assert s2.simulation == "full"
+    with pytest.raises(ValueError):
+        FusedOptOrbVQE(num_spin_orbitals=4, ansatz=qc, problem=h2_631g,
+                       simulation="sector")
