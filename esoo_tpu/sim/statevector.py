@@ -242,6 +242,48 @@ def _prot_scan_arrays(gates):
     return xs, zs, ys, idx, mult, off
 
 
+# reverse-mode through a K-step gate scan stores one (dim,) residual per
+# step; past this element budget (K*dim) the scan switches to sqrt(K)
+# chunks with jax.checkpoint (remat), cutting residual memory from K*dim
+# to ~2*sqrt(K)*dim at the cost of one extra forward pass in the backward.
+# Root cause of the H8 m=112 -> N=16 worker fault: the 2696-gate UCCSD on
+# a 65536-dim state made every L-BFGS gradient materialize ~0.7 GB of
+# residuals (scripts/bisect_n16_fault.py: full_lbfgs_n16 crashed with NO
+# transform involved); N=12 was 14 MB and ran fine.
+_REMAT_RESIDUAL_BUDGET = 1 << 23
+
+
+def _scan_gates(step, state, ops):
+    """lax.scan over gate ops, with sqrt-K remat chunking past the
+    residual budget.  Identical numerics either way (same op order; pad
+    ops are exact identities: angle 0 -> cos 1, sin 0)."""
+    K = int(ops[0].shape[0])
+    dim = int(state.shape[0])
+    if K * dim <= _REMAT_RESIDUAL_BUDGET:
+        state, _ = jax.lax.scan(step, state, ops)
+        return state
+    cs = max(1, int(math.isqrt(K)))
+    nc = -(-K // cs)
+    pad = nc * cs - K
+    if pad:
+        x, z, fp, i, m, o = ops
+        ops = (jnp.concatenate([x, jnp.zeros(pad, x.dtype)]),
+               jnp.concatenate([z, jnp.zeros(pad, z.dtype)]),
+               jnp.concatenate([fp, jnp.ones(pad, fp.dtype)]),
+               jnp.concatenate([i, jnp.zeros(pad, i.dtype)]),
+               jnp.concatenate([m, jnp.zeros(pad, m.dtype)]),
+               jnp.concatenate([o, jnp.zeros(pad, o.dtype)]))
+    ops_c = tuple(op.reshape((nc, cs) + op.shape[1:]) for op in ops)
+
+    @jax.checkpoint
+    def chunk(s, chunk_ops):
+        s, _ = jax.lax.scan(step, s, chunk_ops)
+        return s, None
+
+    state, _ = jax.lax.scan(chunk, state, ops_c)
+    return state
+
+
 def _apply_prot_scan(state, params, gates, is_real, dtype):
     """lax.scan over a homogeneous run of Pauli rotations.
 
@@ -271,8 +313,7 @@ def _apply_prot_scan(state, params, gates, is_real, dtype):
             sign = (1 - 2 * par).astype(s.dtype)
             return c * s + (fk * sn) * sign * s[perm], None
 
-        state, _ = jax.lax.scan(step, state, ops)
-        return state
+        return _scan_gates(step, state, ops)
 
     phase = -1j * np.power(1j, ys % 4)   # -i * i^y factor of the P-action
     ops = (jnp.asarray(xs), jnp.asarray(zs),
@@ -289,8 +330,7 @@ def _apply_prot_scan(state, params, gates, is_real, dtype):
         sign = (1 - 2 * par).astype(dtype)
         return c * s + (ph * sn) * sign * s[perm], None
 
-    state, _ = jax.lax.scan(step, state, ops)
-    return state
+    return _scan_gates(step, state, ops)
 
 
 def _apply_gates(state, params, gates, is_real, dtype):

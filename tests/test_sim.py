@@ -194,3 +194,48 @@ def test_scan_gate_path_matches_unrolled():
         np.testing.assert_array_equal(np.asarray(gu), np.asarray(gs))
     finally:
         sv._SCAN_THRESHOLD = saved
+
+
+def test_prot_scan_remat_chunking_identical():
+    """Past the residual budget the gate scan switches to sqrt-K remat
+    chunks (the N=16 worker-fault fix): state AND gradient must be
+    bit-identical to the unchunked scan."""
+    import jax
+    import jax.numpy as jnp
+    import importlib
+    sv = importlib.import_module("esoo_tpu.sim.statevector")
+    from esoo_tpu.sim import UCCSD, HartreeFock
+    from esoo_tpu.sim.rdm import rdm_energy
+    from esoo_tpu.orbital_optimization.kernels import expand_spin_tensors
+
+    ans = UCCSD(3, (2, 1), initial_state=HartreeFock(3, (2, 1)))
+    rng = np.random.default_rng(0)
+    theta = jnp.asarray(rng.normal(size=ans.num_parameters) * 0.1)
+    h_sp = rng.normal(size=(3, 3))
+    h_sp = (h_sp + h_sp.T) / 2
+    g_sp = rng.normal(size=(3, 3, 3, 3)) * 0.1
+    h_so, g_so = expand_spin_tensors(jnp.asarray(h_sp), jnp.asarray(g_sp))
+
+    def run():
+        compiled = sv.compile_circuit(ans)
+        state = compiled.state_fn(theta)
+        vag = jax.value_and_grad(
+            lambda t: rdm_energy(compiled.state_fn(t), h_so, g_so))
+        e, g = vag(theta)
+        return np.asarray(state), float(e), np.asarray(g)
+
+    old = sv._REMAT_RESIDUAL_BUDGET
+    try:
+        sv._REMAT_RESIDUAL_BUDGET = 1 << 40
+        sv._compile_cache.clear()
+        s_plain, e_plain, g_plain = run()
+        sv._REMAT_RESIDUAL_BUDGET = 1        # force remat chunking
+        sv._compile_cache.clear()            # re-trace under the new budget
+        s_remat, e_remat, g_remat = run()
+    finally:
+        sv._REMAT_RESIDUAL_BUDGET = old
+        sv._compile_cache.clear()
+
+    np.testing.assert_allclose(s_remat, s_plain, atol=1e-14)
+    np.testing.assert_allclose(e_remat, e_plain, atol=1e-13)
+    np.testing.assert_allclose(g_remat, g_plain, atol=1e-12)
