@@ -190,13 +190,13 @@ def run_h8_scale(n_red_so=12, maxiter=10, simulation="full",
     M=224 spin orbitals (m=112 spatial, the sharded-relevant size)
     reduced to `n_red_so`.  Returns wall times + energies.
 
-    Default active space is 12 spin orbitals: the N=16 variant of this
-    program reproducibly crashes the axon TPU worker (3/3, 'kernel
-    fault'); N=12 runs clean (cold 112 s / warm 21 s measured) and the
-    scale demonstration target is the m=112 transform either way.
-    `simulation='sector'` runs the determinant-sector program instead
-    (same energy; the subprocess wrapper falls back to it when the shared
-    worker crashes on the full-space program)."""
+    Round 2 saw the N=16 variant reproducibly crash the axon TPU worker;
+    round 3 bisected the fault to reverse-mode residual memory of the
+    2696-gate scan (~0.7 GB per gradient) and fixed it with sqrt-K remat
+    chunking (docs/PERF.md "The N=16 worker fault").  N=16 is now the
+    flagship target; `simulation='sector'` runs the determinant-sector
+    program instead (same energy), and the subprocess wrapper still falls
+    back if the shared worker dies for unrelated reasons."""
     import jax.numpy as jnp
     from esoo_tpu.sim import UCCSD, HartreeFock
     from esoo_tpu.orbital_optimization import FusedOptOrbVQE
@@ -233,12 +233,12 @@ def run_h8_scale_subprocess():
     shared-worker crash cannot take down the parent's backend handle).
 
     Attempt order (round-2 verdict top item — N=16 is the flagship
-    scale): (1) N=16 full-space via the TWO-DISPATCH fused mode (the
-    composite one-dispatch N=16 program reproducibly kills the worker;
-    the split programs do not), (2) N=16 determinant-sector two-dispatch,
-    (3) the round-2 N=12 one-dispatch configuration as a last resort.
-    The returned dict records which (n_red_so, simulation, dispatch)
-    produced the result."""
+    scale): (1) N=16 full-space two-dispatch (small programs, fast
+    tunnel compiles; the scan-VJP memory blowup that used to kill the
+    worker is fixed by sqrt-K remat, docs/PERF.md), (2) N=16
+    determinant-sector two-dispatch, (3) the round-2 N=12 one-dispatch
+    configuration as a last resort.  The returned dict records which
+    (n_red_so, simulation, dispatch) produced the result."""
     import subprocess
     import sys
     err = "unknown"
