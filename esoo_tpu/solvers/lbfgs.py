@@ -13,6 +13,16 @@ Semantics: minimizes fun(x, *args) from x0; terminates on ||grad||_inf <=
 gtol or maxiter iterations; the line search backtracks geometrically and
 accepts the last candidate even if Armijo fails (standard safeguard, keeps
 the loop total).
+
+The optimizer is RESUMABLE: `lbfgs_init` builds an `LBFGSState`,
+`lbfgs_advance` runs up to `num_steps` further iterations and returns the
+updated state, and `lbfgs_minimize(...)` == init + one full-length
+advance (bit-identical to the round-2 single-loop implementation).
+Chunked advancing lets callers bound the wall-time of a single compiled
+dispatch — the shared axon TPU worker kills dispatches that run too long
+(the H8 m=112 -> N=16 eigensolver subproblem, docs/PERF.md round-3
+findings) — while keeping the optimizer state entirely on device between
+dispatches.
 """
 
 from __future__ import annotations
@@ -32,15 +42,43 @@ class LBFGSResult(NamedTuple):
     grad_norm: jnp.ndarray
 
 
-def lbfgs_minimize(fun, x0, args=(), maxiter: int = 200,
-                   gtol: float = 1e-8, memory: int = 10,
-                   max_backtracks: int = 25,
-                   armijo_c1: float = 1e-4) -> LBFGSResult:
-    """Jittable L-BFGS.  `fun(x, *args)` must be jax-traceable."""
-    vag = jax.value_and_grad(fun)
+class LBFGSState(NamedTuple):
+    """Resumable optimizer state (a pytree of arrays; device-resident)."""
+    it: jnp.ndarray        # iterations completed
+    k: jnp.ndarray         # curvature pairs stored (monotone counter)
+    x: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    S: jnp.ndarray         # (memory, P) step buffer
+    Y: jnp.ndarray         # (memory, P) gradient-difference buffer
+    rho: jnp.ndarray       # (memory,) 1/s.y
+    nfev: jnp.ndarray
+    done: jnp.ndarray
+
+
+def lbfgs_init(fun, x0, args=(), gtol: float = 1e-8,
+               memory: int = 10) -> LBFGSState:
+    """Evaluate fun/grad at x0 and build the initial resumable state."""
     dtype = jnp.asarray(x0).dtype
     P = x0.shape[0]
-    m = memory
+    f0, g0 = jax.value_and_grad(fun)(x0, *args)
+    return LBFGSState(
+        it=jnp.asarray(0), k=jnp.asarray(0), x=x0, f=f0, g=g0,
+        S=jnp.zeros((memory, P), dtype), Y=jnp.zeros((memory, P), dtype),
+        rho=jnp.zeros((memory,), dtype), nfev=jnp.asarray(1),
+        done=jnp.max(jnp.abs(g0)) <= gtol)
+
+
+def lbfgs_advance(fun, state: LBFGSState, args=(), num_steps: int = 1,
+                  maxiter: int = 200, gtol: float = 1e-8,
+                  max_backtracks: int = 25,
+                  armijo_c1: float = 1e-4) -> LBFGSState:
+    """Run up to `num_steps` more L-BFGS iterations (or until convergence
+    / `maxiter` TOTAL iterations), returning the updated state.  Jittable;
+    repeated calls with the same static config hit the jit cache."""
+    vag = jax.value_and_grad(fun)
+    dtype = jnp.asarray(state.x).dtype
+    m = state.S.shape[0]
     eps = jnp.asarray(1e-30, dtype)
 
     def two_loop(g, S, Y, rho, k):
@@ -105,9 +143,10 @@ def lbfgs_minimize(fun, x0, args=(), maxiter: int = 200,
         ft = jnp.where(done, ft, fun(xt, *args))
         return xt, ft, n + jnp.where(done, 0, 1)
 
+    stop_at = state.it + num_steps
+
     def cond(c):
-        it, k, x, f, g, S, Y, rho, nfev, done = c
-        return jnp.logical_not(done)
+        return jnp.logical_and(jnp.logical_not(c.done), c.it < stop_at)
 
     def body(c):
         it, k, x, f, g, S, Y, rho, nfev, done = c
@@ -131,15 +170,22 @@ def lbfgs_minimize(fun, x0, args=(), maxiter: int = 200,
         no_move = jnp.max(jnp.abs(s)) <= 0.0
         hit_max = (it + 1) >= maxiter
         done = converged | diverged | hit_max | no_move
-        return (it + 1, k, x_new, f_new, g_new, S, Y, rho,
-                nfev + ls_evals + 1, done)
+        return LBFGSState(it + 1, k, x_new, f_new, g_new, S, Y, rho,
+                          nfev + ls_evals + 1, done)
 
-    f0, g0 = vag(x0, *args)
-    S0 = jnp.zeros((m, P), dtype)
-    Y0 = jnp.zeros((m, P), dtype)
-    rho0 = jnp.zeros((m,), dtype)
-    c0 = (jnp.asarray(0), jnp.asarray(0), x0, f0, g0, S0, Y0, rho0,
-          jnp.asarray(1), jnp.max(jnp.abs(g0)) <= gtol)
-    it, k, x, f, g, S, Y, rho, nfev, _ = jax.lax.while_loop(cond, body, c0)
-    return LBFGSResult(x=x, fun=f, nit=it, nfev=nfev,
-                       grad_norm=jnp.max(jnp.abs(g)))
+    return jax.lax.while_loop(cond, body, state)
+
+
+def lbfgs_minimize(fun, x0, args=(), maxiter: int = 200,
+                   gtol: float = 1e-8, memory: int = 10,
+                   max_backtracks: int = 25,
+                   armijo_c1: float = 1e-4) -> LBFGSResult:
+    """Jittable L-BFGS.  `fun(x, *args)` must be jax-traceable."""
+    state = lbfgs_init(fun, x0, args=args, gtol=gtol, memory=memory)
+    state = lbfgs_advance(fun, state, args=args, num_steps=maxiter,
+                          maxiter=maxiter, gtol=gtol,
+                          max_backtracks=max_backtracks,
+                          armijo_c1=armijo_c1)
+    return LBFGSResult(x=state.x, fun=state.f, nit=state.it,
+                       nfev=state.nfev,
+                       grad_norm=jnp.max(jnp.abs(state.g)))

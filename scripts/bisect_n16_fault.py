@@ -131,6 +131,62 @@ f = jax.jit(lambda t, h, g: lbfgs_minimize(cost, t, args=(h, g),
 th0 = jnp.zeros(ans.num_parameters, jnp.float32)
 print("full_lbfgs_n16:", float(np.asarray(f(th0, h_so, g_so))))
 """,
+    # 6b. ONE value_and_grad dispatch at N=16 (remat active), timed —
+    # separates compile cost from execute cost and tests whether a short
+    # dispatch survives where the 60-iteration L-BFGS program dies
+    # (long-running-dispatch kill theory).
+    "full_vag_n16": """
+import numpy as np, jax, jax.numpy as jnp, time
+from esoo_tpu.sim import UCCSD, HartreeFock
+from esoo_tpu.sim.statevector import compile_circuit
+from esoo_tpu.sim.rdm import rdm_energy
+ans = UCCSD(8, (4, 4), initial_state=HartreeFock(8, (4, 4)))
+state_fn = compile_circuit(ans).state_fn
+rng = np.random.default_rng(0)
+h_so = jnp.asarray(rng.normal(size=(16, 16)) * 0.05, jnp.float32)
+h_so = (h_so + h_so.T) / 2
+g_so = jnp.asarray(rng.normal(size=(16,)*4) * 0.005, jnp.float32)
+vag = jax.jit(jax.value_and_grad(
+    lambda t, h, g: rdm_energy(state_fn(t), h, g)))
+th0 = jnp.full((ans.num_parameters,), 0.01, jnp.float32)
+t0 = time.perf_counter()
+v, gr = vag(th0, h_so, g_so)
+v = float(np.asarray(v)); print("cold_s", round(time.perf_counter()-t0, 1), flush=True)
+for i in range(3):
+    t0 = time.perf_counter()
+    v2, gr = vag(th0 + 1e-4 * i, h_so, g_so)
+    v2 = float(np.asarray(v2))
+    print("warm_s", round(time.perf_counter()-t0, 2), flush=True)
+print("full_vag_n16:", v)
+""",
+    # 6c. SHORT L-BFGS (5 iterations) at N=16 — if per-eval cost is t,
+    # a server-side dispatch-duration kill predicts: survives while
+    # 5-iteration wall << the 60-iteration wall that crashes.
+    "full_lbfgs5_n16": """
+import numpy as np, jax, jax.numpy as jnp, time
+from esoo_tpu.sim import UCCSD, HartreeFock
+from esoo_tpu.sim.statevector import compile_circuit
+from esoo_tpu.sim.rdm import rdm_energy
+from esoo_tpu.solvers.lbfgs import lbfgs_minimize
+ans = UCCSD(8, (4, 4), initial_state=HartreeFock(8, (4, 4)))
+state_fn = compile_circuit(ans).state_fn
+rng = np.random.default_rng(0)
+h_so = jnp.asarray(rng.normal(size=(16, 16)) * 0.05, jnp.float32)
+h_so = (h_so + h_so.T) / 2
+g_so = jnp.asarray(rng.normal(size=(16,)*4) * 0.005, jnp.float32)
+def cost(t, h, g):
+    return rdm_energy(state_fn(t), h, g)
+f = jax.jit(lambda t, h, g: lbfgs_minimize(cost, t, args=(h, g),
+                                           maxiter=5, gtol=1e-5).fun)
+th0 = jnp.zeros(ans.num_parameters, jnp.float32)
+t0 = time.perf_counter()
+v = float(np.asarray(f(th0, h_so, g_so)))
+print("cold_s", round(time.perf_counter()-t0, 1), flush=True)
+t0 = time.perf_counter()
+v = float(np.asarray(f(th0 + 1e-5, h_so, g_so)))
+print("warm_s", round(time.perf_counter()-t0, 2), flush=True)
+print("full_lbfgs5_n16:", v)
+""",
     # 7. full-space RDM extraction at N=16
     "full_rdms_n16": """
 import numpy as np, jax, jax.numpy as jnp
@@ -213,6 +269,8 @@ def main():
         ok = r.returncode == 0
         tail = (r.stdout + r.stderr).strip().splitlines()[-1:] or [""]
         results[name] = (ok, tail[0])
+        if r.stdout.strip():
+            print(r.stdout.strip(), flush=True)   # per-phase timings
         print(name, "OK" if ok else "CRASH", tail[0][:150], flush=True)
     print(results)
 

@@ -5,7 +5,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from esoo_tpu.solvers.lbfgs import lbfgs_minimize
+from esoo_tpu.solvers.lbfgs import (lbfgs_advance, lbfgs_init,
+                                    lbfgs_minimize)
 
 
 def test_rosenbrock_10d():
@@ -43,6 +44,30 @@ def test_extra_args_and_f32():
     np.testing.assert_allclose(np.asarray(r.x), -2.0 / 3.0 * np.ones(8),
                                atol=1e-5)
     assert r.x.dtype == jnp.float32
+
+
+def test_chunked_advance_bitwise_equals_single_shot():
+    """init + repeated bounded advances must reproduce lbfgs_minimize
+    EXACTLY (same iterates, same eval counts) — the host-chunked
+    dispatch mode the N=16 TPU path relies on cannot change semantics."""
+    def rosen(x):
+        return jnp.sum(100 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+    maxiter, gtol = 137, 1e-8
+    ref = lbfgs_minimize(rosen, jnp.zeros(6), maxiter=maxiter, gtol=gtol)
+
+    step = jax.jit(lambda s: lbfgs_advance(rosen, s, num_steps=7,
+                                           maxiter=maxiter, gtol=gtol))
+    s = lbfgs_init(rosen, jnp.zeros(6), gtol=gtol)
+    hops = 0
+    while not bool(s.done) and hops < 1 + maxiter:
+        s = step(s)
+        hops += 1
+    assert hops > 3            # genuinely chunked, not one pass
+    assert int(s.it) == int(ref.nit)
+    assert int(s.nfev) == int(ref.nfev)
+    np.testing.assert_array_equal(np.asarray(s.x), np.asarray(ref.x))
+    np.testing.assert_array_equal(np.asarray(s.f), np.asarray(ref.fun))
 
 
 def test_converges_inside_outer_while_loop():
