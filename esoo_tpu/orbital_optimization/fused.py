@@ -39,7 +39,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from ..solvers.lbfgs import lbfgs_minimize
+from ..solvers.lbfgs import lbfgs_advance, lbfgs_init, lbfgs_minimize
 
 from ..sim.circuit import QuantumCircuit
 from ..sim.rdm import one_rdm, rdm_energy, two_rdm
@@ -273,6 +273,66 @@ def _eig_rdm_program(state_fn: Callable,
     gamma, Gamma = extract_rdms(theta)
     gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
     return theta, E, gamma_s, Gamma_s
+
+
+def _vqe_cost_for(state_fn, sector, dtype):
+    """(cost_fn, prep_args) for the chunked eigensolver programs.
+    prep_args(h_act, g_act) -> the cost's device-array argument tuple."""
+    if sector is None:
+        def cost(theta, h_so, g_so):
+            return rdm_energy(state_fn(theta), h_so, g_so)
+
+        def prep_args(h_act, g_act):
+            return expand_spin_tensors(h_act, g_act)
+    else:
+        cost = sector.energy_values
+
+        def prep_args(h_act, g_act):
+            h_so, g_so = expand_spin_tensors(h_act, g_act)
+            return (sector.build_values(h_so, g_so),)
+    return cost, prep_args
+
+
+@partial(jax.jit, static_argnames=("state_fn", "sector"))
+def _eig_chunk_init(state_fn: Callable, theta: jnp.ndarray, U: jnp.ndarray,
+                    h_sp: jnp.ndarray, g_sp: jnp.ndarray, sector=None):
+    """Chunked two-dispatch, program A1: rotate the integrals at U and
+    initialize the resumable L-BFGS state.  Returns (state, cost_args)."""
+    gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
+    cost, prep_args = _vqe_cost_for(state_fn, sector, h_sp.dtype)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    cost_args = prep_args(h_act, g_act)
+    return lbfgs_init(cost, theta, args=cost_args, gtol=gtol), cost_args
+
+
+@partial(jax.jit, static_argnames=("state_fn", "num_steps", "vqe_maxiter",
+                                   "sector"))
+def _eig_chunk_advance(state_fn: Callable, state, cost_args,
+                       num_steps: int, vqe_maxiter: int, sector=None):
+    """Chunked two-dispatch, program A2 (jitted once, re-dispatched until
+    state.done): up to `num_steps` more L-BFGS iterations.  Bounding the
+    per-dispatch work keeps each compiled execution under the shared
+    axon worker's tolerance for long-running programs — the residual
+    N=16 crash mode after the remat fix (docs/PERF.md round 3)."""
+    dtype = state.x.dtype
+    gtol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-5
+    cost, _ = _vqe_cost_for(state_fn, sector, dtype)
+    return lbfgs_advance(cost, state, args=cost_args, num_steps=num_steps,
+                         maxiter=vqe_maxiter, gtol=gtol)
+
+
+@partial(jax.jit, static_argnames=("state_fn", "n_active", "sector"))
+def _rdm_only_program(state_fn: Callable, n_active: int,
+                      theta: jnp.ndarray, sector=None):
+    """Chunked two-dispatch, program A3: spin-reduced RDMs at theta."""
+    N = 2 * n_active
+    if sector is None:
+        state = state_fn(theta)
+        gamma, Gamma = one_rdm(state, N), two_rdm(state, N)
+    else:
+        gamma, Gamma = sector.rdms(sector.state(theta))
+    return spin_reduce_rdms(gamma, Gamma)
 
 
 @partial(jax.jit, static_argnames=("inner_maxiter",))
@@ -1521,6 +1581,7 @@ class FusedOptOrbVQE:
                  mesh=None,
                  simulation: str = "full",
                  dispatch: str = "one",
+                 vqe_chunk: Optional[int] = None,
                  outer_loop_callback=None,
                  checkpoint_dir=None,
                  resume_from=None):
@@ -1620,6 +1681,14 @@ class FusedOptOrbVQE:
         if dispatch not in ("one", "two"):
             raise ValueError("dispatch must be 'one' or 'two'")
         self.dispatch = dispatch
+        if vqe_chunk is not None:
+            if dispatch != "two":
+                raise ValueError("vqe_chunk requires dispatch='two' (it "
+                                 "bounds the per-dispatch eigensolver work)")
+            if int(vqe_chunk) < 1:
+                raise ValueError("vqe_chunk must be a positive iteration "
+                                 "count")
+        self.vqe_chunk = vqe_chunk
         # live per-outer-iteration host callback (iteration, energy/ies),
         # fired from inside the compiled loop via jax.debug.callback —
         # async, so use it for monitoring/checkpointing, not control flow
@@ -1655,6 +1724,30 @@ class FusedOptOrbVQE:
         inner_tol = jnp.asarray(self.inner_stopping_tolerance, dtype)
         decay = jnp.asarray(self.decay_factor, dtype)
 
+        chunk = getattr(self, "vqe_chunk", None)
+
+        def solve(theta, U):
+            """One eigensolver+RDM stage: a single compiled program, or —
+            with vqe_chunk — a host loop of bounded L-BFGS dispatches
+            (each dispatch short enough for the shared worker's
+            long-running-program kill, docs/PERF.md round 3)."""
+            if chunk is None:
+                return _eig_rdm_program(
+                    state_fn, n_active, theta, U, h_sp, g_sp,
+                    vqe_maxiter=self.vqe_maxiter, sector=self._sector)
+            state, cost_args = _eig_chunk_init(state_fn, theta, U,
+                                               h_sp, g_sp,
+                                               sector=self._sector)
+            while not bool(state.done):   # host sync bounds each dispatch
+                state = _eig_chunk_advance(state_fn, state, cost_args,
+                                           num_steps=int(chunk),
+                                           vqe_maxiter=self.vqe_maxiter,
+                                           sector=self._sector)
+            gamma_s, Gamma_s = _rdm_only_program(state_fn, n_active,
+                                                 state.x,
+                                                 sector=self._sector)
+            return state.x, state.f, gamma_s, Gamma_s
+
         theta = self._theta0
         U = orth(self._U0)
         trace = np.full((self.maxiter,), np.nan)
@@ -1662,9 +1755,7 @@ class FusedOptOrbVQE:
         it = 0
         converged = False
         while True:
-            theta, E, gamma_s, Gamma_s = _eig_rdm_program(
-                state_fn, n_active, theta, U, h_sp, g_sp,
-                vqe_maxiter=self.vqe_maxiter, sector=self._sector)
+            theta, E, gamma_s, Gamma_s = solve(theta, U)
             E_f = float(E)              # the one host sync per iteration
             trace[it] = E_f
             if cb is not None:
@@ -1683,9 +1774,7 @@ class FusedOptOrbVQE:
             U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
                              bb, inner_tol, decay,
                              inner_maxiter=self.inner_maxiter)
-            theta, E, _, _ = _eig_rdm_program(
-                state_fn, n_active, theta, U, h_sp, g_sp,
-                vqe_maxiter=self.vqe_maxiter, sector=self._sector)
+            theta, E, _, _ = solve(theta, U)
             E_f = float(E)
         return FusedOptOrbResult(
             eigenvalue=E_f,
@@ -1744,6 +1833,11 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
                  eigenvalue_threshold: float = 1e-5,
                  max_adapt_iterations: Optional[int] = None,
                  **kwargs):
+        if kwargs.get("vqe_chunk") is not None:
+            raise ValueError("vqe_chunk is not supported by "
+                             "FusedOptOrbAdaptVQE (the ADAPT growth loop "
+                             "is one program; use FusedOptOrbVQE for "
+                             "chunked eigensolver dispatches)")
         pool = getattr(ansatz, "_ucc_pool", None)
         if pool is None:
             raise ValueError(

@@ -262,6 +262,35 @@ def test_fused_two_dispatch_matches_one_dispatch(h2_631g, simulation):
                                one.optimal_partial_unitary, atol=1e-7)
 
 
+@pytest.mark.parametrize("simulation", ["full", "sector"])
+def test_fused_vqe_chunked_matches_two_dispatch(h2_631g, simulation):
+    """vqe_chunk=j (host loop of bounded L-BFGS dispatches inside the
+    two-dispatch eigensolver stage — the defense against the shared
+    worker's long-running-dispatch kill at N=16) must reproduce the
+    unchunked two-dispatch run: the resumable L-BFGS is iterate-identical
+    by construction, so energies/U/trace must agree."""
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    two = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
+                         problem=h2_631g, maxiter=20, simulation=simulation,
+                         dispatch="two").compute_minimum_energy()
+    ch = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
+                        problem=h2_631g, maxiter=20, simulation=simulation,
+                        dispatch="two", vqe_chunk=7).compute_minimum_energy()
+    np.testing.assert_allclose(ch.eigenvalue, two.eigenvalue, atol=1e-9)
+    assert ch.outer_iterations == two.outer_iterations
+    np.testing.assert_allclose(ch.energy_convergence_list,
+                               two.energy_convergence_list, atol=1e-9)
+    np.testing.assert_allclose(ch.optimal_partial_unitary,
+                               two.optimal_partial_unitary, atol=1e-7)
+
+
+def test_vqe_chunk_requires_two_dispatch(h2_631g):
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    with pytest.raises(ValueError, match="dispatch='two'"):
+        FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz, problem=h2_631g,
+                       vqe_chunk=5)
+
+
 def test_fused_two_dispatch_live_checkpoints(h2_631g, tmp_path):
     """Two-dispatch mode writes per-iteration checkpoints from the host
     loop (works even on backends without jax.debug.callback)."""
