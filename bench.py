@@ -185,7 +185,7 @@ def run_m120_sharded_subprocess():
 
 
 def run_h8_scale(n_red_so=12, maxiter=10, simulation="full",
-                 dispatch="one"):
+                 dispatch="one", vqe_chunk=None):
     """Production-scale fused run on the default device: H8 cc-pVTZ
     M=224 spin orbitals (m=112 spatial, the sharded-relevant size)
     reduced to `n_red_so`.  Returns wall times + energies.
@@ -214,7 +214,8 @@ def run_h8_scale(n_red_so=12, maxiter=10, simulation="full",
         return FusedOptOrbVQE(num_spin_orbitals=n_red_so, ansatz=ansatz,
                               problem=_P(), maxiter=maxiter,
                               stopping_tolerance=1e-5, dtype=jnp.float32,
-                              simulation=simulation, dispatch=dispatch)
+                              simulation=simulation, dispatch=dispatch,
+                              vqe_chunk=vqe_chunk)
 
     t0 = time.perf_counter()
     r = make().compute_minimum_energy()
@@ -225,7 +226,7 @@ def run_h8_scale(n_red_so=12, maxiter=10, simulation="full",
     return dict(energy=r.eigenvalue, cold_s=round(cold, 2),
                 warm_s=round(warm, 2), outer_iters=r.outer_iterations,
                 e_nn=e_nn, simulation=simulation, dispatch=dispatch,
-                n_red_so=n_red_so)
+                n_red_so=n_red_so, vqe_chunk=vqe_chunk)
 
 
 def run_h8_scale_subprocess():
@@ -233,22 +234,24 @@ def run_h8_scale_subprocess():
     shared-worker crash cannot take down the parent's backend handle).
 
     Attempt order (round-2 verdict top item — N=16 is the flagship
-    scale): (1) N=16 full-space two-dispatch (small programs, fast
-    tunnel compiles; the scan-VJP memory blowup that used to kill the
-    worker is fixed by sqrt-K remat, docs/PERF.md), (2) N=16
-    determinant-sector two-dispatch, (3) the round-2 N=12 one-dispatch
-    configuration as a last resort.  The returned dict records which
-    (n_red_so, simulation, dispatch) produced the result."""
+    scale; round-3 bisect: the shared worker kills any long-running
+    N=16 dispatch, full-space multi-eval L-BFGS programs always exceed
+    the budget, docs/PERF.md): (1) N=16 determinant-sector two-dispatch
+    (bounded per-dispatch work, fast sector evals), (2) the same with
+    vqe_chunk=50 (even shorter dispatches), (3) the round-2 N=12
+    full-space one-dispatch configuration as a last resort.  The
+    returned dict records which (n_red_so, simulation, dispatch,
+    vqe_chunk) produced the result."""
     import subprocess
     import sys
     err = "unknown"
-    for n_red, sim, disp in ((16, "full", "two"),
-                             (16, "sector", "two"),
-                             (12, "full", "one")):
+    for n_red, sim, disp, chunk in ((16, "sector", "two", None),
+                                    (16, "sector", "two", 50),
+                                    (12, "full", "one", None)):
         prog = ("import json; from bench import run_h8_scale; "
                 "print('H8JSON ' + json.dumps(run_h8_scale("
                 f"n_red_so={n_red}, simulation={sim!r}, "
-                f"dispatch={disp!r})))")
+                f"dispatch={disp!r}, vqe_chunk={chunk!r})))")
         try:
             r = subprocess.run([sys.executable, "-c", prog],
                                capture_output=True, text=True, timeout=2400)
@@ -600,6 +603,7 @@ def main():
         "h8_m112_n_red_so": h8.get("n_red_so"),
         "h8_m112_simulation": h8.get("simulation"),
         "h8_m112_dispatch": h8.get("dispatch"),
+        "h8_m112_vqe_chunk": h8.get("vqe_chunk"),
         "h2_energy": h2_ours["energy"],
         "h2_ref_energy": REF_H2_ENERGY,
         "h2_delta_e_vs_ref": h2_ours["energy"] - REF_H2_ENERGY,
