@@ -565,6 +565,10 @@ def main():
     # backend handle — a fresh process reconnects cleanly.
     h8 = run_h8_scale_subprocess()
 
+    # sharded-layout anchor at a size where the m^4/D HBM split matters
+    # (round-2 verdict item 8): H4 cc-pVQZ m=120 through the GSPMD mesh.
+    m120 = run_m120_sharded_subprocess()
+
     rtt_ms = None
     try:
         rtt_ms = measure_tunnel_rtt_ms()
@@ -604,6 +608,10 @@ def main():
         "h8_m112_simulation": h8.get("simulation"),
         "h8_m112_dispatch": h8.get("dispatch"),
         "h8_m112_vqe_chunk": h8.get("vqe_chunk"),
+        "m120_sharded_energy_f32": m120["energy"],
+        "m120_sharded_cold_s": m120["cold_s"],
+        "m120_sharded_warm_s": m120["warm_s"],
+        "m120_sharded_outer_iters": m120["outer_iters"],
         "h2_energy": h2_ours["energy"],
         "h2_ref_energy": REF_H2_ENERGY,
         "h2_delta_e_vs_ref": h2_ours["energy"] - REF_H2_ENERGY,

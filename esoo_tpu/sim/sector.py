@@ -224,11 +224,18 @@ class SectorUCC:
         with the per-gate partner-index and sign fields precomputed (S in
         {0, +-1}; untouched entries have S = 0, PARTNER = identity).  One
         dense gather + FMAs per gate — no scatters anywhere in the
-        simulation (scatters are the latency bottleneck on TPU)."""
+        simulation (scatters are the latency bottleneck on TPU).
+
+        The scan is unrolled (several gates per loop iteration): each
+        step's body is a few-microsecond gather+FMA, so the K-step scan
+        is bound by per-iteration loop overhead, not compute — unrolling
+        is exact (same sequential gate order) and cuts that overhead by
+        the unroll factor.  Bounded so the compiled body stays small."""
         dtype = theta.dtype
         v0 = v0.astype(dtype)
         PARTNER = jnp.asarray(self._PARTNER)
         SFIELD = jnp.asarray(self._SFIELD, dtype=dtype)
+        K = int(theta.shape[0])
 
         def gate(v, xs):
             partner, sfield, th = xs
@@ -236,7 +243,8 @@ class SectorUCC:
             c_eff = 1.0 + (jnp.cos(th) - 1.0) * touched
             return c_eff * v + sfield * jnp.sin(th) * v[partner], None
 
-        v, _ = jax.lax.scan(gate, v0, (PARTNER, SFIELD, theta))
+        v, _ = jax.lax.scan(gate, v0, (PARTNER, SFIELD, theta),
+                            unroll=min(8, max(K, 1)))
         return v
 
     def state(self, theta: jnp.ndarray) -> jnp.ndarray:
@@ -314,9 +322,104 @@ class SectorUCC:
             H = H.at[dv, du].set(d_val)
         return H
 
+    def _row_tables(self):
+        """Padded per-determinant neighbor tables for the gather-only
+        H·v kernel, cached: (VIDX, PTN), both (nd, maxdeg) int32.  Row i
+        lists every determinant j with H[i, j] != 0 — PTN[i, k] = j and
+        VIDX[i, k] indexes the pair's slot in concat([s_val, d_val])
+        (each unordered pair appears in both rows).  Padding points VIDX
+        at a zero value slot and PTN at the v padding slot."""
+        cached = getattr(self, "_row_tabs", None)
+        if cached is not None:
+            return cached
+        st = self._sc
+        nd = self.dim
+        su = np.asarray(st["su"], dtype=np.int64)
+        sv = np.asarray(st["sv"], dtype=np.int64)
+        du = np.asarray(st["du"], dtype=np.int64)
+        dv = np.asarray(st["dv"], dtype=np.int64)
+        ns, ndbl = len(su), len(du)
+        rows = np.concatenate([su, sv, du, dv])
+        cols = np.concatenate([sv, su, dv, du])
+        vslot = np.concatenate([np.arange(ns), np.arange(ns),
+                                ns + np.arange(ndbl), ns + np.arange(ndbl)])
+        deg = np.bincount(rows, minlength=nd) if len(rows) else \
+            np.zeros(nd, dtype=np.int64)
+        maxdeg = int(deg.max()) if len(rows) else 0
+        VIDX = np.full((nd, maxdeg), ns + ndbl, dtype=np.int32)
+        PTN = np.full((nd, maxdeg), nd, dtype=np.int32)
+        if len(rows):
+            order = np.argsort(rows, kind="stable")
+            rows, cols, vslot = rows[order], cols[order], vslot[order]
+            starts = np.zeros(nd + 1, dtype=np.int64)
+            np.cumsum(deg, out=starts[1:])
+            pos = np.arange(len(rows)) - starts[rows]
+            VIDX[rows, pos] = vslot
+            PTN[rows, pos] = cols
+        self._row_tabs = (VIDX, PTN)
+        return self._row_tabs
+
+    def _quadform_fn(self):
+        """The gather-only <v|H|v> with an analytic custom VJP, cached.
+
+        Forward: Hv[i] = diag[i] v[i] + sum_k VAL[i,k] v[PTN[i,k]] via
+        the row tables — gathers only.  Backward: grad_v = 2 ct * Hv
+        (H symmetric), grad_diag = ct v^2, grad_val = 2 ct v[u] v[w] —
+        also gathers only.  This exists because autodiff of the naive
+        pairwise quadform emits the VJP of ~nnz constant-index gathers
+        as one giant constant-index scatter-add, which XLA compiles
+        pathologically slowly at N>=16 scale (the round-3 suspect for
+        the sector-program worker kill; cf. the rdm-table gather rewrite
+        in fc8ff7b / CLAUDE.md gotchas)."""
+        cached = getattr(self, "_qf_fn", None)
+        if cached is not None:
+            return cached
+        st = self._sc
+        nd = self.dim
+        VIDX, PTN = self._row_tables()
+        su, sv = np.asarray(st["su"]), np.asarray(st["sv"])
+        du, dv = np.asarray(st["du"]), np.asarray(st["dv"])
+
+        def hv(v_pad, diag, s_val, d_val):
+            vals = jnp.concatenate(
+                [s_val, d_val, jnp.zeros(1, dtype=v_pad.dtype)])
+            return diag * v_pad[:nd] + jnp.sum(
+                vals[jnp.asarray(VIDX)] * v_pad[jnp.asarray(PTN)], axis=1)
+
+        @jax.custom_vjp
+        def qf(v_pad, diag, s_val, d_val):
+            return jnp.dot(v_pad[:nd], hv(v_pad, diag, s_val, d_val))
+
+        def qf_fwd(v_pad, diag, s_val, d_val):
+            w = hv(v_pad, diag, s_val, d_val)
+            return jnp.dot(v_pad[:nd], w), (v_pad, w)
+
+        def qf_bwd(res, ct):
+            v_pad, w = res
+            v = v_pad[:nd]
+            pad = v_pad.shape[0] - nd
+            g_v = jnp.concatenate(
+                [2.0 * ct * w, jnp.zeros(pad, dtype=w.dtype)])
+            g_diag = ct * v * v
+            g_s = 2.0 * ct * v[jnp.asarray(su)] * v[jnp.asarray(sv)] \
+                if len(su) else jnp.zeros(0, dtype=w.dtype)
+            g_d = 2.0 * ct * v[jnp.asarray(du)] * v[jnp.asarray(dv)] \
+                if len(du) else jnp.zeros(0, dtype=w.dtype)
+            return g_v, g_diag, g_s, g_d
+
+        qf.defvjp(qf_fwd, qf_bwd)
+        self._qf_fn = qf
+        return qf
+
     def quadform_values(self, v: jnp.ndarray, vals) -> jnp.ndarray:
-        """<v|H|v> from the sparse Slater-Condon values — pure gathers:
-        sum diag v^2 + 2 sum val * v[u] * v[w] over the symmetric pairs."""
+        """<v|H|v> from the sparse Slater-Condon values — the gather-only
+        row kernel with analytic VJP (see _quadform_fn)."""
+        diag, s_val, d_val = vals
+        return self._quadform_fn()(v, diag, s_val, d_val)
+
+    def _quadform_pairs(self, v: jnp.ndarray, vals) -> jnp.ndarray:
+        """Pairwise-sum quadform (autodiff oracle for quadform_values;
+        its VJP scatters, so it stays off the N>=16 hot path)."""
         st = self._sc
         diag, s_val, d_val = vals
         v = v[: self.dim]

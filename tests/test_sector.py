@@ -261,6 +261,37 @@ def test_sector_sparse_quadform_matches_dense(n_sp, parts):
                                float(sec.quadform(v, H)), atol=1e-10)
 
 
+@pytest.mark.parametrize("n_sp,parts", [(2, (1, 1)), (3, (2, 1)),
+                                        (4, (2, 2))])
+def test_sector_quadform_custom_vjp_matches_autodiff(n_sp, parts):
+    """The gather-only row-kernel quadform (analytic custom VJP — no
+    scatters in forward OR backward, the N>=16 TPU path) equals the
+    pairwise autodiff oracle in value and in every gradient: d/dtheta
+    (through the gate scan), d/ddiag, d/ds_val, d/dd_val."""
+    import jax
+    N = 2 * n_sp
+    ans = UCCSD(n_sp, parts, initial_state=HartreeFock(n_sp, parts))
+    sec = SectorUCC(ans, N)
+    h_sp, g_sp = random_hermitian_tensors(n_sp, seed=5)
+    h_so, g_so = expand_spin_tensors(jnp.asarray(h_sp), jnp.asarray(g_sp))
+    vals = sec.build_values(h_so, g_so)
+    theta = jnp.asarray(
+        np.random.default_rng(11).normal(size=ans.num_parameters) * 0.3)
+
+    def e_new(th, d, s, dd):
+        return sec.quadform_values(sec.state(th), (d, s, dd))
+
+    def e_old(th, d, s, dd):
+        return sec._quadform_pairs(sec.state(th), (d, s, dd))
+
+    args = (theta,) + tuple(vals)
+    v_new, g_new = jax.value_and_grad(e_new, argnums=(0, 1, 2, 3))(*args)
+    v_old, g_old = jax.value_and_grad(e_old, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(float(v_new), float(v_old), atol=1e-10)
+    for a, b in zip(g_new, g_old):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
 def test_class_optorbvqe_rdms_measured_in_sector(h2_631g, monkeypatch):
     """The class-based OptOrbVQE direct-RDM path measures sector-eligible
     circuits via sector.rdms — the 2^N statevector extraction is never
