@@ -245,8 +245,12 @@ def run_h8_scale_subprocess():
     import subprocess
     import sys
     err = "unknown"
-    for n_red, sim, disp, chunk in ((16, "sector", "two", None),
-                                    (16, "sector", "two", 50),
+    # (16, sector, two, 50) is the round-3 PROVEN config: completed cold
+    # 585.5 s / warm 530.2 s on the v5e with no worker crash
+    # (scripts/probe_h8_n16.py, 2026-08-17) — try it first so a crash of
+    # a riskier config can't leave the worker dead for the proven one.
+    for n_red, sim, disp, chunk in ((16, "sector", "two", 50),
+                                    (16, "sector", "two", None),
                                     (12, "full", "one", None)):
         prog = ("import json; from bench import run_h8_scale; "
                 "print('H8JSON ' + json.dumps(run_h8_scale("

@@ -275,6 +275,24 @@ def _eig_rdm_program(state_fn: Callable,
     return theta, E, gamma_s, Gamma_s
 
 
+@partial(jax.jit, static_argnames=("state_fn", "vqe_maxiter", "sector"))
+def _eig_only_program(state_fn: Callable,
+                      theta: jnp.ndarray,
+                      U: jnp.ndarray,
+                      h_sp: jnp.ndarray,
+                      g_sp: jnp.ndarray,
+                      vqe_maxiter: int = 200,
+                      sector=None):
+    """Two-dispatch final re-solve: rotate + eigensolver, no RDM work
+    (one-dispatch parity tail — _fused_optorb_vqe re-runs run_vqe at the
+    final U unconditionally; its RDMs are never consumed there)."""
+    run_vqe, _ = _vqe_stage_fns(state_fn, U.shape[1], sector,
+                                vqe_maxiter, h_sp.dtype)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    return run_vqe(theta, h_act, g_act)
+
+
 def _vqe_cost_for(state_fn, sector, dtype):
     """(cost_fn, prep_args) for the chunked eigensolver programs.
     prep_args(h_act, g_act) -> the cost's device-array argument tuple."""
@@ -791,6 +809,9 @@ class FusedOptOrbSSVQE:
             initial_point = np.zeros(ansatz.num_parameters)
         self._theta0 = jnp.asarray(initial_point, dtype=dtype)
 
+        if maxiter < 1:
+            raise ValueError("maxiter must be >= 1 (the outer loop always "
+                             "runs at least one eigensolver iteration)")
         self.maxiter = maxiter
         self.stopping_tolerance = stopping_tolerance
         self.inner_stopping_tolerance = inner_stopping_tolerance
@@ -829,7 +850,8 @@ class FusedOptOrbSSVQE:
                 self._apply_raw, n_active, self._init_mat, self._weights,
                 theta, U, h_sp, g_sp, **common)
             Ew_f = float(Ew)
-            trace[it] = Ew_f
+            if it < trace.shape[0]:
+                trace[it] = Ew_f
             if cb is not None:
                 cb(it + 1, np.asarray(energies), np.asarray(theta),
                    np.asarray(U), trace)
@@ -910,6 +932,12 @@ class FusedOptOrbMCVQE(FusedOptOrbSSVQE):
         from .kernels import (expand_spin_tensors, rotated_integrals_spatial,
                               spatial_blocks, spin_blocks_consistent)
 
+        if problem is not None:
+            # qiskit-nature drop-in interop (same seam as the siblings,
+            # fused.py FusedOptOrbVQE/SSVQE __init__): this ctor reads the
+            # problem before super().__init__ ever sees it
+            from ..interop import adapt as _interop_adapt
+            problem, _ = _interop_adapt(problem, None)
         if integral_tensors is not None:
             h_so = np.asarray(integral_tensors[0], dtype=np.float64)
             g_so = np.asarray(integral_tensors[1], dtype=np.float64)
@@ -1114,6 +1142,23 @@ def _vqd_eig_rdm_program(apply_fn, n_active, k, init_mat, betas, weights,
 
 
 @partial(jax.jit, static_argnames=(
+    "apply_fn", "n_active", "k", "vqe_maxiter", "sector"))
+def _vqd_eig_only_program(apply_fn, n_active, k, init_mat, betas, weights,
+                          thetas, U, h_sp, g_sp, vqe_maxiter=300,
+                          sector=None, sector_init=None):
+    """Two-dispatch final re-solve: deflation only, no RDM work
+    (one-dispatch parity tail — _fused_optorb_vqd re-runs run_vqd at the
+    final U unconditionally; its RDMs are never consumed there)."""
+    run_vqd, _ = _vqd_stage_fns(
+        apply_fn, n_active, k, init_mat, betas, weights, sector,
+        sector_init, vqe_maxiter, h_sp.dtype)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    thetas, _, energies = run_vqd(thetas, h_act, g_act)
+    return thetas, energies
+
+
+@partial(jax.jit, static_argnames=(
     "apply_fn", "n_active", "k", "outer_maxiter", "inner_maxiter",
     "vqe_maxiter", "sector", "callback"))
 def _fused_optorb_vqd(apply_fn: Callable,
@@ -1215,6 +1260,11 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
             if kwargs.get("simulation", "full") == "sector":
                 raise ValueError(
                     "per-state ansatze require simulation='full'")
+            # 'auto' may resolve to sector, whose program compiles ONE
+            # excitation table and would silently simulate every state
+            # with ansatz_list[0]'s circuit — force the full simulator
+            if kwargs.get("simulation") == "auto":
+                kwargs["simulation"] = "full"
             user_point = kwargs.pop("initial_point", None)
             ansatz = ansatz_list[0]
             kwargs["initial_point"] = None
@@ -1242,6 +1292,10 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
                 pts = (user_point if isinstance(user_point[0],
                                                 (list, tuple, np.ndarray))
                        else [user_point] * self.k)
+                if len(pts) != self.k:
+                    raise ValueError(
+                        f"initial_point must provide one vector per state: "
+                        f"got {len(pts)} for k={self.k}")
                 for i, (p, a) in enumerate(zip(pts, ansatz_list)):
                     p = np.asarray(p, dtype=np.float64)
                     if p.shape[0] != a.num_parameters:
@@ -1297,7 +1351,8 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
         while True:
             thetas, energies, gamma_s, Gamma_s = program_a(thetas, U)
             Ew_f = float(np.dot(w, np.asarray(energies)))
-            trace[it] = Ew_f
+            if it < trace.shape[0]:
+                trace[it] = Ew_f
             if cb is not None:
                 cb(it + 1, np.asarray(energies), np.asarray(thetas),
                    np.asarray(U), trace)
@@ -1310,12 +1365,19 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
                              inner_maxiter=self.inner_maxiter)
             E_prev = Ew_f
         if not converged:
-            # hit_max: rotate once more and re-solve (one-dispatch parity:
-            # the VQD program re-runs the deflation at the final U)
+            # hit_max: rotate once more (one-dispatch body's final U_new)
             U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
                              bb, inner_tol, decay,
                              inner_maxiter=self.inner_maxiter)
-            thetas, energies, _, _ = program_a(thetas, U)
+        # one-dispatch parity: _fused_optorb_vqd re-runs the deflation at
+        # the final U UNCONDITIONALLY (also on the converged exit, where
+        # the warm restart can keep optimizing if a state's L-BFGS
+        # previously stopped on hit_max/no_move); no RDM work in the tail
+        thetas, energies = _vqd_eig_only_program(
+            self._apply_raw, n_active, self.k, self._init_mat,
+            self._betas, self._weights, thetas, U, h_sp, g_sp,
+            vqe_maxiter=self.vqe_maxiter, sector=self._sector,
+            sector_init=self._sector_init)
         result = FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(energies),
             optimal_point=np.asarray(thetas),
@@ -1671,6 +1733,9 @@ class FusedOptOrbVQE:
             initial_point = np.zeros(ansatz.num_parameters)
         self._theta0 = jnp.asarray(initial_point, dtype=dtype)
 
+        if maxiter < 1:
+            raise ValueError("maxiter must be >= 1 (the outer loop always "
+                             "runs at least one eigensolver iteration)")
         self.maxiter = maxiter
         self.stopping_tolerance = stopping_tolerance
         self.inner_stopping_tolerance = inner_stopping_tolerance
@@ -1748,6 +1813,22 @@ class FusedOptOrbVQE:
                                                  sector=self._sector)
             return state.x, state.f, gamma_s, Gamma_s
 
+        def solve_energy(theta, U):
+            """Energies-only re-solve for the parity tail (no RDM work)."""
+            if chunk is None:
+                return _eig_only_program(state_fn, theta, U, h_sp, g_sp,
+                                         vqe_maxiter=self.vqe_maxiter,
+                                         sector=self._sector)
+            state, cost_args = _eig_chunk_init(state_fn, theta, U,
+                                               h_sp, g_sp,
+                                               sector=self._sector)
+            while not bool(state.done):
+                state = _eig_chunk_advance(state_fn, state, cost_args,
+                                           num_steps=int(chunk),
+                                           vqe_maxiter=self.vqe_maxiter,
+                                           sector=self._sector)
+            return state.x, state.f
+
         theta = self._theta0
         U = orth(self._U0)
         trace = np.full((self.maxiter,), np.nan)
@@ -1757,7 +1838,8 @@ class FusedOptOrbVQE:
         while True:
             theta, E, gamma_s, Gamma_s = solve(theta, U)
             E_f = float(E)              # the one host sync per iteration
-            trace[it] = E_f
+            if it < trace.shape[0]:
+                trace[it] = E_f
             if cb is not None:
                 cb(it + 1, E_f, np.asarray(theta), np.asarray(U), trace)
             converged = abs(E_f - E_prev) < self.stopping_tolerance
@@ -1769,13 +1851,18 @@ class FusedOptOrbVQE:
                              inner_maxiter=self.inner_maxiter)
             E_prev = E_f
         if not converged:
-            # loop ended on hit_max with U freshly rotated: re-solve so
-            # (E, theta, U) are mutually consistent (one-dispatch parity)
+            # loop ended on hit_max: rotate once more (the one-dispatch
+            # body's U_new on its final iteration)
             U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
                              bb, inner_tol, decay,
                              inner_maxiter=self.inner_maxiter)
-            theta, E, _, _ = solve(theta, U)
-            E_f = float(E)
+        # one-dispatch parity: _fused_optorb_vqe re-runs run_vqe at the
+        # final U UNCONDITIONALLY (also on the converged exit, where the
+        # warm restart can keep optimizing if the inner L-BFGS previously
+        # stopped on hit_max/no_move rather than gtol); energies-only —
+        # the tail's RDMs are never consumed
+        theta, E = solve_energy(theta, U)
+        E_f = float(E)
         return FusedOptOrbResult(
             eigenvalue=E_f,
             optimal_point=np.asarray(theta),
@@ -1894,7 +1981,8 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
         while True:
             theta, mask, E, gamma_s, Gamma_s = program_a(U)
             E_f = float(E)
-            trace[it] = E_f
+            if it < trace.shape[0]:
+                trace[it] = E_f
             if cb is not None:
                 cb(it + 1, E_f, np.asarray(theta * mask), np.asarray(U),
                    trace)
@@ -1922,7 +2010,6 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
         )
         result.selection_mask = np.asarray(mask)
         return result
-        self._template = ansatz
 
     def _run(self, dtype) -> FusedOptOrbResult:
         live_cb, post_cb = _cached_callbacks(self)

@@ -469,3 +469,87 @@ def test_fused_simulation_auto(h2_631g):
     with pytest.raises(ValueError):
         FusedOptOrbVQE(num_spin_orbitals=4, ansatz=qc, problem=h2_631g,
                        simulation="sector")
+
+
+def test_fused_two_dispatch_parity_at_vqe_hit_max(h2_631g):
+    """Regression (round-3 review): the one-dispatch program re-runs the
+    eigensolver at the final U UNCONDITIONALLY — also on the converged
+    exit, where the warm restart keeps optimizing whenever the inner
+    L-BFGS previously stopped on hit_max rather than gtol.  With a tiny
+    vqe_maxiter that tail re-solve changes the answer, so dispatch='two'
+    must perform it too."""
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    kw = dict(num_spin_orbitals=4, ansatz=ansatz, problem=h2_631g,
+              maxiter=8, vqe_maxiter=5)
+    one = FusedOptOrbVQE(**kw).compute_minimum_energy()
+    two = FusedOptOrbVQE(dispatch="two", **kw).compute_minimum_energy()
+    np.testing.assert_allclose(two.eigenvalue, one.eigenvalue, atol=1e-9)
+    assert two.outer_iterations == one.outer_iterations
+    np.testing.assert_allclose(two.energy_convergence_list,
+                               one.energy_convergence_list, atol=1e-9)
+    np.testing.assert_allclose(two.optimal_point, one.optimal_point,
+                               atol=1e-8)
+
+
+def test_fused_vqd_two_dispatch_parity_at_vqe_hit_max(h2_631g):
+    """Same unconditional-tail parity for the VQD deflation programs."""
+    from esoo_tpu.sim import QuantumCircuit
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQD
+    ansatz = UCCSD(2, (1, 1), reps=2)
+    init0 = HartreeFock(2, (1, 1))
+    init1 = QuantumCircuit(4)
+    init1.x(1)
+    init1.x(2)
+    kw = dict(num_spin_orbitals=4, ansatz=ansatz,
+              initial_states=[init0, init1], betas=[2.0],
+              weight_vector=[2, 1], problem=h2_631g,
+              maxiter=6, vqe_maxiter=7)
+    one = FusedOptOrbVQD(**kw).compute_energies()
+    two = FusedOptOrbVQD(dispatch="two", **kw).compute_energies()
+    np.testing.assert_allclose(two.eigenvalues, one.eigenvalues, atol=1e-9)
+    assert two.outer_iterations == one.outer_iterations
+    np.testing.assert_allclose(two.energy_convergence_list,
+                               one.energy_convergence_list, atol=1e-9)
+
+
+def test_fused_maxiter_zero_rejected(h2_631g):
+    """maxiter=0 used to IndexError deep inside the trace bookkeeping of
+    BOTH dispatch modes (size-0 trace axis); it is now rejected up front
+    with a clear message."""
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    for kw in ({}, {"dispatch": "two"}):
+        with pytest.raises(ValueError, match="maxiter"):
+            FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
+                           problem=h2_631g, maxiter=0, **kw)
+
+
+def test_fused_vqd_per_state_ansatz_auto_forces_full(h2_631g):
+    """Regression (round-3 review): simulation='auto' could resolve to
+    'sector', which compiles ONE excitation table and would silently
+    simulate every state with ansatz_list[0]'s circuit."""
+    from esoo_tpu.sim import QuantumCircuit
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQD
+    init0 = HartreeFock(2, (1, 1))
+    init1 = QuantumCircuit(4)
+    init1.x(1)
+    init1.x(2)
+    s = FusedOptOrbVQD(num_spin_orbitals=4,
+                       ansatz=[UCCSD(2, (1, 1)), UCCSD(2, (1, 1), reps=2)],
+                       initial_states=[init0, init1], betas=[2.0],
+                       problem=h2_631g, simulation="auto")
+    assert s.simulation == "full"
+
+
+def test_fused_vqd_initial_point_count_mismatch(h2_631g):
+    from esoo_tpu.sim import QuantumCircuit
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQD
+    init0 = HartreeFock(2, (1, 1))
+    init1 = QuantumCircuit(4)
+    init1.x(1)
+    init1.x(2)
+    a = UCCSD(2, (1, 1))
+    with pytest.raises(ValueError, match="one vector per state"):
+        FusedOptOrbVQD(num_spin_orbitals=4, ansatz=[a, a],
+                       initial_states=[init0, init1], betas=[2.0],
+                       problem=h2_631g,
+                       initial_point=[np.zeros(a.num_parameters)])

@@ -150,3 +150,21 @@ def test_real_qiskit_nature_problem():  # pragma: no cover
     problem = driver.run()
     adapted = from_qiskit_nature(problem)
     assert adapted.num_spin_orbitals == 8
+
+
+def test_fused_mcvqe_runs_on_qiskit_nature_problem(h2_631g):
+    """Regression (round-3 review): FusedOptOrbMCVQE reads the problem in
+    its OWN ctor (CIS initialization) before super().__init__'s adapter
+    seam, so it must apply the interop adapter itself."""
+    from esoo_tpu.orbital_optimization import FusedOptOrbMCVQE
+    from esoo_tpu.sim import UCCSD
+
+    h, g = h2_631g.integral_tensors()
+    fake = _fake_qn_problem(h, g, h2_631g.num_particles)
+    ansatz = UCCSD(2, (1, 1), reps=2)
+    r = FusedOptOrbMCVQE(num_spin_orbitals=4, ansatz=ansatz,
+                         num_particles=(1, 1), k=2, excitations="s",
+                         weight_vector=[2, 1], problem=fake,
+                         maxiter=20).compute_energies()
+    np.testing.assert_array_almost_equal(
+        r.eigenvalues, [-1.85703467, -1.46615986], decimal=3)
