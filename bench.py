@@ -247,10 +247,12 @@ def run_h8_scale_subprocess():
     err = "unknown"
     # (16, sector, two, 50) is the round-3 PROVEN config: completed cold
     # 585.5 s / warm 530.2 s on the v5e with no worker crash
-    # (scripts/probe_h8_n16.py, 2026-08-17) — try it first so a crash of
-    # a riskier config can't leave the worker dead for the proven one.
+    # (scripts/probe_h8_n16.py, 2026-08-17).  The UNCHUNKED two-dispatch
+    # run was measured to kill the worker on its first full-length
+    # eigensolver dispatch (same program content — a controlled
+    # confirmation of the per-dispatch execution-time kill), so it is NOT
+    # in the chain; a chunked failure falls straight back to N=12.
     for n_red, sim, disp, chunk in ((16, "sector", "two", 50),
-                                    (16, "sector", "two", None),
                                     (12, "full", "one", None)):
         prog = ("import json; from bench import run_h8_scale; "
                 "print('H8JSON ' + json.dumps(run_h8_scale("

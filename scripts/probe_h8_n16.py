@@ -9,7 +9,7 @@ Phases are logged with wall timestamps so a crash can be localized
 the 13:45 round-3 probe launched 58 min after a worker crash and its
 failure is not attributable.
 
-Usage: python scripts/probe_h8_n16.py [vqe_chunk] [maxiter]
+Usage: python scripts/probe_h8_n16.py [vqe_chunk] [maxiter] [n_red_so]
 """
 import json
 import os
@@ -42,6 +42,7 @@ def worker_alive(timeout_s=120):
 def main():
     chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     maxiter = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_red_so = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     if chunk <= 0:
         chunk = None
 
@@ -65,7 +66,6 @@ def main():
     parts = (int(parts[0]), int(parts[1]))
     log(f"tensors ready m={h_sp.shape[0]} parts={parts}")
 
-    n_red_so = 16
     n_act = n_red_so // 2
     ansatz = UCCSD(n_act, parts, initial_state=HartreeFock(n_act, parts))
 
