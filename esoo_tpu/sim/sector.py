@@ -52,6 +52,47 @@ def _bitcount(a: np.ndarray) -> np.ndarray:
     return np.bitwise_count(a.astype(np.uint64)).astype(np.int64)
 
 
+# cache the O(nd^2) host-side Slater-Condon structure scan past this
+# determinant count (~86 s single-core at nd=4,900 / H8 N=16; ~tens of
+# minutes at nd=44,100 / N=20 — paid once per sector, not per solver)
+_SC_CACHE_MIN_ND = 3000
+
+
+def _slater_condon_structure_cached(dets, n: int) -> dict:
+    """Disk-cached slater_condon_structure keyed on (determinant set, n).
+
+    The structure is a pure function of the ordered determinant list, so
+    a content hash is a sound key.  Failures (no disk, races, corrupt
+    files) silently fall back to a fresh build; writes are atomic
+    (tmp + os.replace).  Cache dir: $ESOO_CACHE_DIR or ~/.cache/esoo_jax
+    (the package's existing cache location)."""
+    import hashlib
+    import os
+
+    if len(dets) < _SC_CACHE_MIN_ND:
+        return slater_condon_structure(dets, n)
+    arr = np.asarray(dets, dtype=np.int64)
+    key = hashlib.sha1(arr.tobytes() + bytes([n])).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "ESOO_CACHE_DIR", os.path.expanduser("~/.cache/esoo_jax"))
+    path = os.path.join(cache_dir,
+                        f"sector_sc_n{n}_nd{len(dets)}_{key}.npz")
+    try:
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    except Exception:
+        pass
+    out = slater_condon_structure(dets, n)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + f".{os.getpid()}.tmp.npz"
+        np.savez(tmp, **out)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    return out
+
+
 def _apply_ladder_chain(dets: np.ndarray, occ: Sequence[int],
                         vir: Sequence[int]) -> Tuple[np.ndarray, np.ndarray]:
     """Vectorized application of the excitation operator
@@ -199,7 +240,8 @@ class SectorUCC:
         self._PARTNER, self._SFIELD = PARTNER, SFIELD
 
         # -- Slater-Condon structure for the on-device H assembly ----------
-        self._sc = slater_condon_structure([int(d) for d in dets], N)
+        self._sc = _slater_condon_structure_cached([int(d) for d in dets],
+                                                   N)
 
     # -- simulation ----------------------------------------------------------
     def project_full(self, vec_full: np.ndarray) -> np.ndarray:

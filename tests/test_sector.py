@@ -314,3 +314,28 @@ def test_class_optorbvqe_rdms_measured_in_sector(h2_631g, monkeypatch):
                   partial_unitary_optimizer=pupo, problem=h2_631g,
                   maxiter=20).compute_minimum_energy()
     np.testing.assert_array_almost_equal(r.eigenvalue, -1.8661038, decimal=3)
+
+
+def test_slater_condon_structure_disk_cache(tmp_path, monkeypatch):
+    """The cached structure loader must roundtrip every array exactly and
+    hit its file on the second build (the O(nd^2) host scan is ~86 s at
+    H8 N=16 and ~tens of minutes at N=20 — paid once per sector)."""
+    import os
+    from esoo_tpu.sim import sector as sector_mod
+    from esoo_tpu.initializations.ci import (enumerate_determinants,
+                                             slater_condon_structure)
+
+    monkeypatch.setenv("ESOO_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(sector_mod, "_SC_CACHE_MIN_ND", 0)
+    dets = [int(d) for d in enumerate_determinants(6, (2, 1), 3)]
+    direct = slater_condon_structure(dets, 6)
+    first = sector_mod._slater_condon_structure_cached(dets, 6)
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("sector_sc_") and f.endswith(".npz")
+               for f in files)
+    second = sector_mod._slater_condon_structure_cached(dets, 6)
+    for ref, got in ((direct, first), (direct, second)):
+        assert set(ref.keys()) == set(got.keys())
+        for k in ref:
+            np.testing.assert_array_equal(np.asarray(ref[k]),
+                                          np.asarray(got[k]), err_msg=k)
