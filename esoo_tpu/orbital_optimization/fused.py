@@ -311,15 +311,41 @@ def _vqe_cost_for(state_fn, sector, dtype):
     return cost, prep_args
 
 
+# past this sector dimension the chunked programs pass the sector's
+# index/sign tables as program ARGUMENTS (device buffers) instead of
+# baked constants: at H8 N=20 (nd=44,100) the constants total ~1 GB and
+# break the remote-compile transport (measured round 3); at N=16
+# (nd=4,900, ~30 MB) the proven constants path is kept
+_TABLED_MIN_ND = 10000
+
+
+def _sector_cost_tabled(sector):
+    def cost(theta, vals, tables):
+        return sector.energy_values(theta, vals, tables=tables)
+    return cost
+
+
 @partial(jax.jit, static_argnames=("state_fn", "sector"))
 def _eig_chunk_init(state_fn: Callable, theta: jnp.ndarray, U: jnp.ndarray,
-                    h_sp: jnp.ndarray, g_sp: jnp.ndarray, sector=None):
+                    h_sp: jnp.ndarray, g_sp: jnp.ndarray, sector=None,
+                    sector_tables=None):
     """Chunked two-dispatch, program A1: rotate the integrals at U and
-    initialize the resumable L-BFGS state.  Returns (state, cost_args)."""
+    initialize the resumable L-BFGS state.  Returns (state, cost_args).
+
+    With `sector_tables` (a device-put sector.device_tables() pytree) the
+    large index tables are program arguments; cost_args then excludes the
+    tables — the host threads the same device buffers into each
+    _eig_chunk_advance dispatch (no per-dispatch re-transfer)."""
     gtol = 1e-9 if jnp.finfo(h_sp.dtype).bits >= 64 else 1e-5
-    cost, prep_args = _vqe_cost_for(state_fn, sector, h_sp.dtype)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
+    if sector is not None and sector_tables is not None:
+        h_so, g_so = expand_spin_tensors(h_act, g_act)
+        vals = sector.build_values(h_so, g_so, tables=sector_tables)
+        state = lbfgs_init(_sector_cost_tabled(sector), theta,
+                           args=(vals, sector_tables), gtol=gtol)
+        return state, (vals,)
+    cost, prep_args = _vqe_cost_for(state_fn, sector, h_sp.dtype)
     cost_args = prep_args(h_act, g_act)
     return lbfgs_init(cost, theta, args=cost_args, gtol=gtol), cost_args
 
@@ -327,7 +353,8 @@ def _eig_chunk_init(state_fn: Callable, theta: jnp.ndarray, U: jnp.ndarray,
 @partial(jax.jit, static_argnames=("state_fn", "num_steps", "vqe_maxiter",
                                    "sector"))
 def _eig_chunk_advance(state_fn: Callable, state, cost_args,
-                       num_steps: int, vqe_maxiter: int, sector=None):
+                       num_steps: int, vqe_maxiter: int, sector=None,
+                       sector_tables=None):
     """Chunked two-dispatch, program A2 (jitted once, re-dispatched until
     state.done): up to `num_steps` more L-BFGS iterations.  Bounding the
     per-dispatch work keeps each compiled execution under the shared
@@ -335,6 +362,11 @@ def _eig_chunk_advance(state_fn: Callable, state, cost_args,
     N=16 crash mode after the remat fix (docs/PERF.md round 3)."""
     dtype = state.x.dtype
     gtol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-5
+    if sector is not None and sector_tables is not None:
+        return lbfgs_advance(_sector_cost_tabled(sector), state,
+                             args=tuple(cost_args) + (sector_tables,),
+                             num_steps=num_steps, maxiter=vqe_maxiter,
+                             gtol=gtol)
     cost, _ = _vqe_cost_for(state_fn, sector, dtype)
     return lbfgs_advance(cost, state, args=cost_args, num_steps=num_steps,
                          maxiter=vqe_maxiter, gtol=gtol)
@@ -342,14 +374,16 @@ def _eig_chunk_advance(state_fn: Callable, state, cost_args,
 
 @partial(jax.jit, static_argnames=("state_fn", "n_active", "sector"))
 def _rdm_only_program(state_fn: Callable, n_active: int,
-                      theta: jnp.ndarray, sector=None):
+                      theta: jnp.ndarray, sector=None, sector_tables=None):
     """Chunked two-dispatch, program A3: spin-reduced RDMs at theta."""
     N = 2 * n_active
     if sector is None:
         state = state_fn(theta)
         gamma, Gamma = one_rdm(state, N), two_rdm(state, N)
     else:
-        gamma, Gamma = sector.rdms(sector.state(theta))
+        gamma, Gamma = sector.rdms(
+            sector.state(theta, tables=sector_tables),
+            tables=sector_tables)
     return spin_reduce_rdms(gamma, Gamma)
 
 
@@ -1790,6 +1824,25 @@ class FusedOptOrbVQE:
         decay = jnp.asarray(self.decay_factor, dtype)
 
         chunk = getattr(self, "vqe_chunk", None)
+        T = None
+        if (chunk is not None and self._sector is not None
+                and self._sector.dim >= _TABLED_MIN_ND):
+            # tables as device buffers, transferred ONCE and threaded into
+            # every chunked dispatch as program arguments (not constants)
+            T = jax.device_put(self._sector.device_tables(dtype))
+
+        def run_chunked(theta, U):
+            state, cost_args = _eig_chunk_init(state_fn, theta, U,
+                                               h_sp, g_sp,
+                                               sector=self._sector,
+                                               sector_tables=T)
+            while not bool(state.done):   # host sync bounds each dispatch
+                state = _eig_chunk_advance(state_fn, state, cost_args,
+                                           num_steps=int(chunk),
+                                           vqe_maxiter=self.vqe_maxiter,
+                                           sector=self._sector,
+                                           sector_tables=T)
+            return state
 
         def solve(theta, U):
             """One eigensolver+RDM stage: a single compiled program, or —
@@ -1800,17 +1853,11 @@ class FusedOptOrbVQE:
                 return _eig_rdm_program(
                     state_fn, n_active, theta, U, h_sp, g_sp,
                     vqe_maxiter=self.vqe_maxiter, sector=self._sector)
-            state, cost_args = _eig_chunk_init(state_fn, theta, U,
-                                               h_sp, g_sp,
-                                               sector=self._sector)
-            while not bool(state.done):   # host sync bounds each dispatch
-                state = _eig_chunk_advance(state_fn, state, cost_args,
-                                           num_steps=int(chunk),
-                                           vqe_maxiter=self.vqe_maxiter,
-                                           sector=self._sector)
+            state = run_chunked(theta, U)
             gamma_s, Gamma_s = _rdm_only_program(state_fn, n_active,
                                                  state.x,
-                                                 sector=self._sector)
+                                                 sector=self._sector,
+                                                 sector_tables=T)
             return state.x, state.f, gamma_s, Gamma_s
 
         def solve_energy(theta, U):
@@ -1819,14 +1866,7 @@ class FusedOptOrbVQE:
                 return _eig_only_program(state_fn, theta, U, h_sp, g_sp,
                                          vqe_maxiter=self.vqe_maxiter,
                                          sector=self._sector)
-            state, cost_args = _eig_chunk_init(state_fn, theta, U,
-                                               h_sp, g_sp,
-                                               sector=self._sector)
-            while not bool(state.done):
-                state = _eig_chunk_advance(state_fn, state, cost_args,
-                                           num_steps=int(chunk),
-                                           vqe_maxiter=self.vqe_maxiter,
-                                           sector=self._sector)
+            state = run_chunked(theta, U)
             return state.x, state.f
 
         theta = self._theta0

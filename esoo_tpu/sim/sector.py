@@ -112,6 +112,121 @@ def _apply_ladder_chain(dets: np.ndarray, occ: Sequence[int],
     return d, sign
 
 
+def _float0_like(a) -> np.ndarray:
+    """Zero cotangent for an integer-dtype primal (jax custom_vjp
+    convention: int inputs take float0-dtype cotangents)."""
+    return np.zeros(a.shape, dtype=jax.dtypes.float0)
+
+
+def _gate_step(v, partner, sfield, th):
+    """One Givens-bank gate: v' = c_eff*v + sfield*sin(th)*v[partner]."""
+    touched = jnp.abs(sfield)
+    c_eff = 1.0 + (jnp.cos(th) - 1.0) * touched
+    return c_eff * v + sfield * jnp.sin(th) * v[partner]
+
+
+def _apply_gates_tabled(v0, theta, PARTNER, SFIELD):
+    def gate(v, xs):
+        partner, sfield, th = xs
+        return _gate_step(v, partner, sfield, th), None
+
+    K = int(theta.shape[0])
+    v, _ = jax.lax.scan(gate, v0, (PARTNER, SFIELD, theta),
+                        unroll=min(8, max(K, 1)))
+    return v
+
+
+@jax.custom_vjp
+def _apply_rev(v0, theta, PARTNER, SFIELD):
+    """Gate application with a REVERSIBLE analytic VJP (tabled path).
+
+    Each gate is orthogonal, so the backward pass reconstructs the
+    intermediate states by applying the inverse rotations instead of
+    storing one (nd+1,) residual per gate — O(1) residual memory for a
+    K-step circuit — and the cotangent recursion w_{k-1} = G_k^T w_k is
+    the same gather-only formula as the forward (G^T = G(-theta)): no
+    scatters anywhere in forward OR backward.  (The autodiff VJP of the
+    scan stores K residuals and transposes each gather into a
+    scatter-add.)  Float roundoff of the reverse reconstruction is
+    ~K ulps (exact in the f64 oracle tests)."""
+    return _apply_gates_tabled(v0, theta, PARTNER, SFIELD)
+
+
+def _apply_rev_fwd(v0, theta, PARTNER, SFIELD):
+    v = _apply_gates_tabled(v0, theta, PARTNER, SFIELD)
+    return v, (v, theta, PARTNER, SFIELD)
+
+
+def _apply_rev_bwd(res, ct):
+    v, theta, PARTNER, SFIELD = res
+
+    def gate_bwd(carry, xs):
+        w, vk = carry
+        partner, sfield, th = xs
+        touched = jnp.abs(sfield)
+        c, s = jnp.cos(th), jnp.sin(th)
+        c_eff = 1.0 + (c - 1.0) * touched
+        # v_{k-1} = G(-th) v_k  (orthogonal inverse, gather-only)
+        v_prev = c_eff * vk - sfield * s * vk[partner]
+        # dL/dth_k = w . (dG/dth) v_{k-1}
+        dG_v = -s * touched * v_prev + sfield * c * v_prev[partner]
+        dth = jnp.dot(w, dG_v)
+        # w_{k-1} = G^T w  (= G(-th) w: same gather-only formula)
+        w_prev = c_eff * w - sfield * s * w[partner]
+        return (w_prev, v_prev), dth
+
+    K = int(theta.shape[0])
+    (w0, _), dths = jax.lax.scan(gate_bwd, (ct, v),
+                                 (PARTNER, SFIELD, theta),
+                                 reverse=True, unroll=min(8, max(K, 1)))
+    return w0, dths, _float0_like(PARTNER), jnp.zeros_like(SFIELD)
+
+
+_apply_rev.defvjp(_apply_rev_fwd, _apply_rev_bwd)
+
+
+def _hv_tabled(v_pad, diag, s_val, d_val, VIDX, PTN):
+    nd = diag.shape[0]
+    vals = jnp.concatenate(
+        [s_val, d_val, jnp.zeros(1, dtype=v_pad.dtype)])
+    return diag * v_pad[:nd] + jnp.sum(vals[VIDX] * v_pad[PTN], axis=1)
+
+
+@jax.custom_vjp
+def _qf_tabled(v_pad, diag, s_val, d_val, VIDX, PTN, SU, SV, DU, DV):
+    """<v|H|v> over the sparse Slater-Condon values with every index
+    table a program ARGUMENT (device buffer) instead of a baked constant
+    — at the H8 N=20 sector shape the table constants total ~1 GB and
+    break the remote-compile transport (see _quadform_fn for the
+    matching constants-based kernel and the VJP rationale)."""
+    nd = diag.shape[0]
+    return jnp.dot(v_pad[:nd], _hv_tabled(v_pad, diag, s_val, d_val,
+                                          VIDX, PTN))
+
+
+def _qf_tabled_fwd(v_pad, diag, s_val, d_val, VIDX, PTN, SU, SV, DU, DV):
+    w = _hv_tabled(v_pad, diag, s_val, d_val, VIDX, PTN)
+    nd = diag.shape[0]
+    return jnp.dot(v_pad[:nd], w), (v_pad, w, VIDX, PTN, SU, SV, DU, DV)
+
+
+def _qf_tabled_bwd(res, ct):
+    v_pad, w, VIDX, PTN, SU, SV, DU, DV = res
+    nd = w.shape[0]
+    v = v_pad[:nd]
+    pad = v_pad.shape[0] - nd
+    g_v = jnp.concatenate([2.0 * ct * w, jnp.zeros(pad, dtype=w.dtype)])
+    g_diag = ct * v * v
+    g_s = 2.0 * ct * v[SU] * v[SV]
+    g_d = 2.0 * ct * v[DU] * v[DV]
+    return (g_v, g_diag, g_s, g_d, _float0_like(VIDX), _float0_like(PTN),
+            _float0_like(SU), _float0_like(SV), _float0_like(DU),
+            _float0_like(DV))
+
+
+_qf_tabled.defvjp(_qf_tabled_fwd, _qf_tabled_bwd)
+
+
 def _initial_mask_from_circuit(circ: Optional[QuantumCircuit]) -> int:
     """Occupation bitmask of an X-gates-only preparation circuit."""
     mask = 0
@@ -243,6 +358,62 @@ class SectorUCC:
         self._sc = _slater_condon_structure_cached([int(d) for d in dets],
                                                    N)
 
+    # -- program-argument tables ---------------------------------------------
+    def device_tables(self, dtype=None) -> dict:
+        """The large index/sign tables as a host pytree, for passing into
+        jitted programs as ARGUMENTS (device buffers) instead of baked
+        constants: at the H8 N=20 sector shape (nd=44,100, 16.7M double
+        pairs) the constants total ~1 GB and break the remote-compile
+        transport (round-3 measurement; cf. the CLAUDE.md m^4-constant
+        gotcha).  Float tables are pre-cast to `dtype` so the compiled
+        programs contain no wide converts.  Cached per dtype."""
+        dtype = np.dtype(dtype if dtype is not None else np.float64)
+        cache = getattr(self, "_dev_tabs", None)
+        if cache is None:
+            cache = self._dev_tabs = {}
+        if dtype.name in cache:
+            return cache[dtype.name]
+        st = self._sc
+        N = self.num_qubits
+        VIDX, PTN = self._row_tables()
+        SRC, SG = self._rdm_tables()
+        ns = len(st["su"])
+        ndbl = len(st["du"])
+        f = lambda a: np.asarray(a, dtype=dtype)
+        tabs = dict(
+            PARTNER=self._PARTNER, SFIELD=f(self._SFIELD),
+            VIDX=VIDX, PTN=PTN,
+            SU=np.asarray(st["su"], np.int32),
+            SV=np.asarray(st["sv"], np.int32),
+            DU=np.asarray(st["du"], np.int32),
+            DV=np.asarray(st["dv"], np.int32),
+            occf=f(st["occf"]),
+            rdm_SRC=SRC, rdm_SG=f(SG),
+        )
+        if ns:
+            s_i = np.asarray(st["s_i"], np.int64)
+            s_a = np.asarray(st["s_a"], np.int64)
+            tabs["s_lin"] = (s_i * N + s_a).astype(np.int32)
+            tabs["s_common"] = f(st["s_common"])
+            tabs["s_phase"] = f(st["s_phase"])
+        else:
+            tabs["s_lin"] = np.zeros(0, np.int32)
+            tabs["s_common"] = np.zeros((0, N), dtype=dtype)
+            tabs["s_phase"] = np.zeros(0, dtype=dtype)
+        if ndbl:
+            d_i, d_j, d_a, d_b = (np.asarray(st[k], np.int64)
+                                  for k in ("d_i", "d_j", "d_a", "d_b"))
+            base = (d_i * N + d_j) * N
+            tabs["d_ijab"] = ((base + d_a) * N + d_b).astype(np.int32)
+            tabs["d_ijba"] = ((base + d_b) * N + d_a).astype(np.int32)
+            tabs["d_phase"] = f(st["d_phase"])
+        else:
+            tabs["d_ijab"] = np.zeros(0, np.int32)
+            tabs["d_ijba"] = np.zeros(0, np.int32)
+            tabs["d_phase"] = np.zeros(0, dtype=dtype)
+        cache[dtype.name] = tabs
+        return tabs
+
     # -- simulation ----------------------------------------------------------
     def project_full(self, vec_full: np.ndarray) -> np.ndarray:
         """Project a full 2^N vector onto the sector basis (host helper for
@@ -257,9 +428,15 @@ class SectorUCC:
                 "sector — sector simulation is invalid for it")
         return np.concatenate([v, [0.0]])
 
-    def apply(self, v0: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, v0: jnp.ndarray, theta: jnp.ndarray,
+              tables=None) -> jnp.ndarray:
         """Apply the UCC rotations to sector amplitudes v0 (shape nd + 1,
         trailing padding slot).
+
+        With `tables` (a device_tables() pytree passed into the enclosing
+        jitted program as an argument), the gate fields are program inputs
+        instead of constants and the VJP is the reversible analytic one
+        (_apply_rev: O(1) residual memory, no scatters).
 
         Gather-only formulation: each excitation rotation is
           v' = (1 + (cos th - 1)*|S|) * v  +  S * sin(th) * v[PARTNER]
@@ -275,26 +452,27 @@ class SectorUCC:
         the unroll factor.  Bounded so the compiled body stays small."""
         dtype = theta.dtype
         v0 = v0.astype(dtype)
+        if tables is not None:
+            return _apply_rev(v0, theta, tables["PARTNER"],
+                              tables["SFIELD"])
         PARTNER = jnp.asarray(self._PARTNER)
         SFIELD = jnp.asarray(self._SFIELD, dtype=dtype)
         K = int(theta.shape[0])
 
         def gate(v, xs):
             partner, sfield, th = xs
-            touched = jnp.abs(sfield)
-            c_eff = 1.0 + (jnp.cos(th) - 1.0) * touched
-            return c_eff * v + sfield * jnp.sin(th) * v[partner], None
+            return _gate_step(v, partner, sfield, th), None
 
         v, _ = jax.lax.scan(gate, v0, (PARTNER, SFIELD, theta),
                             unroll=min(8, max(K, 1)))
         return v
 
-    def state(self, theta: jnp.ndarray) -> jnp.ndarray:
+    def state(self, theta: jnp.ndarray, tables=None) -> jnp.ndarray:
         """Sector amplitudes of the compiled circuit (HF initial state)
         after the UCC rotations; shape (nd + 1,)."""
         v0 = jnp.zeros(self.dim + 1,
                        dtype=theta.dtype).at[self.init_index].set(1.0)
-        return self.apply(v0, theta)
+        return self.apply(v0, theta, tables=tables)
 
     def to_full(self, v: jnp.ndarray) -> jnp.ndarray:
         """Scatter sector amplitudes into the full 2^N statevector."""
@@ -305,21 +483,40 @@ class SectorUCC:
         return self.to_full(self.state(theta))
 
     # -- sector Hamiltonian ----------------------------------------------------
-    def build_values(self, h_so: jnp.ndarray, g_so: jnp.ndarray):
+    def build_values(self, h_so: jnp.ndarray, g_so: jnp.ndarray,
+                     tables=None):
         """Nonzero Slater-Condon values of the sector Hamiltonian from
         spin-orbital (h, g) in the package convention E = sum h*gamma +
         sum g*Gamma (g = 1/2 physicist): (diag (nd,), s_val, d_val) for
         the precomputed singles/doubles index pairs.  Pure jnp on host
         structure — safe inside jit, so the fused OptOrb programs rebuild
         the values from rotated integrals on device.  O(nnz) storage, no
-        dense (nd, nd) matrix and no scatter."""
+        dense (nd, nd) matrix and no scatter.
+
+        With `tables` the index fields arrive as program arguments
+        (flat-index gathers into h/C/g) instead of baked constants."""
         st = self._sc
         dtype = h_so.dtype
-        occf = jnp.asarray(st["occf"], dtype=dtype)
         h = h_so
         g = g_so
         hdiag = jnp.diagonal(h)
         J = 2.0 * (jnp.einsum("pqpq->pq", g) - jnp.einsum("pqqp->pq", g))
+        if tables is not None:
+            N = self.num_qubits
+            occf = tables["occf"]
+            diag = occf @ hdiag + 0.5 * jnp.einsum("mp,pq,mq->m",
+                                                   occf, J, occf)
+            C = 2.0 * (jnp.einsum("prqr->pqr", g)
+                       - jnp.einsum("prrq->pqr", g))
+            Air = C.reshape(N * N, N)[tables["s_lin"]]
+            s_val = (h.reshape(-1)[tables["s_lin"]]
+                     + jnp.sum(Air * tables["s_common"], axis=1)) \
+                * tables["s_phase"]
+            gf = g.reshape(-1)
+            d_val = 2.0 * (gf[tables["d_ijab"]] - gf[tables["d_ijba"]]) \
+                * tables["d_phase"]
+            return diag, s_val, d_val
+        occf = jnp.asarray(st["occf"], dtype=dtype)
         diag = occf @ hdiag + 0.5 * jnp.einsum("mp,pq,mq->m", occf, J, occf)
         s_val = jnp.zeros((0,), dtype=dtype)
         d_val = jnp.zeros((0,), dtype=dtype)
@@ -453,10 +650,17 @@ class SectorUCC:
         self._qf_fn = qf
         return qf
 
-    def quadform_values(self, v: jnp.ndarray, vals) -> jnp.ndarray:
+    def quadform_values(self, v: jnp.ndarray, vals,
+                        tables=None) -> jnp.ndarray:
         """<v|H|v> from the sparse Slater-Condon values — the gather-only
-        row kernel with analytic VJP (see _quadform_fn)."""
+        row kernel with analytic VJP (see _quadform_fn); with `tables`
+        the row/pair tables are program arguments (_qf_tabled)."""
         diag, s_val, d_val = vals
+        if tables is not None:
+            return _qf_tabled(v, diag, s_val, d_val,
+                              tables["VIDX"], tables["PTN"],
+                              tables["SU"], tables["SV"],
+                              tables["DU"], tables["DV"])
         return self._quadform_fn()(v, diag, s_val, d_val)
 
     def _quadform_pairs(self, v: jnp.ndarray, vals) -> jnp.ndarray:
@@ -474,8 +678,10 @@ class SectorUCC:
                 d_val * v[jnp.asarray(st["du"])] * v[jnp.asarray(st["dv"])])
         return e
 
-    def energy_values(self, theta: jnp.ndarray, vals) -> jnp.ndarray:
-        return self.quadform_values(self.state(theta), vals)
+    def energy_values(self, theta: jnp.ndarray, vals,
+                      tables=None) -> jnp.ndarray:
+        return self.quadform_values(self.state(theta, tables=tables), vals,
+                                    tables=tables)
 
     def quadform(self, v: jnp.ndarray, H: jnp.ndarray) -> jnp.ndarray:
         """<v|H|v> for a (possibly padded) sector vector."""
@@ -527,10 +733,12 @@ class SectorUCC:
         self._rdm_tabs = tabs
         return tabs
 
-    def rdms(self, v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def rdms(self, v: jnp.ndarray,
+             tables=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Spin-orbital (gamma, Gamma) directly from sector amplitudes —
         never touching the 2^N space (the full-space path builds N^2/2
         annihilated copies of the 2^N statevector, sim/rdm.py).
+        With `tables`, the (N^2, nd) gather tables are program arguments.
 
         Method: W[a,b] = a+_a a_b v for same-spin (a,b); then
           gamma[p,q]      = v . W[p,q]
@@ -541,13 +749,16 @@ class SectorUCC:
         follow by operator antisymmetry Gamma[p,q,r,s] = -Gamma[p,q,s,r].
         Equality with one_rdm/two_rdm of the scattered full state is
         enforced by tests/test_sector.py."""
-        SRC, SG = self._rdm_tables()
         N = self.num_qubits
         nd = self.dim
         dtype = v.dtype
         v = v[:nd]
         vp = jnp.concatenate([v, jnp.zeros(1, dtype=dtype)])
-        W = jnp.asarray(SG, dtype=dtype) * vp[jnp.asarray(SRC)]
+        if tables is not None:
+            W = tables["rdm_SG"] * vp[tables["rdm_SRC"]]
+        else:
+            SRC, SG = self._rdm_tables()
+            W = jnp.asarray(SG, dtype=dtype) * vp[jnp.asarray(SRC)]
 
         gamma = (W @ v).reshape(N, N)
         Q4 = (W @ W.T).reshape(N, N, N, N)          # Q4[r, p, q, s]

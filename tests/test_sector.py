@@ -339,3 +339,72 @@ def test_slater_condon_structure_disk_cache(tmp_path, monkeypatch):
         for k in ref:
             np.testing.assert_array_equal(np.asarray(ref[k]),
                                           np.asarray(got[k]), err_msg=k)
+
+
+@pytest.mark.parametrize("n_sp,parts", [(3, (2, 1)), (4, (2, 2))])
+def test_sector_tabled_kernels_match_constants(n_sp, parts):
+    """The tables-as-program-arguments variants (device_tables + tables=
+    on apply/state/build_values/quadform_values/rdms — the N=20 path
+    where baked constants break the remote compile) must reproduce the
+    constants-based kernels: exact for build_values/quadform/rdms, and
+    to reversible-reconstruction roundoff for the gate-scan gradients
+    (the tabled apply uses the reversible analytic VJP)."""
+    N = 2 * n_sp
+    ans = UCCSD(n_sp, parts, initial_state=HartreeFock(n_sp, parts))
+    sec = SectorUCC(ans, N)
+    T = sec.device_tables()
+    h_sp, g_sp = random_hermitian_tensors(n_sp, seed=7)
+    h_so, g_so = expand_spin_tensors(jnp.asarray(h_sp), jnp.asarray(g_sp))
+    theta = jnp.asarray(
+        np.random.default_rng(13).normal(size=ans.num_parameters) * 0.3)
+
+    # state (forward) exact
+    v_c = sec.state(theta)
+    v_t = sec.state(theta, tables=T)
+    np.testing.assert_allclose(np.asarray(v_t), np.asarray(v_c), atol=1e-13)
+
+    # build_values exact
+    vals_c = sec.build_values(h_so, g_so)
+    vals_t = sec.build_values(h_so, g_so, tables=T)
+    for a, b in zip(vals_t, vals_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    # quadform value + gradients vs the constants kernel
+    def e_c(th, d, s, dd):
+        return sec.quadform_values(sec.state(th), (d, s, dd))
+
+    def e_t(th, d, s, dd):
+        return sec.quadform_values(sec.state(th, tables=T), (d, s, dd),
+                                   tables=T)
+
+    args = (theta,) + tuple(vals_c)
+    v1, g1 = jax.value_and_grad(e_c, argnums=(0, 1, 2, 3))(*args)
+    v2, g2 = jax.value_and_grad(e_t, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(float(v2), float(v1), atol=1e-11)
+    for a, b in zip(g2, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-10)
+
+    # rdms exact
+    g_c, G_c = sec.rdms(v_c)
+    g_t, G_t = sec.rdms(v_t, tables=T)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_c), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(G_t), np.asarray(G_c), atol=1e-12)
+
+
+def test_fused_chunked_tabled_matches_constants(h2_631g, monkeypatch):
+    """End-to-end: the chunked two-dispatch FusedOptOrbVQE with the
+    tables-as-arguments programs (threshold forced to 0) reproduces the
+    constants-based chunked run."""
+    from esoo_tpu.orbital_optimization import fused as fused_mod
+    ans = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    kw = dict(num_spin_orbitals=4, ansatz=ans, problem=h2_631g,
+              maxiter=20, simulation="sector", dispatch="two", vqe_chunk=7)
+    base = FusedOptOrbVQE(**kw).compute_minimum_energy()
+    monkeypatch.setattr(fused_mod, "_TABLED_MIN_ND", 0)
+    tabled = FusedOptOrbVQE(**kw).compute_minimum_energy()
+    np.testing.assert_allclose(tabled.eigenvalue, base.eigenvalue,
+                               atol=1e-7)
+    assert tabled.outer_iterations == base.outer_iterations
+    np.testing.assert_allclose(tabled.optimal_partial_unitary,
+                               base.optimal_partial_unitary, atol=1e-5)
