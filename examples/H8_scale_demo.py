@@ -7,6 +7,12 @@ spatial-direct ingestion (the spin-orbital tensor would be 20 GB; the
 spatial one is 1.26 GB), lax.scan gate application (2696-gate UCCSD), and
 the one-dispatch fused loop.  Runs in ~8 minutes on CPU; pass a TPU mesh
 via FusedOptOrbVQE(mesh=...) to shard the g tensor.
+
+On the shared-TPU backend, the measured production configuration for
+this shape is simulation='sector', dispatch='two', vqe_chunk=50
+(585 s cold / 530 s warm on a v5e with no worker fault — docs/PERF.md
+"Refined picture"); the defaults below run the one-dispatch full-space
+program, which is the right choice on CPU and at N<=12 on the chip.
 """
 
 import time
