@@ -45,6 +45,7 @@ import numpy as np
 
 from ..initializations.ci import (enumerate_determinants,
                                   slater_condon_structure)
+from . import strings as _strings
 from .circuit import QuantumCircuit
 
 
@@ -259,7 +260,8 @@ class SectorUCC:
     """
 
     def __init__(self, ansatz: QuantumCircuit, num_spin_orbitals: int,
-                 num_particles: Optional[Tuple[int, int]] = None):
+                 num_particles: Optional[Tuple[int, int]] = None,
+                 kernel: str = "auto"):
         excs = getattr(ansatz, "_ucc_excitations", None)
         if excs is None:
             raise ValueError(
@@ -354,9 +356,34 @@ class SectorUCC:
             SFIELD[k, hi] = +sg      # hi' = sg*sin*lo + cos*hi
         self._PARTNER, self._SFIELD = PARTNER, SFIELD
 
-        # -- Slater-Condon structure for the on-device H assembly ----------
-        self._sc = _slater_condon_structure_cached([int(d) for d in dets],
-                                                   N)
+        # -- string factorization (the MXU fast path; sim/strings.py) ------
+        # kernel='auto' uses it whenever the sector + gate tables
+        # factorize over alpha x beta strings (always, for UCC circuits
+        # over the full sector); 'pairs' keeps the gather kernels (the
+        # measured-equality oracle); ESOO_SECTOR_KERNEL overrides.
+        import os as _os
+        kernel = _os.environ.get("ESOO_SECTOR_KERNEL", kernel)
+        self._str_tabs = None
+        if kernel != "pairs":
+            try:
+                self._str_tabs = _strings.build_string_tables(
+                    dets, n, pair_lo, pair_hi, pair_sg)
+            except ValueError:
+                if kernel == "strings":
+                    raise
+        self.kernel = "strings" if self._str_tabs is not None else "pairs"
+        # the O(nd^2) Slater-Condon structure scan is built lazily: only
+        # the pairwise kernels need it, and with the string kernels
+        # active it would cost ~86 s host time at H8 N=16 (tens of
+        # minutes at N=20) for nothing
+        self._sc_cache = None
+
+    @property
+    def _sc(self) -> dict:
+        if self._sc_cache is None:
+            self._sc_cache = _slater_condon_structure_cached(
+                [int(d) for d in self.dets], self.num_qubits)
+        return self._sc_cache
 
     # -- program-argument tables ---------------------------------------------
     def device_tables(self, dtype=None) -> dict:
@@ -373,6 +400,25 @@ class SectorUCC:
             cache = self._dev_tabs = {}
         if dtype.name in cache:
             return cache[dtype.name]
+        if self.kernel == "strings":
+            # the string kernels need ~100x less table data than the
+            # pairwise kernels (per-gate (K, nA) vectors instead of
+            # (K, nd) fields; (P, P) pair-index maps instead of the
+            # (nd, maxdeg) row tables) — at H8 N=20 this shrinks the
+            # argument transport from ~1 GB to ~50 MB
+            s = self._str_tabs
+            f = lambda a: np.asarray(a, dtype=dtype)
+            SRC, SG = self._rdm_tables()
+            tabs = dict(
+                PA=s.PA, PB=s.PB,
+                AD=f(s.AD), AR=f(s.AR), UD=f(s.UD), UR=f(s.UR),
+                BD=f(s.BD), BR=f(s.BR), VD=f(s.VD), VR=f(s.VR),
+                MA=f(s.MA), MB=f(s.MB),
+                LIN_A=s.LIN_A, LIN_B=s.LIN_B, CROSS=f(s.CROSS),
+                rdm_SRC=SRC, rdm_SG=f(SG),
+            )
+            cache[dtype.name] = tabs
+            return tabs
         st = self._sc
         N = self.num_qubits
         VIDX, PTN = self._row_tables()
@@ -452,6 +498,15 @@ class SectorUCC:
         the unroll factor.  Bounded so the compiled body stays small."""
         dtype = theta.dtype
         v0 = v0.astype(dtype)
+        if self.kernel == "strings" and (tables is None
+                                         or "PA" in tables):
+            st = self._str_tabs
+            nA, nB = len(st.A), len(st.B)
+            tabs = tables if tables is not None else st._asdict()
+            V0 = v0[: self.dim].reshape(nB, nA)
+            V = _strings.apply_gates(V0, theta, tabs)
+            return jnp.concatenate(
+                [V.reshape(-1), jnp.zeros(1, dtype=dtype)])
         if tables is not None:
             return _apply_rev(v0, theta, tables["PARTNER"],
                               tables["SFIELD"])
@@ -494,7 +549,24 @@ class SectorUCC:
         dense (nd, nd) matrix and no scatter.
 
         With `tables` the index fields arrive as program arguments
-        (flat-index gathers into h/C/g) instead of baked constants."""
+        (flat-index gathers into h/C/g) instead of baked constants.
+
+        With the string kernel active (self.kernel == 'strings') this
+        returns the sigma-operator pytree of sim/strings.py instead of
+        the Slater-Condon value triple — quadform_values dispatches on
+        the pytree type, so callers thread it opaquely either way; the
+        pairwise triple remains available via build_values_pairs."""
+        if self.kernel == "strings" and (tables is None
+                                         or "MA" in tables):
+            tabs = (tables if tables is not None
+                    else self._str_tabs._asdict())
+            return _strings.build_ops(h_so, g_so, tabs)
+        return self.build_values_pairs(h_so, g_so, tables=tables)
+
+    def build_values_pairs(self, h_so: jnp.ndarray, g_so: jnp.ndarray,
+                           tables=None):
+        """The Slater-Condon value triple (diag, s_val, d_val) for the
+        pairwise kernels (oracle / fallback path of build_values)."""
         st = self._sc
         dtype = h_so.dtype
         h = h_so
@@ -546,7 +618,7 @@ class SectorUCC:
         st = self._sc
         nd = self.dim
         dtype = h_so.dtype
-        diag, s_val, d_val = self.build_values(h_so, g_so)
+        diag, s_val, d_val = self.build_values_pairs(h_so, g_so)
         H = jnp.zeros((nd, nd), dtype=dtype)
         H = H.at[jnp.arange(nd), jnp.arange(nd)].set(diag)
         if len(st["su"]):
@@ -652,9 +724,17 @@ class SectorUCC:
 
     def quadform_values(self, v: jnp.ndarray, vals,
                         tables=None) -> jnp.ndarray:
-        """<v|H|v> from the sparse Slater-Condon values — the gather-only
+        """<v|H|v> from a build_values pytree — dispatches on its type:
+        a sigma-operator dict runs the string GEMM kernel
+        (sim/strings.py); the Slater-Condon triple runs the gather-only
         row kernel with analytic VJP (see _quadform_fn); with `tables`
         the row/pair tables are program arguments (_qf_tabled)."""
+        if isinstance(vals, dict):
+            st = self._str_tabs
+            tabs = (tables if tables is not None and "MA" in tables
+                    else st._asdict())
+            V = v[: self.dim].reshape(len(st.B), len(st.A))
+            return _strings.quadform(V, vals, tabs)
         diag, s_val, d_val = vals
         if tables is not None:
             return _qf_tabled(v, diag, s_val, d_val,

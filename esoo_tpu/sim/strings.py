@@ -1,0 +1,397 @@
+"""String-factorized sector kernels (the MXU-shaped TPU fast path).
+
+The particle-number sector of a UCC circuit is a *product* space: its
+nd = C(n, na) * C(n, nb) determinants are exactly {beta string} x
+{alpha string}, and with the package's block-spin Jordan-Wigner ordering
+(alpha = bits 0..n-1) the sorted determinant list is the row-major
+product grid — sector amplitudes reshape losslessly to a string matrix
+V[ib, ia] of shape (nB, nA) (4,900 -> 70 x 70 at H8 N=16).
+
+Every quantity the sector simulator needs then factorizes over that
+grid, which converts the two gather-bound hot kernels of sim/sector.py
+into small dense GEMMs — the shape the MXU wants (round-3 TPU probe:
+the K-step gate scan and the sparse quadform are each bound by
+nd-length *element* gathers at ~40 us per gate / 17 ms per H.v):
+
+  * A UCC excitation generator T - T+ splits into (alpha operator)
+    (x) (beta operator): its Givens partner map is (PA x PB), its
+    dom/ran sets are products, and the fermionic sign factorizes as
+    fA(sa) * fB(sb) (alpha JW phases count only alpha bits; beta-phase
+    alpha-parity factors cancel within each T's ladder because the
+    alpha occupation is fixed while the beta operators act).  One gate
+    becomes two (nA x nA)/(nB x nB) one-hot matmuls plus outer-product
+    masks — no element gathers:
+        V' = V + (cos th - 1) * M (.) V + sin th * S (.) (EB V EA^T)
+  * The sector Hamiltonian acts through same-spin one-body operators
+    D_pq = a+_p a_q (cross-spin D vanish between fixed-(na, nb)
+    states), each a signed string permutation: an (nA x nA) or
+    (nB x nB) matrix.  With H = sum h~ D + sum_{(pr),(qs)} g~ D_pr
+    D_qs (normal-ordering the quartic term; see _build_pair_tables for
+    the exact g~ assembly including the cross-spin-pairing case), the
+    sigma vector H.v is four batched GEMMs over the P = 2 n^2 same-spin
+    pairs — and its autodiff VJP is again pure GEMMs, so no custom VJP
+    is needed for the quadform (the pairwise kernel needed one because
+    its gather transpose is a pathological scatter-add, sector.py).
+
+Exact equality with the pairwise/dense kernels of sim/sector.py is
+enforced by tests/test_strings.py; SectorUCC routes to these kernels
+automatically when the factorization holds (it always does for
+UCC-family circuits over the full sector) and falls back otherwise.
+
+Reference anchor: no counterpart (the reference simulates in the full
+2^N space via Aer, tests/test_optorbvqe.py:23); this is the TPU-native
+answer to its scaling wall.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bitcount(a: np.ndarray) -> np.ndarray:
+    return np.bitwise_count(a.astype(np.uint64)).astype(np.int64)
+
+
+def _parity_below(masks: np.ndarray, pos: int) -> np.ndarray:
+    """(-1)^(number of set bits below `pos`) for an array of bitmasks."""
+    return 1.0 - 2.0 * (_bitcount(masks & ((1 << pos) - 1)) & 1)
+
+
+class StringTables(NamedTuple):
+    """Host-side constant tables for the string-factorized kernels."""
+    # string basis
+    A: np.ndarray            # (nA,) sorted alpha-string bitmasks
+    B: np.ndarray            # (nB,) sorted beta-string bitmasks
+    # per-gate factorized Givens tables, all (K, nA) / (K, nB)
+    PA: np.ndarray           # int32 partner permutation on alpha strings
+    PB: np.ndarray           # int32 partner permutation on beta strings
+    AD: np.ndarray           # alpha dom mask (0/1 float)
+    AR: np.ndarray           # alpha ran mask
+    UD: np.ndarray           # alpha dom mask * alpha sign factor
+    UR: np.ndarray           # alpha ran mask * alpha sign factor
+    BD: np.ndarray           # beta dom mask
+    BR: np.ndarray           # beta ran mask
+    VD: np.ndarray           # beta dom mask * beta sign factor
+    VR: np.ndarray           # beta ran mask * beta sign factor
+    # same-spin one-body operator matrices, (n^2, nA, nA) / (n^2, nB, nB)
+    MA: np.ndarray
+    MB: np.ndarray
+    # pair-coupling index tables for the on-device g~ assembly, (P, P)
+    LIN_A: np.ndarray        # int32 flat indices into g.reshape(-1)
+    LIN_B: np.ndarray        # int32 flat indices (cross-pairing term)
+    CROSS: np.ndarray        # float 0/1 mask (cross-spin pair rows/cols)
+
+
+def build_string_tables(dets: np.ndarray, n: int,
+                        pair_lo, pair_hi, pair_sg) -> StringTables:
+    """Factorize the sector + its per-gate Givens tables over alpha/beta
+    strings.  Raises ValueError if the determinant set is not a full
+    product grid or a gate's pair table does not factorize (callers
+    fall back to the pairwise kernels)."""
+    dets = np.asarray(dets, dtype=np.int64)
+    nd = len(dets)
+    A = np.unique(dets & ((1 << n) - 1))
+    B = np.unique(dets >> n)
+    nA, nB = len(A), len(B)
+    if nA * nB != nd:
+        raise ValueError("sector is not an alpha x beta product grid")
+    grid = ((B[:, None] << n) | A[None, :]).ravel()
+    if not np.array_equal(dets, grid):
+        raise ValueError("determinant order is not the row-major "
+                         "(beta, alpha) product grid")
+
+    K = len(pair_lo)
+    PA = np.tile(np.arange(nA, dtype=np.int32), (K, 1))
+    PB = np.tile(np.arange(nB, dtype=np.int32), (K, 1))
+    AD = np.zeros((K, nA)); AR = np.zeros((K, nA))
+    UD = np.zeros((K, nA)); UR = np.zeros((K, nA))
+    BD = np.zeros((K, nB)); BR = np.zeros((K, nB))
+    VD = np.zeros((K, nB)); VR = np.zeros((K, nB))
+
+    for k in range(K):
+        lo = np.asarray(pair_lo[k], dtype=np.int64)
+        hi = np.asarray(pair_hi[k], dtype=np.int64)
+        sg = np.asarray(pair_sg[k], dtype=np.float64)
+        if len(lo) == 0:
+            raise ValueError(f"gate {k} has an empty domain")
+        ibl, ial = lo // nA, lo % nA
+        ibh, iah = hi // nA, hi % nA
+        domA = np.unique(ial); domB = np.unique(ibl)
+        ranA = np.unique(iah); ranB = np.unique(ibh)
+        if len(domA) * len(domB) != len(lo):
+            raise ValueError(f"gate {k} domain is not a product set")
+        # partner maps must be consistent functions of one side alone
+        pa = np.full(nA, -1, dtype=np.int64)
+        pb = np.full(nB, -1, dtype=np.int64)
+        pa[ial] = iah          # last write wins; verify below
+        pb[ibl] = ibh
+        if not (np.all(pa[ial] == iah) and np.all(pb[ibl] == ibh)):
+            raise ValueError(f"gate {k} partner map does not factorize")
+        # sign factorization sg(ia, ib) = fA(ia) * fB(ib)
+        ib0, ia0 = domB[0], domA[0]
+        fA = np.zeros(nA)
+        fA[ial[ibl == ib0]] = sg[ibl == ib0]
+        fB = np.zeros(nB)
+        fB[ibl[ial == ia0]] = sg[ial == ia0] * fA[ia0]
+        if not np.allclose(sg, fA[ial] * fB[ibl]):
+            raise ValueError(f"gate {k} sign field does not factorize")
+        # dom/ran products must be disjoint (T^2 = 0 on the sector):
+        # overlap requires BOTH per-side intersections to be non-empty
+        if (np.intersect1d(domA, ranA).size
+                and np.intersect1d(domB, ranB).size):
+            raise ValueError(f"gate {k} dom/ran products overlap")
+        AD[k, domA] = 1.0; AR[k, ranA] = 1.0
+        BD[k, domB] = 1.0; BR[k, ranB] = 1.0
+        UD[k, domA] = fA[domA]
+        VD[k, domB] = fB[domB]
+        # ran-side factors mirror their dom partner's factor
+        PA[k, domA] = pa[domA]
+        PA[k, pa[domA]] = domA
+        PB[k, domB] = pb[domB]
+        PB[k, pb[domB]] = domB
+        UR[k, pa[domA]] = fA[domA]
+        VR[k, pb[domB]] = fB[domB]
+
+    MA = _one_body_matrices(A, n)
+    MB = _one_body_matrices(B, n)
+    LIN_A, LIN_B, CROSS = _build_pair_tables(n)
+    return StringTables(A=A, B=B, PA=PA, PB=PB,
+                        AD=AD, AR=AR, UD=UD, UR=UR,
+                        BD=BD, BR=BR, VD=VD, VR=VR,
+                        MA=MA, MB=MB,
+                        LIN_A=LIN_A, LIN_B=LIN_B, CROSS=CROSS)
+
+
+def _one_body_matrices(S: np.ndarray, n: int) -> np.ndarray:
+    """M[(p*n + r), j, i] = <S[j]| a+_p a_r |S[i]> over one spin's
+    strings, with the within-block JW phases (for beta pairs the
+    alpha-parity phase factors cancel between a_r and a+_p because the
+    alpha occupation is untouched in between)."""
+    ns = len(S)
+    M = np.zeros((n * n, ns, ns))
+    index = {int(s): i for i, s in enumerate(S)}
+    for r in range(n):
+        occ_r = ((S >> r) & 1) == 1
+        src = np.nonzero(occ_r)[0]
+        s1 = S[src] & ~(1 << r)
+        sgn1 = _parity_below(S[src], r)
+        for p in range(n):
+            if p == r:
+                M[p * n + r, src, src] = 1.0
+                continue
+            free_p = ((s1 >> p) & 1) == 0
+            s2 = s1[free_p] | (1 << p)
+            sgn = sgn1[free_p] * _parity_below(s1[free_p], p)
+            dst = np.array([index[int(x)] for x in s2], dtype=np.int64)
+            M[p * n + r, dst, src[free_p]] = sgn
+    return M
+
+
+def _build_pair_tables(n: int):
+    """Index tables assembling the (P, P) pair-coupling matrix g~ from
+    g_so.reshape(-1) on device, P = 2 n^2 same-spin pairs (alpha pairs
+    (p, r) -> p*n + r first, then beta).
+
+    H's quartic term sum_pqrs g_pqrs a+_p a+_q a_s a_r contributes, for
+    each spin-conserving index combination, exactly one D-product:
+
+      sigma(p)=sigma(r), sigma(q)=sigma(s):
+          a+_p a+_q a_s a_r = D_pr D_qs - delta_qr D_ps
+          -> g~[(p,r), (q,s)] += g_pqrs      (LIN_A; the delta term is
+             folded into h~ = h - sum_q g[p,q,q,s] by the caller)
+      sigma(p)=sigma(s) != sigma(q)=sigma(r):
+          a+_p a+_q a_s a_r = -D_qr D_ps     (pure anticommutations,
+             no delta: all swapped operators act on different spins)
+          -> g~[(q,r), (p,s)] -= g_pqrs      (LIN_B on CROSS entries)
+
+    All-same-spin terms satisfy both spin conditions but are expanded
+    once, via the first identity only — CROSS masks the second to
+    opposite-spin pair pairs."""
+    N = 2 * n
+    # pair t -> spin-orbital indices (x1, x2) = (creation, annihilation)
+    p_ = np.arange(n)
+    x1 = np.concatenate([np.repeat(p_, n), np.repeat(p_ + n, n)])
+    x2 = np.concatenate([np.tile(p_, n), np.tile(p_ + n, n)])
+    spin = np.concatenate([np.zeros(n * n, np.int64),
+                           np.ones(n * n, np.int64)])
+    # LIN_A[a, b] = flat index of g[pa, qb, ra, sb]
+    pa, ra = x1[:, None], x2[:, None]
+    qb, sb = x1[None, :], x2[None, :]
+    LIN_A = (((pa * N + qb) * N + ra) * N + sb).astype(np.int32)
+    # LIN_B[a, b] = flat index of g[y1, x1a, x2a, y2] with a=(x1a,x2a),
+    # b=(y1,y2) of opposite spin
+    y1, y2 = x1[None, :], x2[None, :]
+    x1a, x2a = x1[:, None], x2[:, None]
+    LIN_B = (((y1 * N + x1a) * N + x2a) * N + y2).astype(np.int32)
+    CROSS = (spin[:, None] != spin[None, :]).astype(np.float64)
+    return LIN_A, LIN_B, CROSS
+
+
+# -- gate application ---------------------------------------------------------
+
+def _gate_step_str(V, pA, pB, aD, aR, uD, uR, bD, bR, vD, vR, th,
+                   inverse=False):
+    """One factorized Givens-bank gate on the string matrix V (nB, nA):
+        V' = V + (cos th - 1) * M (.) V + sin th * S (.) (EB V EA^T)
+    with M = bD aD^T + bR aR^T (touched mask), S = vR uR^T - vD uD^T
+    (sign field), and EA/EB the partner permutations as on-the-fly
+    one-hot matrices — the gather becomes two MXU matmuls."""
+    dt = V.dtype
+    c = jnp.cos(th)
+    s = jnp.sin(th)
+    s = -s if inverse else s
+    EA = (pA[:, None] == jnp.arange(pA.shape[0],
+                                    dtype=pA.dtype)[None, :]).astype(dt)
+    EB = (pB[:, None] == jnp.arange(pB.shape[0],
+                                    dtype=pB.dtype)[None, :]).astype(dt)
+    G = EB @ V @ EA.T
+    M = bD[:, None] * aD[None, :] + bR[:, None] * aR[None, :]
+    S = vR[:, None] * uR[None, :] - vD[:, None] * uD[None, :]
+    return V + (c - 1.0) * (M * V) + s * (S * G)
+
+
+def _scan_xs(theta, tabs, dt):
+    f = lambda a: jnp.asarray(a, dtype=dt)
+    return (jnp.asarray(tabs["PA"]), jnp.asarray(tabs["PB"]),
+            f(tabs["AD"]), f(tabs["AR"]), f(tabs["UD"]), f(tabs["UR"]),
+            f(tabs["BD"]), f(tabs["BR"]), f(tabs["VD"]), f(tabs["VR"]),
+            theta)
+
+
+def _apply_gates_str(V0, theta, tabs):
+    """Plain scan (autodiff oracle; production uses apply_rev_str)."""
+    def gate(V, xs):
+        return _gate_step_str(V, *xs), None
+
+    V, _ = jax.lax.scan(gate, V0, _scan_xs(theta, tabs, V0.dtype),
+                        unroll=min(8, max(int(theta.shape[0]), 1)))
+    return V
+
+
+@jax.custom_vjp
+def _apply_rev_str(V0, theta, PA, PB, AD, AR, UD, UR, BD, BR, VD, VR):
+    """Factorized gate application with the REVERSIBLE analytic VJP
+    (same scheme as sector._apply_rev: gates are orthogonal, so the
+    backward pass reconstructs intermediates by inverse rotation —
+    O(1) residual memory — and the cotangent recursion w <- G^T w is
+    the same matmul formula with th -> -th, because the sign field is
+    antisymmetric under the partner permutation)."""
+    def gate(V, xs):
+        return _gate_step_str(V, *xs), None
+
+    K = int(theta.shape[0])
+    xs = (PA, PB, AD, AR, UD, UR, BD, BR, VD, VR, theta)
+    V, _ = jax.lax.scan(gate, V0, xs, unroll=min(8, max(K, 1)))
+    return V
+
+
+def _apply_rev_str_fwd(V0, theta, PA, PB, AD, AR, UD, UR, BD, BR, VD, VR):
+    V = _apply_rev_str(V0, theta, PA, PB, AD, AR, UD, UR, BD, BR, VD, VR)
+    return V, (V, theta, PA, PB, AD, AR, UD, UR, BD, BR, VD, VR)
+
+
+def _apply_rev_str_bwd(res, ct):
+    V, theta, PA, PB, AD, AR, UD, UR, BD, BR, VD, VR = res
+    dt = V.dtype
+
+    def gate_bwd(carry, xs):
+        W, Vk = carry
+        pA, pB, aD, aR, uD, uR, bD, bR, vD, vR, th = xs
+        c, s = jnp.cos(th), jnp.sin(th)
+        EA = (pA[:, None] == jnp.arange(
+            pA.shape[0], dtype=pA.dtype)[None, :]).astype(dt)
+        EB = (pB[:, None] == jnp.arange(
+            pB.shape[0], dtype=pB.dtype)[None, :]).astype(dt)
+        M = bD[:, None] * aD[None, :] + bR[:, None] * aR[None, :]
+        S = vR[:, None] * uR[None, :] - vD[:, None] * uD[None, :]
+        # V_{k-1} = G(-th) V_k (orthogonal inverse)
+        V_prev = Vk + (c - 1.0) * (M * Vk) - s * (S * (EB @ Vk @ EA.T))
+        # dL/dth_k = W . (dG/dth) V_{k-1}
+        dG_V = -s * (M * V_prev) + c * (S * (EB @ V_prev @ EA.T))
+        dth = jnp.sum(W * dG_V)
+        # W_{k-1} = G^T W = G(-th) W
+        W_prev = W + (c - 1.0) * (M * W) - s * (S * (EB @ W @ EA.T))
+        return (W_prev, V_prev), dth
+
+    K = int(theta.shape[0])
+    xs = (PA, PB, AD, AR, UD, UR, BD, BR, VD, VR, theta)
+    (W0, _), dths = jax.lax.scan(gate_bwd, (ct, V), xs, reverse=True,
+                                 unroll=min(8, max(K, 1)))
+    z = lambda a: (np.zeros(a.shape, dtype=jax.dtypes.float0)
+                   if jnp.issubdtype(a.dtype, jnp.integer)
+                   else jnp.zeros_like(a))
+    return (W0, dths, z(PA), z(PB), z(AD), z(AR), z(UD), z(UR),
+            z(BD), z(BR), z(VD), z(VR))
+
+
+_apply_rev_str.defvjp(_apply_rev_str_fwd, _apply_rev_str_bwd)
+
+
+def apply_gates(V0, theta, tabs):
+    """Production gate application on the string matrix (reversible
+    VJP).  `tabs` is a mapping with the per-gate tables (host constants
+    or device-buffer arguments — same kernel either way)."""
+    if int(theta.shape[0]) == 0:
+        return V0
+    return _apply_rev_str(V0, theta, *_scan_xs(theta, tabs, V0.dtype)[:-1])
+
+
+# -- sigma / quadform ---------------------------------------------------------
+
+def build_ops(h_so, g_so, tabs):
+    """Per-outer-iteration operator pytree for the sigma kernel, from
+    spin-orbital integrals in the package convention E = sum h gamma +
+    sum g Gamma: the (P, P) pair coupling g~ (gathered from g via the
+    constant LIN tables) and the one-body string matrices
+    F = sum h~ D with h~ = h - sum_q g[p, q, q, s].  Pure jnp — safe
+    inside jit, differentiable through to (h, g)."""
+    dt = h_so.dtype
+    n = tabs["MA"].shape[1]  # nA; n_spatial inferred from MA pair count
+    nsp = int(round(np.sqrt(tabs["MA"].shape[0])))
+    N = 2 * nsp
+    gf = g_so.reshape(-1)
+    LIN_A = jnp.asarray(tabs["LIN_A"])
+    LIN_B = jnp.asarray(tabs["LIN_B"])
+    CROSS = jnp.asarray(tabs["CROSS"], dtype=dt)
+    G2 = gf[LIN_A] - CROSS * gf[LIN_B]
+    # delta correction h~ = h - sum_q g[p,q,q,s] over SAME-SPIN q only:
+    # the q = r terms with cross-spin q are expanded through the
+    # second (cross-pairing) identity and already live in G2's
+    # -D_qq D_ps products — subtracting them here would double-count
+    sA = jnp.einsum("pqqs->ps", g_so[:, :nsp, :nsp, :])
+    sB = jnp.einsum("pqqs->ps", g_so[:, nsp:, nsp:, :])
+    MA = jnp.asarray(tabs["MA"], dtype=dt)
+    MB = jnp.asarray(tabs["MB"], dtype=dt)
+    FA = jnp.einsum("q,qji->ji", (h_so - sA)[:nsp, :nsp].reshape(-1), MA)
+    FB = jnp.einsum("q,qji->ji", (h_so - sB)[nsp:, nsp:].reshape(-1), MB)
+    return {"G2": G2, "FA": FA, "FB": FB}
+
+
+def sigma(V, ops, tabs):
+    """H . v on the string matrix — batched small GEMMs only.
+
+    sigma = V FA^T + FB V + sum_a D_a (sum_b g~[a,b] D_b v), with the
+    T tensors (P, nB, nA) materialized once (2.5 MB at H8 N=16)."""
+    dt = V.dtype
+    MA = jnp.asarray(tabs["MA"], dtype=dt)
+    MB = jnp.asarray(tabs["MB"], dtype=dt)
+    nB, nA = V.shape
+    P_A = MA.shape[0]
+    s1 = V @ ops["FA"].T + ops["FB"] @ V
+    TA = jnp.einsum("qji,bi->qbj", MA, V)
+    TB = jnp.einsum("qji,ia->qja", MB, V)
+    T = jnp.concatenate([TA, TB], axis=0).reshape(2 * P_A, nB * nA)
+    U = (ops["G2"] @ T).reshape(2 * P_A, nB, nA)
+    s2A = jnp.einsum("qji,qbi->bj", MA, U[:P_A])
+    s2B = jnp.einsum("qji,qia->ja", MB, U[P_A:])
+    return s1 + s2A + s2B
+
+
+def quadform(V, ops, tabs):
+    """<v|H|v> = vec(V) . vec(sigma(V)).  No custom VJP: every factor
+    is a GEMM, so the autodiff VJP is GEMMs too."""
+    return jnp.sum(V * sigma(V, ops, tabs))

@@ -274,7 +274,7 @@ def test_sector_quadform_custom_vjp_matches_autodiff(n_sp, parts):
     sec = SectorUCC(ans, N)
     h_sp, g_sp = random_hermitian_tensors(n_sp, seed=5)
     h_so, g_so = expand_spin_tensors(jnp.asarray(h_sp), jnp.asarray(g_sp))
-    vals = sec.build_values(h_so, g_so)
+    vals = sec.build_values_pairs(h_so, g_so)
     theta = jnp.asarray(
         np.random.default_rng(11).normal(size=ans.num_parameters) * 0.3)
 
@@ -348,10 +348,13 @@ def test_sector_tabled_kernels_match_constants(n_sp, parts):
     where baked constants break the remote compile) must reproduce the
     constants-based kernels: exact for build_values/quadform/rdms, and
     to reversible-reconstruction roundoff for the gate-scan gradients
-    (the tabled apply uses the reversible analytic VJP)."""
+    (the tabled apply uses the reversible analytic VJP).
+
+    kernel='pairs' pins the gather kernels under test — the string
+    kernels' tabled variants are covered by tests/test_strings.py."""
     N = 2 * n_sp
     ans = UCCSD(n_sp, parts, initial_state=HartreeFock(n_sp, parts))
-    sec = SectorUCC(ans, N)
+    sec = SectorUCC(ans, N, kernel="pairs")
     T = sec.device_tables()
     h_sp, g_sp = random_hermitian_tensors(n_sp, seed=7)
     h_so, g_so = expand_spin_tensors(jnp.asarray(h_sp), jnp.asarray(g_sp))
