@@ -408,14 +408,12 @@ class SectorUCC:
             # argument transport from ~1 GB to ~50 MB
             s = self._str_tabs
             f = lambda a: np.asarray(a, dtype=dtype)
-            SRC, SG = self._rdm_tables()
             tabs = dict(
                 PA=s.PA, PB=s.PB,
                 AD=f(s.AD), AR=f(s.AR), UD=f(s.UD), UR=f(s.UR),
                 BD=f(s.BD), BR=f(s.BR), VD=f(s.VD), VR=f(s.VR),
                 MA=f(s.MA), MB=f(s.MB),
                 LIN_A=s.LIN_A, LIN_B=s.LIN_B, CROSS=f(s.CROSS),
-                rdm_SRC=SRC, rdm_SG=f(SG),
             )
             cache[dtype.name] = tabs
             return tabs
@@ -832,6 +830,17 @@ class SectorUCC:
         N = self.num_qubits
         nd = self.dim
         dtype = v.dtype
+        if self.kernel == "strings" and (tables is None
+                                         or "MA" in tables):
+            # string path: GEMMs + one (P, P)-matrix gather
+            # (sim/strings.py rdms) instead of the (N^2, nd) tables
+            st = self._str_tabs
+            tabs = tables if tables is not None else st._asdict()
+            maps = getattr(self, "_rdm_maps", None)
+            if maps is None:
+                maps = self._rdm_maps = _strings.build_rdm_maps(N // 2)
+            V = v[:nd].reshape(len(st.B), len(st.A))
+            return _strings.rdms(V, tabs, maps)
         v = v[:nd]
         vp = jnp.concatenate([v, jnp.zeros(1, dtype=dtype)])
         if tables is not None:

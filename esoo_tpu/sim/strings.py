@@ -395,3 +395,75 @@ def quadform(V, ops, tabs):
     """<v|H|v> = vec(V) . vec(sigma(V)).  No custom VJP: every factor
     is a GEMM, so the autodiff VJP is GEMMs too."""
     return jnp.sum(V * sigma(V, ops, tabs))
+
+
+# -- RDMs ----------------------------------------------------------------------
+
+def build_rdm_maps(n: int):
+    """Host-side assembly maps turning the pair-correlation matrix
+    G2f[a, b] = (D_a v) . (D_b v) into the spin-orbital 2-RDM
+    Gamma[p, q, r, s] = <a+_p a+_q a_s a_r>, using the same two
+    operator identities as the Hamiltonian expansion:
+
+      sigma(p)=sigma(r), sigma(q)=sigma(s):
+          Gamma = <D_pr D_qs> - delta_qr gamma_ps
+                = G2f[(r,p), (q,s)] - delta_qr gamma[p, s]
+      sigma(p)=sigma(s) != sigma(q)=sigma(r):
+          Gamma = -<D_qr D_ps> = -G2f[(r,q), (p,s)]
+      otherwise 0  (does not conserve per-spin particle number).
+
+    Returns (IDX, SGN, CASE_A) with IDX (N^4,) int32 into G2f.reshape(-1)
+    (arbitrary where SGN = 0), SGN (N^4,) in {0, +-1}, CASE_A the
+    (N, N, N, N) 0/1 mask gating the delta-gamma correction."""
+    N = 2 * n
+    sp = (np.arange(N) >= n).astype(np.int64)
+    P = 2 * n * n
+
+    def pair(x, y):
+        # same-spin pair index in the MA/MB ordering (alpha block first)
+        return sp[x] * n * n + (x % n) * n + (y % n)
+
+    p = np.arange(N)[:, None, None, None]
+    q = np.arange(N)[None, :, None, None]
+    r = np.arange(N)[None, None, :, None]
+    s = np.arange(N)[None, None, None, :]
+    case_a = (sp[p] == sp[r]) & (sp[q] == sp[s])
+    case_b = (sp[p] == sp[s]) & (sp[q] == sp[r]) & (sp[p] != sp[q])
+    idx_a = pair(r, p) * P + pair(q, s)
+    idx_b = pair(r, q) * P + pair(p, s)
+    IDX = np.where(case_a, idx_a, np.where(case_b, idx_b, 0))
+    SGN = np.where(case_a, 1.0, np.where(case_b, -1.0, 0.0))
+    return (IDX.reshape(-1).astype(np.int32),
+            SGN.reshape(-1),
+            case_a.astype(np.float64))
+
+
+def rdms(V, tabs, maps):
+    """Spin-orbital (gamma, Gamma) from the string matrix — GEMMs plus
+    one constant-index gather of the (P, P) pair-correlation matrix
+    (vs the (N^2, nd)-table element gathers of sector._rdm_tables).
+    `maps` is a build_rdm_maps triple."""
+    dt = V.dtype
+    MA = jnp.asarray(tabs["MA"], dtype=dt)
+    MB = jnp.asarray(tabs["MB"], dtype=dt)
+    nB, nA = V.shape
+    nsp = int(round(np.sqrt(MA.shape[0])))
+    N = 2 * nsp
+    TA = jnp.einsum("qji,bi->qbj", MA, V)
+    TB = jnp.einsum("qji,ia->qja", MB, V)
+    T = jnp.concatenate([TA, TB], axis=0).reshape(2 * nsp * nsp, nB * nA)
+    v = V.reshape(-1)
+    gpairs = T @ v                                   # (P,)
+    gamma = jnp.zeros((N, N), dtype=dt)
+    gamma = gamma.at[:nsp, :nsp].set(
+        gpairs[: nsp * nsp].reshape(nsp, nsp))
+    gamma = gamma.at[nsp:, nsp:].set(
+        gpairs[nsp * nsp:].reshape(nsp, nsp))
+    G2f = (T @ T.T).reshape(-1)                      # (P*P,)
+    IDX, SGN, CASE_A = maps
+    Gamma = (jnp.asarray(SGN, dtype=dt) * G2f[jnp.asarray(IDX)]
+             ).reshape(N, N, N, N)
+    eye = jnp.eye(N, dtype=dt)
+    Gamma = Gamma - jnp.asarray(CASE_A, dtype=dt) * jnp.einsum(
+        "qr,ps->pqrs", eye, gamma)
+    return gamma, Gamma

@@ -118,8 +118,8 @@ def main():
 
     # 4. build_values from integrals (per-outer cost, not per-iterate)
     def bv(h):
-        d, s, dd = sector.build_values(h, g_so)
-        return jnp.sum(d) + jnp.sum(s) + jnp.sum(dd)
+        leaves = jax.tree_util.tree_leaves(sector.build_values(h, g_so))
+        return sum(jnp.sum(x) for x in leaves)
     timed("build_values (per outer)", chain(bv), h_so)
 
     # 5. isolate the gather: K sequential dense gathers, no FMA

@@ -175,6 +175,29 @@ def test_vmapped_quadform_and_superposition_apply():
     np.testing.assert_allclose(np.asarray(es), np.asarray(ep), atol=1e-11)
 
 
+@pytest.mark.parametrize("n,parts", [(4, (2, 2)), (3, (2, 1)),
+                                     (4, (3, 2))])
+def test_string_rdms_match_pairs(n, parts):
+    """The GEMM-based string RDMs (T-tensor pair correlations + the
+    two operator identities) equal the gather-table RDMs bit-for-bit,
+    constants and tabled variants."""
+    ansatz = UCCSD(n, parts, initial_state=HartreeFock(n, parts))
+    sec_s = SectorUCC(ansatz, 2 * n, kernel="strings")
+    sec_p = SectorUCC(ansatz, 2 * n, kernel="pairs")
+    th = jnp.asarray(
+        np.random.default_rng(41).normal(size=ansatz.num_parameters) * 0.4)
+    v = sec_s.state(th)
+    g1, G1 = sec_s.rdms(v)
+    g2, G2 = sec_p.rdms(v)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(G1), np.asarray(G2), atol=1e-12)
+    T = jax.device_put(sec_s.device_tables())
+    assert "rdm_SRC" not in T
+    g3, G3 = sec_s.rdms(sec_s.state(th, tables=T), tables=T)
+    np.testing.assert_array_equal(np.asarray(g3), np.asarray(g1))
+    np.testing.assert_array_equal(np.asarray(G3), np.asarray(G1))
+
+
 def test_explicit_pairs_vals_still_dispatch():
     """quadform_values dispatches on the vals pytree type: Slater-Condon
     triples keep running the pairwise kernel even on a strings-kernel
