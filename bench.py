@@ -197,6 +197,7 @@ def run_h8_scale(n_red_so=12, maxiter=10, simulation="full",
     flagship target; `simulation='sector'` runs the determinant-sector
     program instead (same energy), and the subprocess wrapper still falls
     back if the shared worker dies for unrelated reasons."""
+    import jax
     import jax.numpy as jnp
     from esoo_tpu.sim import UCCSD, HartreeFock
     from esoo_tpu.orbital_optimization import FusedOptOrbVQE
@@ -206,9 +207,16 @@ def run_h8_scale(n_red_so=12, maxiter=10, simulation="full",
     n_act = n_red_so // 2
     ansatz = UCCSD(n_act, parts, initial_state=HartreeFock(n_act, parts))
 
+    # device-put the m=112 tensors ONCE (f32: 630 MB) — the solver ctor's
+    # jnp.asarray is then a no-op, where re-transferring per instance
+    # costs minutes on the ~2 MB/s tunnel (measured round 3: the 'warm'
+    # H8 run was transfer-bound at 358 s vs ~26 s of compute)
+    h_dev = jax.device_put(np.asarray(h_sp, np.float32))
+    g_dev = jax.device_put(np.asarray(g_sp, np.float32))
+
     class _P:  # minimal problem shim carrying the spatial tensors
         def spatial_integral_tensors(self):
-            return h_sp, g_sp
+            return h_dev, g_dev
 
     def make():
         return FusedOptOrbVQE(num_spin_orbitals=n_red_so, ansatz=ansatz,

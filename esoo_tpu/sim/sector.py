@@ -377,6 +377,21 @@ class SectorUCC:
         # active it would cost ~86 s host time at H8 N=16 (tens of
         # minutes at N=20) for nothing
         self._sc_cache = None
+        # content key for __hash__/__eq__: SectorUCC instances are jit
+        # static arguments of the fused programs; identity-based hashing
+        # made every re-instantiated solver RETRACE its whole program
+        # set (measured: H8 N=16 'warm' run 453 s vs ~26 s of actual
+        # compute).  Construction is deterministic in (circuit content,
+        # N, particles, kernel), so content equality is sound.
+        self._content_key = (ansatz.fingerprint(), N, (na, nb),
+                             self.kernel)
+
+    def __hash__(self):
+        return hash(self._content_key)
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and other._content_key == self._content_key)
 
     @property
     def _sc(self) -> dict:

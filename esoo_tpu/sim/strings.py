@@ -350,9 +350,7 @@ def build_ops(h_so, g_so, tabs):
     F = sum h~ D with h~ = h - sum_q g[p, q, q, s].  Pure jnp — safe
     inside jit, differentiable through to (h, g)."""
     dt = h_so.dtype
-    n = tabs["MA"].shape[1]  # nA; n_spatial inferred from MA pair count
-    nsp = int(round(np.sqrt(tabs["MA"].shape[0])))
-    N = 2 * nsp
+    nsp = int(round(np.sqrt(tabs["MA"].shape[0])))  # spatial orbitals
     gf = g_so.reshape(-1)
     LIN_A = jnp.asarray(tabs["LIN_A"])
     LIN_B = jnp.asarray(tabs["LIN_B"])
