@@ -241,26 +241,28 @@ def run_h8_scale_subprocess():
     """run_h8_scale in a child process (fresh TPU-tunnel connection, so a
     shared-worker crash cannot take down the parent's backend handle).
 
-    Attempt order (round-2 verdict top item — N=16 is the flagship
-    scale; round-3 bisect: the shared worker kills any long-running
-    N=16 dispatch, full-space multi-eval L-BFGS programs always exceed
-    the budget, docs/PERF.md): (1) N=16 determinant-sector two-dispatch
-    (bounded per-dispatch work, fast sector evals), (2) the same with
-    vqe_chunk=50 (even shorter dispatches), (3) the round-2 N=12
-    full-space one-dispatch configuration as a last resort.  The
-    returned dict records which (n_red_so, simulation, dispatch,
-    vqe_chunk) produced the result."""
+    Attempt order (largest measured-safe scale first — round-3 bisect:
+    the shared worker kills any long-running dispatch, so every config
+    is determinant-sector two-dispatch with host-chunked eigensolver
+    dispatches): (1) N=20 (44,100-determinant sector, string kernels),
+    (2) N=16 (the round-3 flagship), (3) the round-2 N=12 full-space
+    one-dispatch configuration as a last resort.  The returned dict
+    records which (n_red_so, simulation, dispatch, vqe_chunk) produced
+    the result."""
     import subprocess
     import sys
     err = "unknown"
-    # (16, sector, two, 50) is the round-3 PROVEN config: completed cold
-    # 585.5 s / warm 530.2 s on the v5e with no worker crash
-    # (scripts/probe_h8_n16.py, 2026-08-17).  The UNCHUNKED two-dispatch
-    # run was measured to kill the worker on its first full-length
-    # eigensolver dispatch (same program content — a controlled
-    # confirmation of the per-dispatch execution-time kill), so it is NOT
-    # in the chain; a chunked failure falls straight back to N=12.
-    for n_red, sim, disp, chunk in ((16, "sector", "two", 50),
+    # Attempt chain, all round-3 MEASURED configs (scripts/probe_h8_n16.py
+    # on the v5e, no worker crash): (20, sector, two, 50) with the
+    # string-factorized kernels ran 208.3 s cold / 137.8 s warm
+    # (E=-10.265054, 2026-08-18); (16, ...) ran 35.6 s cold / 28.1 s warm
+    # (E=-10.257938).  The UNCHUNKED two-dispatch run was measured to
+    # kill the worker on its first full-length eigensolver dispatch (same
+    # program content — a controlled confirmation of the per-dispatch
+    # execution-time kill), so it is NOT in the chain; a chunked failure
+    # falls back to smaller N.
+    for n_red, sim, disp, chunk in ((20, "sector", "two", 50),
+                                    (16, "sector", "two", 50),
                                     (12, "full", "one", None)):
         prog = ("import json; from bench import run_h8_scale; "
                 "print('H8JSON ' + json.dumps(run_h8_scale("
