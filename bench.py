@@ -297,11 +297,30 @@ def run_ours(problem, n_red_so, maxiter=20, tol=1e-5):
     n_act = n_red_so // 2
     parts = problem.num_particles
 
+    # device-put the spatial tensors ONCE per dtype: the solver ctor's
+    # jnp.asarray is then a no-op, where re-transferring per instance
+    # costs ~20 s for the m=56 f32 g tensor (39 MB) on the ~2 MB/s
+    # tunnel — measured round 3 to dominate the warm repeats exactly as
+    # it did for H8 (the ansatz is shared for the same reason: it is a
+    # jit static argument of the fused program)
+    h_sp, g_sp = problem.spatial_integral_tensors()
+    ansatz = UCCSD(n_act, parts, initial_state=HartreeFock(n_act, parts))
+
+    class _P:
+        def __init__(self, h, g):
+            self._t = (h, g)
+
+        def spatial_integral_tensors(self):
+            return self._t
+
+    p32 = _P(jax.device_put(np.asarray(h_sp, np.float32)),
+             jax.device_put(np.asarray(g_sp, np.float32)))
+    p64 = _P(np.asarray(h_sp, np.float64), np.asarray(g_sp, np.float64))
+
     def make(dtype, U0=None, x0=None, stop=tol):
-        ansatz = UCCSD(n_act, parts, initial_state=HartreeFock(n_act, parts))
         return FusedOptOrbVQE(num_spin_orbitals=n_red_so, ansatz=ansatz,
-                              problem=problem, maxiter=maxiter,
-                              stopping_tolerance=stop,
+                              problem=p32 if dtype == jnp.float32 else p64,
+                              maxiter=maxiter, stopping_tolerance=stop,
                               initial_partial_unitary=U0, initial_point=x0,
                               dtype=dtype)
 

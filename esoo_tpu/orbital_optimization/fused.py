@@ -118,20 +118,17 @@ def _resolve_callback(user_callback, checkpoint_dir):
 
 
 def _resolve_simulation(simulation: str, num_spin_orbitals: int) -> str:
-    """'auto' -> 'sector'/'full' from the measured crossover (docs/PERF.md):
-    sector wins broadly on CPU and is the only path that fits past the 2^N
-    wall (the H8 N=16 full-space program also crashes the shared v5e
-    worker); the dense full-space path vectorizes better on the TPU chip
-    at small N."""
+    """'auto' -> 'sector' wherever the circuit permits (the ctor falls
+    back to 'full' for non-UCC circuits).  With the string-factorized
+    sector kernels (sim/strings.py) the sector wins on EVERY measured
+    backend and size — the former small-N-on-TPU advantage of the dense
+    full-space path was a property of the gather-table sector kernels
+    only (docs/PERF.md: H4 m=56 -> N=8 fused warm on the v5e, 2026-08-18:
+    full 19.7 s vs string-sector 0.95 s; N>=16 full-space is additionally
+    the shape that kills the shared worker)."""
     if simulation != "auto":
         return simulation
-    try:
-        backend = jax.default_backend()
-    except Exception:
-        backend = "cpu"
-    if num_spin_orbitals >= 16 or backend == "cpu":
-        return "sector"
-    return "full"
+    return "sector"
 
 
 def _cached_callbacks(solver):
@@ -698,7 +695,7 @@ class FusedOptOrbSSVQE:
                  vqe_maxiter: int = 300,
                  dtype=None,
                  mesh=None,
-                 simulation: str = "full",
+                 simulation: str = "auto",
                  dispatch: str = "one",
                  outer_loop_callback=None,
                  checkpoint_dir=None,
@@ -1291,13 +1288,14 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
                 raise ValueError(
                     f"need one ansatz per state: got {len(ansatz_list)} "
                     f"ansatze for {len(initial_states)} initial states")
-            if kwargs.get("simulation", "full") == "sector":
+            if kwargs.get("simulation", "auto") == "sector":
                 raise ValueError(
                     "per-state ansatze require simulation='full'")
-            # 'auto' may resolve to sector, whose program compiles ONE
-            # excitation table and would silently simulate every state
-            # with ansatz_list[0]'s circuit — force the full simulator
-            if kwargs.get("simulation") == "auto":
+            # 'auto' (explicit or the omitted default) resolves to
+            # sector, whose program compiles ONE excitation table and
+            # would silently simulate every state with ansatz_list[0]'s
+            # circuit — force the full simulator
+            if kwargs.get("simulation", "auto") == "auto":
                 kwargs["simulation"] = "full"
             user_point = kwargs.pop("initial_point", None)
             ansatz = ansatz_list[0]
@@ -1675,7 +1673,7 @@ class FusedOptOrbVQE:
                  vqe_maxiter: int = 200,
                  dtype=None,
                  mesh=None,
-                 simulation: str = "full",
+                 simulation: str = "auto",
                  dispatch: str = "one",
                  vqe_chunk: Optional[int] = None,
                  outer_loop_callback=None,

@@ -312,49 +312,9 @@ class SectorUCC:
                     "initial determinant not in the sector basis")
             self.init_index = init_pos
 
-        # -- per-gate Givens pair tables, padded to the widest gate --------
-        pair_lo, pair_hi, pair_sg = [], [], []
-        for occ, vir in excs:
-            occ_mask = sum(1 << i for i in occ)
-            vir_mask = sum(1 << a for a in vir)
-            domain = ((dets & occ_mask) == occ_mask) & ((dets & vir_mask) == 0)
-            src = dets[domain]
-            dst, sg = _apply_ladder_chain(src, occ, vir)
-            lo = np.nonzero(domain)[0]
-            hi = np.searchsorted(dets, dst)
-            if (hi >= nd).any() or not np.array_equal(dets[hi], dst):
-                # ValueError so eligibility probes (_sector_for) fall back
-                # to the full simulator instead of crashing
-                raise ValueError("excitation left the sector basis — the "
-                                 "ansatz does not conserve per-spin "
-                                 "particle number")
-            pair_lo.append(lo)
-            pair_hi.append(hi)
-            pair_sg.append(sg)
-        pmax = max((len(p) for p in pair_lo), default=1)
-        K = len(excs)
-        LO = np.full((K, pmax), nd, dtype=np.int32)   # pad -> scratch slot
-        HI = np.full((K, pmax), nd, dtype=np.int32)
-        SG = np.zeros((K, pmax), dtype=np.float64)
-        for k in range(K):
-            c = len(pair_lo[k])
-            LO[k, :c] = pair_lo[k]
-            HI[k, :c] = pair_hi[k]
-            SG[k, :c] = pair_sg[k]
-        self._LO, self._HI, self._SG = LO, HI, SG
-
-        # gather-only gate fields (apply): v' = cos_eff*v + S*sin*v[PARTNER]
-        # — one gather + FMAs per gate, no scatters (slow/latency-bound on
-        # TPU; their backward scatters also compile poorly at scale)
-        PARTNER = np.tile(np.arange(nd + 1, dtype=np.int32), (K, 1))
-        SFIELD = np.zeros((K, nd + 1), dtype=np.float64)
-        for k in range(K):
-            lo, hi, sg = pair_lo[k], pair_hi[k], pair_sg[k]
-            PARTNER[k, lo] = hi
-            PARTNER[k, hi] = lo
-            SFIELD[k, lo] = -sg      # lo' = cos*lo - sg*sin*hi
-            SFIELD[k, hi] = +sg      # hi' = sg*sin*lo + cos*hi
-        self._PARTNER, self._SFIELD = PARTNER, SFIELD
+        # -- per-gate Givens pair lists (validates sector closure) ---------
+        self._excs = [tuple(e) for e in excs]
+        pair_lo, pair_hi, pair_sg = self._build_pair_lists()
 
         # -- string factorization (the MXU fast path; sim/strings.py) ------
         # kernel='auto' uses it whenever the sector + gate tables
@@ -372,6 +332,14 @@ class SectorUCC:
                 if kernel == "strings":
                     raise
         self.kernel = "strings" if self._str_tabs is not None else "pairs"
+        # gather-only gate fields (pairwise apply): the (K, nd+1)
+        # PARTNER/SFIELD tables are several GB of host work at the N=24
+        # shape and dead weight while the string kernels are active, so
+        # they are built lazily on first pairs-path access
+        self._pairs_fields_cache = None
+        if self.kernel == "pairs":
+            self._pairs_fields_cache = self._build_pairs_fields(
+                pair_lo, pair_hi, pair_sg)
         # the O(nd^2) Slater-Condon structure scan is built lazily: only
         # the pairwise kernels need it, and with the string kernels
         # active it would cost ~86 s host time at H8 N=16 (tens of
@@ -392,6 +360,64 @@ class SectorUCC:
     def __eq__(self, other):
         return (type(other) is type(self)
                 and other._content_key == self._content_key)
+
+    def _build_pair_lists(self):
+        """Per-gate Givens pair lists (lo/hi determinant indices + JW
+        sign) for every excitation, validating that each excitation maps
+        the sector onto itself.  Cheap relative to the padded gate
+        fields: O(sum of domain sizes) with vectorized bit arithmetic."""
+        dets, nd = self.dets, self.dim
+        pair_lo, pair_hi, pair_sg = [], [], []
+        for occ, vir in self._excs:
+            occ_mask = sum(1 << i for i in occ)
+            vir_mask = sum(1 << a for a in vir)
+            domain = (((dets & occ_mask) == occ_mask)
+                      & ((dets & vir_mask) == 0))
+            src = dets[domain]
+            dst, sg = _apply_ladder_chain(src, occ, vir)
+            lo = np.nonzero(domain)[0]
+            hi = np.searchsorted(dets, dst)
+            if (hi >= nd).any() or not np.array_equal(dets[hi], dst):
+                # ValueError so eligibility probes (_sector_for) fall back
+                # to the full simulator instead of crashing
+                raise ValueError("excitation left the sector basis — the "
+                                 "ansatz does not conserve per-spin "
+                                 "particle number")
+            pair_lo.append(lo)
+            pair_hi.append(hi)
+            pair_sg.append(sg)
+        return pair_lo, pair_hi, pair_sg
+
+    def _build_pairs_fields(self, pair_lo, pair_hi, pair_sg):
+        """Gather-only gate fields for the pairwise apply kernel:
+        v' = cos_eff*v + SFIELD*sin(th)*v[PARTNER] — one gather + FMAs
+        per gate, no scatters (slow/latency-bound on TPU; their backward
+        scatters also compile poorly at scale)."""
+        nd, K = self.dim, len(pair_lo)
+        PARTNER = np.tile(np.arange(nd + 1, dtype=np.int32), (K, 1))
+        SFIELD = np.zeros((K, nd + 1), dtype=np.float64)
+        for k in range(K):
+            lo, hi, sg = pair_lo[k], pair_hi[k], pair_sg[k]
+            PARTNER[k, lo] = hi
+            PARTNER[k, hi] = lo
+            SFIELD[k, lo] = -sg      # lo' = cos*lo - sg*sin*hi
+            SFIELD[k, hi] = +sg      # hi' = sg*sin*lo + cos*hi
+        return PARTNER, SFIELD
+
+    @property
+    def _pairs_fields(self):
+        if self._pairs_fields_cache is None:
+            self._pairs_fields_cache = self._build_pairs_fields(
+                *self._build_pair_lists())
+        return self._pairs_fields_cache
+
+    @property
+    def _PARTNER(self):
+        return self._pairs_fields[0]
+
+    @property
+    def _SFIELD(self):
+        return self._pairs_fields[1]
 
     @property
     def _sc(self) -> dict:
