@@ -4,15 +4,18 @@ reduced to 16 spin orbitals.
 No reference counterpart — the reference tops out at H4 (examples/H4_*.py).
 This configuration exercises the design choices that exist for scale:
 spatial-direct ingestion (the spin-orbital tensor would be 20 GB; the
-spatial one is 1.26 GB), lax.scan gate application (2696-gate UCCSD), and
-the one-dispatch fused loop.  Runs in ~8 minutes on CPU; pass a TPU mesh
-via FusedOptOrbVQE(mesh=...) to shard the g tensor.
+spatial one is 1.26 GB), the string-factorized determinant-sector
+simulator (the default, simulation='auto'), and the one-dispatch fused
+loop.  Pass a TPU mesh via FusedOptOrbVQE(mesh=...) to shard the g
+tensor.
 
 On the shared-TPU backend, the measured production configuration for
-this shape is simulation='sector', dispatch='two', vqe_chunk=50
-(585 s cold / 530 s warm on a v5e with no worker fault — docs/PERF.md
-"Refined picture"); the defaults below run the one-dispatch full-space
-program, which is the right choice on CPU and at N<=12 on the chip.
+this shape is dispatch='two', vqe_chunk=50 (bounded per-dispatch work;
+the shared worker kills any single long-running dispatch): with the
+string kernels it runs N=16 in 35.6 s cold / 28.1 s warm, N=20 in
+208 s / 138 s, and N=24 in ~25 min on a v5e with no worker fault —
+docs/PERF.md "Refined picture".  The defaults below are the right
+choice on CPU and for dedicated (non-shared) TPU backends.
 """
 
 import time
