@@ -540,6 +540,41 @@ def test_fused_vqd_per_state_ansatz_auto_forces_full(h2_631g):
     assert s.simulation == "full"
 
 
+def test_fused_vqd_per_state_ansatz_default_forces_full(h2_631g):
+    """The OMITTED simulation kwarg (defaults to 'auto' since the
+    string kernels made the sector the universal winner) must force
+    'full' for per-state ansatze exactly like an explicit 'auto'."""
+    from esoo_tpu.sim import QuantumCircuit
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQD
+    init0 = HartreeFock(2, (1, 1))
+    init1 = QuantumCircuit(4)
+    init1.x(1)
+    init1.x(2)
+    s = FusedOptOrbVQD(num_spin_orbitals=4,
+                       ansatz=[UCCSD(2, (1, 1)), UCCSD(2, (1, 1), reps=2)],
+                       initial_states=[init0, init1], betas=[2.0],
+                       problem=h2_631g)
+    assert s.simulation == "full"
+
+
+def test_fused_default_simulation_is_sector_for_ucc(h2_631g):
+    """The fused-family default resolves to the sector for UCC circuits
+    (the measured universal winner) and falls back to 'full' otherwise."""
+    from esoo_tpu.sim import QuantumCircuit
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQE
+    s = FusedOptOrbVQE(num_spin_orbitals=4,
+                       ansatz=UCCSD(2, (1, 1),
+                                    initial_state=HartreeFock(2, (1, 1))),
+                       problem=h2_631g)
+    assert s.simulation == "sector"
+    qc = QuantumCircuit(4)
+    qc.x(0)
+    qc.x(2)
+    qc.ry(0.0, 0)
+    s2 = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=qc, problem=h2_631g)
+    assert s2.simulation == "full"
+
+
 def test_fused_vqd_initial_point_count_mismatch(h2_631g):
     from esoo_tpu.sim import QuantumCircuit
     from esoo_tpu.orbital_optimization import FusedOptOrbVQD
