@@ -207,9 +207,17 @@ def _inner_bb(vag_fn, U0, data, stepsize, tol, decay, maxiter):
     return c[1]
 
 
-def _vqe_stage_fns(state_fn, n_active, sector, vqe_maxiter, dtype):
+def _vqe_stage_fns(state_fn, n_active, sector, vqe_maxiter, dtype,
+                   tables=None):
     """(run_vqe, extract_rdms) for the eigensolver stage, shared by the
-    one-dispatch program and the two-dispatch eigensolver program."""
+    one-dispatch program and the two-dispatch eigensolver program.
+
+    `tables` (a device_tables()/shard_sector_tables() pytree of traced
+    or device arrays) makes the sector's index/operator tables program
+    ARGUMENTS instead of baked constants — required for mesh-sharded
+    table placements (parallel.shard_sector_tables), where the MA/MB
+    operator stacks carry a NamedSharding the compiler partitions the
+    sigma GEMMs around."""
     gtol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-5
     N = 2 * n_active
 
@@ -232,14 +240,21 @@ def _vqe_stage_fns(state_fn, n_active, sector, vqe_maxiter, dtype):
     else:
         def run_vqe(theta, h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
-            vals = sector.build_values(h_so, g_so)
-            res = lbfgs_minimize(sector.energy_values, theta, args=(vals,),
-                                 maxiter=vqe_maxiter, gtol=gtol)
+            vals = sector.build_values(h_so, g_so, tables=tables)
+            if tables is None:
+                res = lbfgs_minimize(sector.energy_values, theta,
+                                     args=(vals,),
+                                     maxiter=vqe_maxiter, gtol=gtol)
+            else:
+                res = lbfgs_minimize(_sector_cost_tabled(sector), theta,
+                                     args=(vals, tables),
+                                     maxiter=vqe_maxiter, gtol=gtol)
             return res.x, res.fun
 
         def extract_rdms(theta):
             # sector-native RDMs: never touches the 2^N space
-            return sector.rdms(sector.state(theta))
+            return sector.rdms(sector.state(theta, tables=tables),
+                               tables=tables)
 
     return run_vqe, extract_rdms
 
@@ -253,7 +268,8 @@ def _eig_rdm_program(state_fn: Callable,
                      h_sp: jnp.ndarray,
                      g_sp: jnp.ndarray,
                      vqe_maxiter: int = 200,
-                     sector=None):
+                     sector=None,
+                     sector_tables=None):
     """Two-dispatch mode, program A: rotate integrals at U, solve the
     eigensolver subproblem, extract spin-reduced RDMs.
 
@@ -263,7 +279,8 @@ def _eig_rdm_program(state_fn: Callable,
     the outer iteration into this program plus _orb_program keeps each
     compiled program at a size the worker handles."""
     run_vqe, extract_rdms = _vqe_stage_fns(state_fn, n_active, sector,
-                                           vqe_maxiter, h_sp.dtype)
+                                           vqe_maxiter, h_sp.dtype,
+                                           tables=sector_tables)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
     theta, E = run_vqe(theta, h_act, g_act)
@@ -279,12 +296,14 @@ def _eig_only_program(state_fn: Callable,
                       h_sp: jnp.ndarray,
                       g_sp: jnp.ndarray,
                       vqe_maxiter: int = 200,
-                      sector=None):
+                      sector=None,
+                      sector_tables=None):
     """Two-dispatch final re-solve: rotate + eigensolver, no RDM work
     (one-dispatch parity tail — _fused_optorb_vqe re-runs run_vqe at the
     final U unconditionally; its RDMs are never consumed there)."""
     run_vqe, _ = _vqe_stage_fns(state_fn, U.shape[1], sector,
-                                vqe_maxiter, h_sp.dtype)
+                                vqe_maxiter, h_sp.dtype,
+                                tables=sector_tables)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
     return run_vqe(theta, h_act, g_act)
@@ -416,17 +435,24 @@ def _fused_optorb_vqe(state_fn: Callable,
                       inner_maxiter: int = 10000,
                       vqe_maxiter: int = 200,
                       sector=None,
-                      callback=None):
+                      callback=None,
+                      sector_tables=None):
     """Returns (E, theta, U, n_outer, energy_trace).
 
     With `sector` (a sim.sector.SectorUCC), the eigensolver runs in the
     particle-number sector: the sparse Slater-Condon values are rebuilt
     from the rotated integrals once per outer iteration and each BFGS
     energy evaluation is Givens-rotation gates + a gather quadform —
-    O(nnz) instead of O(2^N) work per evaluation, no dense matrix."""
+    O(nnz) instead of O(2^N) work per evaluation, no dense matrix.
+
+    `sector_tables` (device-array pytree, non-static) threads the sector
+    tables in as program arguments — used for the mesh-sharded placement
+    (parallel.shard_sector_tables), where GSPMD partitions the string
+    sigma/RDM GEMMs over the tables' operator-axis sharding."""
 
     run_vqe, extract_rdms = _vqe_stage_fns(state_fn, n_active, sector,
-                                           vqe_maxiter, h_sp.dtype)
+                                           vqe_maxiter, h_sp.dtype,
+                                           tables=sector_tables)
     vag = _ORBITAL_VAG
 
     def outer_cond(c):
@@ -1752,6 +1778,21 @@ class FusedOptOrbVQE:
                 self._sector = None
                 simulation = "full"
         self.simulation = simulation
+        self.mesh = mesh
+        # mesh-sharded sector tables: the string kernels' MA/MB operator
+        # stacks are placed sharded over the mesh's orb axis so the
+        # sigma/RDM GEMM batch — and its (2 q_pad, nd) T working set,
+        # the HBM hog at N>=24 sectors — partitions as P/D across chips
+        self._sector_tables = None
+        if (mesh is not None and self._sector is not None
+                and self._sector.kernel == "strings"
+                and type(self) is FusedOptOrbVQE):
+            # (ADAPT overrides the run methods with its own growth-loop
+            # programs, which do not thread sector tables — its mesh
+            # support shards the integral tensors only)
+            from ..parallel import shard_sector_tables
+            self._sector_tables = shard_sector_tables(mesh, self._sector,
+                                                      dtype)
 
         m = h_sp.shape[0]
         n = num_spin_orbitals // 2
@@ -1822,8 +1863,8 @@ class FusedOptOrbVQE:
         decay = jnp.asarray(self.decay_factor, dtype)
 
         chunk = getattr(self, "vqe_chunk", None)
-        T = None
-        if (chunk is not None and self._sector is not None
+        T = getattr(self, "_sector_tables", None)   # mesh-sharded placement
+        if (T is None and chunk is not None and self._sector is not None
                 and self._sector.dim >= _TABLED_MIN_ND):
             # tables as device buffers, transferred ONCE and threaded into
             # every chunked dispatch as program arguments (not constants)
@@ -1850,7 +1891,8 @@ class FusedOptOrbVQE:
             if chunk is None:
                 return _eig_rdm_program(
                     state_fn, n_active, theta, U, h_sp, g_sp,
-                    vqe_maxiter=self.vqe_maxiter, sector=self._sector)
+                    vqe_maxiter=self.vqe_maxiter, sector=self._sector,
+                    sector_tables=T)
             state = run_chunked(theta, U)
             gamma_s, Gamma_s = _rdm_only_program(state_fn, n_active,
                                                  state.x,
@@ -1863,7 +1905,8 @@ class FusedOptOrbVQE:
             if chunk is None:
                 return _eig_only_program(state_fn, theta, U, h_sp, g_sp,
                                          vqe_maxiter=self.vqe_maxiter,
-                                         sector=self._sector)
+                                         sector=self._sector,
+                                         sector_tables=T)
             state = run_chunked(theta, U)
             return state.x, state.f
 
@@ -1925,6 +1968,7 @@ class FusedOptOrbVQE:
             vqe_maxiter=self.vqe_maxiter,
             sector=self._sector,
             callback=live_cb,
+            sector_tables=getattr(self, "_sector_tables", None),
         )
         it = int(it)
         if post_cb is not None:

@@ -2,6 +2,7 @@ from .sharded import (
     make_orbital_mesh,
     make_orbital_state_mesh,
     shard_problem_tensors,
+    shard_sector_tables,
     sharded_rotated_energy,
     sharded_bb_step,
     ShardedOrbitalOptimizer,
@@ -11,6 +12,7 @@ __all__ = [
     "make_orbital_mesh",
     "make_orbital_state_mesh",
     "shard_problem_tensors",
+    "shard_sector_tables",
     "sharded_rotated_energy",
     "sharded_bb_step",
     "ShardedOrbitalOptimizer",

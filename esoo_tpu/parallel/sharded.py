@@ -195,3 +195,45 @@ class ShardedOrbitalOptimizer:
             int(self.maxiter),
         )
         return np.asarray(U), float(E)
+
+
+def shard_sector_tables(mesh: Mesh, sector, dtype, axis_name: str = "orb"):
+    """Mesh placement for a SectorUCC's string-kernel tables: the
+    one-body operator stacks MA/MB — the axis every sigma/RDM GEMM
+    batches over — are sharded across `axis_name`; everything else
+    (per-gate Givens tables, pair-index maps) is replicated.
+
+    With this placement XLA partitions the string sigma algorithm's
+    batched GEMMs (sim/strings.py `sigma`/`rdms`) over the mesh: each
+    device builds its slice of the (2 q_pad, nd) T tensor, the G2
+    contraction and the back-contraction reduce over the sharded
+    operator axis with compiler-inserted collectives, and the per-device
+    T working set — the HBM hog at large sectors (~P*nd floats; ~14 GB
+    at H8 N=28) — drops as P/D.  The K-step gate scan stays replicated
+    (it is sequential in K and its (nB, nA) state is tiny next to T).
+
+    The operator axis (n^2 per spin) is zero-padded up to a multiple of
+    the mesh size; the string kernels are padding-transparent
+    (strings.build_ops block-embeds G2, build_rdm_maps takes the padded
+    stride), and zero operator matrices contribute nothing, so results
+    are bit-compatible with the unsharded path (tests/test_parallel.py).
+
+    Returns a device-put tables pytree usable anywhere a
+    `sector.device_tables()` pytree is (fused program arguments).
+    """
+    if getattr(sector, "kernel", None) != "strings":
+        raise ValueError(
+            "shard_sector_tables requires the string-factorized sector "
+            f"kernels (sector.kernel={getattr(sector, 'kernel', None)!r})")
+    tabs = dict(sector.device_tables(dtype))
+    d = mesh.shape[axis_name]
+    q = tabs["MA"].shape[0]
+    q_pad = ((q + d - 1) // d) * d
+    if q_pad != q:
+        pad = [(0, q_pad - q), (0, 0), (0, 0)]
+        tabs["MA"] = np.pad(np.asarray(tabs["MA"]), pad)
+        tabs["MB"] = np.pad(np.asarray(tabs["MB"]), pad)
+    op_sharding = NamedSharding(mesh, P(axis_name, None, None))
+    rep = NamedSharding(mesh, P())
+    return {k: jax.device_put(v, op_sharding if k in ("MA", "MB") else rep)
+            for k, v in tabs.items()}

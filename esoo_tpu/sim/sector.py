@@ -877,9 +877,17 @@ class SectorUCC:
             # (sim/strings.py rdms) instead of the (N^2, nd) tables
             st = self._str_tabs
             tabs = tables if tables is not None else st._asdict()
-            maps = getattr(self, "_rdm_maps", None)
+            # maps depend on the operator-axis length of the MA stack,
+            # which mesh-sharded table placements zero-pad (parallel.
+            # shard_sector_tables) — cache per padded length
+            q_pad = int(tabs["MA"].shape[0])
+            cache = getattr(self, "_rdm_maps", None)
+            if cache is None:
+                cache = self._rdm_maps = {}
+            maps = cache.get(q_pad)
             if maps is None:
-                maps = self._rdm_maps = _strings.build_rdm_maps(N // 2)
+                maps = cache[q_pad] = _strings.build_rdm_maps(
+                    N // 2, q_pad=q_pad)
             V = v[:nd].reshape(len(st.B), len(st.A))
             return _strings.rdms(V, tabs, maps)
         v = v[:nd]

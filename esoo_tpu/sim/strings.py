@@ -348,14 +348,37 @@ def build_ops(h_so, g_so, tabs):
     sum g Gamma: the (P, P) pair coupling g~ (gathered from g via the
     constant LIN tables) and the one-body string matrices
     F = sum h~ D with h~ = h - sum_q g[p, q, q, s].  Pure jnp — safe
-    inside jit, differentiable through to (h, g)."""
+    inside jit, differentiable through to (h, g).
+
+    Padding-transparent: the one-body stacks MA/MB may be zero-padded
+    on their operator axis (to a mesh-divisible multiple, see
+    parallel.shard_sector_tables) — the true n^2 is read from the
+    unpadded (P, P) CROSS table and G2 is block-embedded into the
+    padded (2 q_pad, 2 q_pad) layout so `sigma` needs no special
+    handling."""
     dt = h_so.dtype
-    nsp = int(round(np.sqrt(tabs["MA"].shape[0])))  # spatial orbitals
+    P_half = tabs["CROSS"].shape[0] // 2
+    nsp = int(round(np.sqrt(P_half)))               # spatial orbitals
+    q_pad = tabs["MA"].shape[0]                     # padded operator axis
     gf = g_so.reshape(-1)
     LIN_A = jnp.asarray(tabs["LIN_A"])
     LIN_B = jnp.asarray(tabs["LIN_B"])
     CROSS = jnp.asarray(tabs["CROSS"], dtype=dt)
     G2 = gf[LIN_A] - CROSS * gf[LIN_B]
+    if q_pad != P_half:
+        # embed the true (2 n^2, 2 n^2) coupling at the padded block
+        # offsets (alpha rows/cols 0..n^2-1, beta at q_pad..q_pad+n^2-1);
+        # padded rows/cols stay zero so the padded zero operators in
+        # MA/MB contribute nothing to sigma
+        G2p = jnp.zeros((2 * q_pad, 2 * q_pad), dtype=dt)
+        G2p = G2p.at[:P_half, :P_half].set(G2[:P_half, :P_half])
+        G2p = G2p.at[:P_half, q_pad:q_pad + P_half].set(
+            G2[:P_half, P_half:])
+        G2p = G2p.at[q_pad:q_pad + P_half, :P_half].set(
+            G2[P_half:, :P_half])
+        G2p = G2p.at[q_pad:q_pad + P_half, q_pad:q_pad + P_half].set(
+            G2[P_half:, P_half:])
+        G2 = G2p
     # delta correction h~ = h - sum_q g[p,q,q,s] over SAME-SPIN q only:
     # the q = r terms with cross-spin q are expanded through the
     # second (cross-pairing) identity and already live in G2's
@@ -364,8 +387,13 @@ def build_ops(h_so, g_so, tabs):
     sB = jnp.einsum("pqqs->ps", g_so[:, nsp:, nsp:, :])
     MA = jnp.asarray(tabs["MA"], dtype=dt)
     MB = jnp.asarray(tabs["MB"], dtype=dt)
-    FA = jnp.einsum("q,qji->ji", (h_so - sA)[:nsp, :nsp].reshape(-1), MA)
-    FB = jnp.einsum("q,qji->ji", (h_so - sB)[nsp:, nsp:].reshape(-1), MB)
+    hA = (h_so - sA)[:nsp, :nsp].reshape(-1)
+    hB = (h_so - sB)[nsp:, nsp:].reshape(-1)
+    if q_pad != P_half:
+        hA = jnp.pad(hA, (0, q_pad - P_half))
+        hB = jnp.pad(hB, (0, q_pad - P_half))
+    FA = jnp.einsum("q,qji->ji", hA, MA)
+    FB = jnp.einsum("q,qji->ji", hB, MB)
     return {"G2": G2, "FA": FA, "FB": FB}
 
 
@@ -397,7 +425,7 @@ def quadform(V, ops, tabs):
 
 # -- RDMs ----------------------------------------------------------------------
 
-def build_rdm_maps(n: int):
+def build_rdm_maps(n: int, q_pad: int = None):
     """Host-side assembly maps turning the pair-correlation matrix
     G2f[a, b] = (D_a v) . (D_b v) into the spin-orbital 2-RDM
     Gamma[p, q, r, s] = <a+_p a+_q a_s a_r>, using the same two
@@ -410,16 +438,22 @@ def build_rdm_maps(n: int):
           Gamma = -<D_qr D_ps> = -G2f[(r,q), (p,s)]
       otherwise 0  (does not conserve per-spin particle number).
 
+    `q_pad` is the (possibly mesh-padded) per-spin operator-axis length
+    of the MA/MB stacks (default n^2, the unpadded layout): the beta
+    block then starts at row q_pad of the (2 q_pad, nd) T tensor.
+
     Returns (IDX, SGN, CASE_A) with IDX (N^4,) int32 into G2f.reshape(-1)
     (arbitrary where SGN = 0), SGN (N^4,) in {0, +-1}, CASE_A the
     (N, N, N, N) 0/1 mask gating the delta-gamma correction."""
     N = 2 * n
     sp = (np.arange(N) >= n).astype(np.int64)
-    P = 2 * n * n
+    if q_pad is None:
+        q_pad = n * n
+    P = 2 * q_pad
 
     def pair(x, y):
         # same-spin pair index in the MA/MB ordering (alpha block first)
-        return sp[x] * n * n + (x % n) * n + (y % n)
+        return sp[x] * q_pad + (x % n) * n + (y % n)
 
     p = np.arange(N)[:, None, None, None]
     q = np.arange(N)[None, :, None, None]
@@ -445,20 +479,21 @@ def rdms(V, tabs, maps):
     MA = jnp.asarray(tabs["MA"], dtype=dt)
     MB = jnp.asarray(tabs["MB"], dtype=dt)
     nB, nA = V.shape
-    nsp = int(round(np.sqrt(MA.shape[0])))
-    N = 2 * nsp
+    IDX, SGN, CASE_A = maps
+    N = CASE_A.shape[0]
+    nsp = N // 2
+    q_pad = MA.shape[0]          # operator axis, possibly mesh-padded
     TA = jnp.einsum("qji,bi->qbj", MA, V)
     TB = jnp.einsum("qji,ia->qja", MB, V)
-    T = jnp.concatenate([TA, TB], axis=0).reshape(2 * nsp * nsp, nB * nA)
+    T = jnp.concatenate([TA, TB], axis=0).reshape(2 * q_pad, nB * nA)
     v = V.reshape(-1)
-    gpairs = T @ v                                   # (P,)
+    gpairs = T @ v                                   # (2 q_pad,)
     gamma = jnp.zeros((N, N), dtype=dt)
     gamma = gamma.at[:nsp, :nsp].set(
         gpairs[: nsp * nsp].reshape(nsp, nsp))
     gamma = gamma.at[nsp:, nsp:].set(
-        gpairs[nsp * nsp:].reshape(nsp, nsp))
+        gpairs[q_pad: q_pad + nsp * nsp].reshape(nsp, nsp))
     G2f = (T @ T.T).reshape(-1)                      # (P*P,)
-    IDX, SGN, CASE_A = maps
     Gamma = (jnp.asarray(SGN, dtype=dt) * G2f[jnp.asarray(IDX)]
              ).reshape(N, N, N, N)
     eye = jnp.eye(N, dtype=dt)

@@ -178,3 +178,77 @@ def test_fused_two_dispatch_mesh_matches_one_dispatch(h2_631g):
                          problem=h2_631g, maxiter=10, mesh=mesh,
                          dispatch="two").compute_minimum_energy()
     np.testing.assert_allclose(two.eigenvalue, one.eigenvalue, atol=1e-9)
+
+
+def test_sector_string_tables_sharded_kernel_equality():
+    """Mesh-sharded string-sector tables (operator axis zero-padded to a
+    mesh multiple, MA/MB placed P('orb', None, None)) reproduce the
+    unsharded quadform, theta-gradient, and RDMs exactly — the GSPMD
+    partitioning of the sigma GEMMs is numerics-transparent."""
+    import jax.numpy as jnp
+    from esoo_tpu.parallel import make_orbital_mesh, shard_sector_tables
+    from esoo_tpu.sim import HartreeFock, UCCSD
+    from esoo_tpu.sim.sector import SectorUCC
+
+    n, parts = 2, (1, 1)
+    ansatz = UCCSD(n, parts, initial_state=HartreeFock(n, parts))
+    sec = SectorUCC(ansatz, 2 * n, kernel="strings")
+    ndev = min(8, len(jax.devices()))
+    mesh = make_orbital_mesh(ndev)
+    tabs = shard_sector_tables(mesh, sec, np.float64)
+    # operator axis n^2 = 4 padded up to the mesh size -> exercises the
+    # zero-operator padding on top of the sharding
+    assert tabs["MA"].shape[0] % ndev == 0
+
+    rng = np.random.default_rng(7)
+    N = 2 * n
+    h = rng.normal(size=(N, N))
+    h = jnp.asarray((h + h.T) / 2)
+    g0 = rng.normal(size=(N,) * 4)
+    g = jnp.asarray(g0 + g0.transpose(1, 0, 3, 2)
+                    + g0.transpose(2, 3, 0, 1) + g0.transpose(3, 2, 1, 0))
+    th = jnp.asarray(rng.normal(size=ansatz.num_parameters) * 0.3)
+
+    def energy(t, tables):
+        v = sec.state(t, tables=tables)
+        return sec.quadform_values(v, sec.build_values(h, g, tables=tables),
+                                   tables=tables)
+
+    e0 = float(jax.jit(energy, static_argnames=())(th, None))
+    e1 = float(jax.jit(lambda t: energy(t, tabs))(th))
+    assert abs(e0 - e1) < 1e-12
+    g_plain = jax.grad(lambda t: energy(t, None))(th)
+    g_shard = jax.jit(jax.grad(lambda t: energy(t, tabs)))(th)
+    np.testing.assert_allclose(np.asarray(g_shard), np.asarray(g_plain),
+                               atol=1e-12)
+    r0 = sec.rdms(sec.state(th))
+    r1 = jax.jit(lambda t: sec.rdms(sec.state(t, tables=tabs),
+                                    tables=tabs))(th)
+    np.testing.assert_allclose(np.asarray(r1[0]), np.asarray(r0[0]),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r0[1]),
+                               atol=1e-12)
+
+
+def test_fused_sector_vqe_sharded_tables_e2e(h2_631g):
+    """FusedOptOrbVQE(simulation='sector', mesh=...) threads the sharded
+    string tables through the whole program (one-dispatch, and
+    two-dispatch + vqe_chunk) — energies match the unmeshed run."""
+    from esoo_tpu.parallel import make_orbital_mesh
+    from esoo_tpu.sim import HartreeFock, UCCSD
+    from esoo_tpu.orbital_optimization import FusedOptOrbVQE
+
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    r0 = FusedOptOrbVQE(4, ansatz, problem=h2_631g, maxiter=8,
+                        simulation="sector").compute_minimum_energy()
+    mesh = make_orbital_mesh(4)
+    meshed = FusedOptOrbVQE(4, ansatz, problem=h2_631g, maxiter=8,
+                            simulation="sector", mesh=mesh)
+    assert meshed._sector_tables is not None   # sharded placement active
+    r1 = meshed.compute_minimum_energy()
+    np.testing.assert_allclose(r1.eigenvalue, r0.eigenvalue, atol=1e-10)
+    r2 = FusedOptOrbVQE(4, ansatz, problem=h2_631g, maxiter=8,
+                        simulation="sector", mesh=mesh, dispatch="two",
+                        vqe_chunk=7).compute_minimum_energy()
+    np.testing.assert_allclose(r2.eigenvalue, r0.eigenvalue, atol=1e-10)
+    np.testing.assert_array_almost_equal(r0.eigenvalue, -1.8661, decimal=3)
