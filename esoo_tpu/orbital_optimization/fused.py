@@ -511,10 +511,11 @@ class FusedOptOrbEigensolverResult:
 
 
 def _ssvqe_stage_fns(apply_fn, n_active, init_mat, weights, sector,
-                     sector_init, vqe_maxiter, dtype):
+                     sector_init, vqe_maxiter, dtype, tables=None):
     """(run_ssvqe, state_energies, batch_rdms) for the SSVQE eigensolver
     stage, shared by the one-dispatch program and the two-dispatch
-    variant."""
+    variant.  `tables` threads the sector tables in as program arguments
+    (mesh-sharded placement, parallel.shard_sector_tables)."""
     N = 2 * n_active
     gtol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-5
 
@@ -537,21 +538,26 @@ def _ssvqe_stage_fns(apply_fn, n_active, init_mat, weights, sector,
             return (jax.vmap(lambda s: one_rdm(s, N))(states),
                     jax.vmap(lambda s: two_rdm(s, N))(states))
     else:
+        def _apply_k(theta):
+            return jax.vmap(
+                lambda v0: sector.apply(v0, theta, tables=tables)
+            )(sector_init)
+
         def state_energies(theta, h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
-            vals = sector.build_values(h_so, g_so)
-            vs = jax.vmap(sector.apply, in_axes=(0, None))(sector_init,
-                                                           theta)
-            return jax.vmap(lambda v: sector.quadform_values(v, vals))(vs)
+            vals = sector.build_values(h_so, g_so, tables=tables)
+            vs = _apply_k(theta)
+            return jax.vmap(lambda v: sector.quadform_values(
+                v, vals, tables=tables))(vs)
 
         def run_ssvqe(theta, h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
-            vals = sector.build_values(h_so, g_so)
+            vals = sector.build_values(h_so, g_so, tables=tables)
 
             def cost(th):
-                vs = jax.vmap(sector.apply,
-                              in_axes=(0, None))(sector_init, th)
-                es = jax.vmap(lambda v: sector.quadform_values(v, vals))(vs)
+                vs = _apply_k(th)
+                es = jax.vmap(lambda v: sector.quadform_values(
+                    v, vals, tables=tables))(vs)
                 return jnp.dot(weights, es)
 
             res = lbfgs_minimize(cost, theta, maxiter=vqe_maxiter,
@@ -560,9 +566,8 @@ def _ssvqe_stage_fns(apply_fn, n_active, init_mat, weights, sector,
 
         def batch_rdms(theta):
             # sector-native RDMs: never touches the 2^N space
-            vs = jax.vmap(sector.apply, in_axes=(0, None))(sector_init,
-                                                           theta)
-            return jax.vmap(sector.rdms)(vs)
+            vs = _apply_k(theta)
+            return jax.vmap(lambda v: sector.rdms(v, tables=tables))(vs)
 
     return run_ssvqe, state_energies, batch_rdms
 
@@ -579,12 +584,13 @@ def _ssvqe_eig_rdm_program(apply_fn: Callable,
                            g_sp: jnp.ndarray,
                            vqe_maxiter: int = 300,
                            sector=None,
-                           sector_init: jnp.ndarray = None):
+                           sector_init: jnp.ndarray = None,
+                           sector_tables=None):
     """Two-dispatch mode, SSVQE program A: rotate, optimize the weighted
     sum, per-state energies, weight-combined spin-reduced RDMs."""
     run_ssvqe, state_energies, batch_rdms = _ssvqe_stage_fns(
         apply_fn, n_active, init_mat, weights, sector, sector_init,
-        vqe_maxiter, h_sp.dtype)
+        vqe_maxiter, h_sp.dtype, tables=sector_tables)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
     theta, Ew = run_ssvqe(theta, h_act, g_act)
@@ -608,13 +614,14 @@ def _ssvqe_energies_program(apply_fn: Callable,
                             g_sp: jnp.ndarray,
                             vqe_maxiter: int = 300,
                             sector=None,
-                            sector_init: jnp.ndarray = None):
+                            sector_init: jnp.ndarray = None,
+                            sector_tables=None):
     """Per-state energies at (theta, U) only — the hit-max tail of the
     two-dispatch SSVQE loop (one-dispatch parity: energies of the last
     theta under the freshly rotated Hamiltonian)."""
     _, state_energies, _ = _ssvqe_stage_fns(
         apply_fn, n_active, init_mat, weights, sector, sector_init,
-        vqe_maxiter, h_sp.dtype)
+        vqe_maxiter, h_sp.dtype, tables=sector_tables)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
     return state_energies(theta, h_act, g_act)
@@ -640,7 +647,8 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
                         vqe_maxiter: int = 300,
                         sector=None,
                         sector_init: jnp.ndarray = None,   # (k, nd + 1)
-                        callback=None):
+                        callback=None,
+                        sector_tables=None):
     """Fused SSVQE outer loop: (energies, theta, U, n_outer, trace).
 
     With `sector` (sim.sector.SectorUCC) + `sector_init`, the k state
@@ -649,7 +657,7 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
     2^N space is never touched."""
     run_ssvqe, state_energies, batch_rdms = _ssvqe_stage_fns(
         apply_fn, n_active, init_mat, weights, sector, sector_init,
-        vqe_maxiter, h_sp.dtype)
+        vqe_maxiter, h_sp.dtype, tables=sector_tables)
     vag = _ORBITAL_VAG
 
     def outer_cond(c):
@@ -829,6 +837,17 @@ class FusedOptOrbSSVQE:
                 self._sector_init = None
                 simulation = "full"
         self.simulation = simulation
+        self.mesh = mesh
+        # mesh-sharded string-sector tables (see FusedOptOrbVQE): the
+        # sigma/RDM GEMM batch partitions over the tables' operator-axis
+        # sharding; per-state-ansatz VQD forces simulation='full' above,
+        # so self._sector here is always a single shared-circuit sector
+        self._sector_tables = None
+        if (mesh is not None and self._sector is not None
+                and self._sector.kernel == "strings"):
+            from ..parallel import shard_sector_tables
+            self._sector_tables = shard_sector_tables(mesh, self._sector,
+                                                      dtype)
         if mesh is not None and "state" in mesh.shape:
             # 2-D mesh (parallel.make_orbital_state_mesh): the k
             # statevector simulations data-parallelize over the state
@@ -894,7 +913,8 @@ class FusedOptOrbSSVQE:
         inner_tol = jnp.asarray(self.inner_stopping_tolerance, dtype)
         decay = jnp.asarray(self.decay_factor, dtype)
         common = dict(vqe_maxiter=self.vqe_maxiter, sector=self._sector,
-                      sector_init=self._sector_init)
+                      sector_init=self._sector_init,
+                      sector_tables=getattr(self, "_sector_tables", None))
 
         theta = self._theta0
         U = orth(self._U0)
@@ -961,6 +981,7 @@ class FusedOptOrbSSVQE:
                 sector=self._sector,
                 sector_init=self._sector_init,
                 callback=live_cb,
+                sector_tables=getattr(self, "_sector_tables", None),
             )
         it = int(it)
         if post_cb is not None:
@@ -1083,10 +1104,11 @@ def _mcvqe_batched_energies(apply_raw, stack, theta, h_so, g_so):
 
 
 def _vqd_stage_fns(apply_fn, n_active, k, init_mat, betas, weights,
-                   sector, sector_init, vqe_maxiter, dtype):
+                   sector, sector_init, vqe_maxiter, dtype, tables=None):
     """(run_vqd, batch_rdms) for the sequential-deflation eigensolver
     stage, shared by the one-dispatch program and the two-dispatch
-    variant."""
+    variant.  `tables` threads the sector tables in as program arguments
+    (mesh-sharded placement, parallel.shard_sector_tables)."""
     N = 2 * n_active
     dim = init_mat.shape[1]
     gtol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-5
@@ -1144,12 +1166,12 @@ def _vqd_stage_fns(apply_fn, n_active, k, init_mat, betas, weights,
     else:
         def run_vqd(thetas, h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
-            vals = sector.build_values(h_so, g_so)
+            vals = sector.build_values(h_so, g_so, tables=tables)
             nd = sector.dim
 
             def deflated_cost_s(theta, j, prev_vs):
-                v = sector.apply(sector_init[j], theta)
-                e = sector.quadform_values(v, vals)
+                v = sector.apply(sector_init[j], theta, tables=tables)
+                e = sector.quadform_values(v, vals, tables=tables)
                 ov = prev_vs[:, :nd] @ v[:nd]
                 mask = (jnp.arange(k) < j).astype(v.dtype)
                 return e + jnp.sum(mask * bpad * ov * ov)
@@ -1159,8 +1181,8 @@ def _vqd_stage_fns(apply_fn, n_active, k, init_mat, betas, weights,
                 res = lbfgs_minimize(
                     deflated_cost_s, thetas[j], args=(j, prev_vs),
                     maxiter=vqe_maxiter, gtol=gtol)
-                v = sector.apply(sector_init[j], res.x)
-                e = sector.quadform_values(v, vals)
+                v = sector.apply(sector_init[j], res.x, tables=tables)
+                e = sector.quadform_values(v, vals, tables=tables)
                 return (thetas.at[j].set(res.x),
                         prev_vs.at[j].set(v),
                         energies.at[j].set(e))
@@ -1173,7 +1195,7 @@ def _vqd_stage_fns(apply_fn, n_active, k, init_mat, betas, weights,
 
         def batch_rdms(vs):
             # sector-native RDMs: never touches the 2^N space
-            return jax.vmap(sector.rdms)(vs)
+            return jax.vmap(lambda v: sector.rdms(v, tables=tables))(vs)
 
     return run_vqd, batch_rdms
 
@@ -1182,12 +1204,13 @@ def _vqd_stage_fns(apply_fn, n_active, k, init_mat, betas, weights,
     "apply_fn", "n_active", "k", "vqe_maxiter", "sector"))
 def _vqd_eig_rdm_program(apply_fn, n_active, k, init_mat, betas, weights,
                          thetas, U, h_sp, g_sp, vqe_maxiter=300,
-                         sector=None, sector_init=None):
+                         sector=None, sector_init=None,
+                         sector_tables=None):
     """Two-dispatch mode, VQD program A: rotate, sequential deflation
     over the k states, weight-combined spin-reduced RDMs."""
     run_vqd, batch_rdms = _vqd_stage_fns(
         apply_fn, n_active, k, init_mat, betas, weights, sector,
-        sector_init, vqe_maxiter, h_sp.dtype)
+        sector_init, vqe_maxiter, h_sp.dtype, tables=sector_tables)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
     thetas, states, energies = run_vqd(thetas, h_act, g_act)
@@ -1202,13 +1225,14 @@ def _vqd_eig_rdm_program(apply_fn, n_active, k, init_mat, betas, weights,
     "apply_fn", "n_active", "k", "vqe_maxiter", "sector"))
 def _vqd_eig_only_program(apply_fn, n_active, k, init_mat, betas, weights,
                           thetas, U, h_sp, g_sp, vqe_maxiter=300,
-                          sector=None, sector_init=None):
+                          sector=None, sector_init=None,
+                          sector_tables=None):
     """Two-dispatch final re-solve: deflation only, no RDM work
     (one-dispatch parity tail — _fused_optorb_vqd re-runs run_vqd at the
     final U unconditionally; its RDMs are never consumed there)."""
     run_vqd, _ = _vqd_stage_fns(
         apply_fn, n_active, k, init_mat, betas, weights, sector,
-        sector_init, vqe_maxiter, h_sp.dtype)
+        sector_init, vqe_maxiter, h_sp.dtype, tables=sector_tables)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
     thetas, _, energies = run_vqd(thetas, h_act, g_act)
@@ -1237,7 +1261,8 @@ def _fused_optorb_vqd(apply_fn: Callable,
                       vqe_maxiter: int = 300,
                       sector=None,
                       sector_init: jnp.ndarray = None,   # (k, nd + 1)
-                      callback=None):
+                      callback=None,
+                      sector_tables=None):
     """Fused VQD OptOrb loop.  Deflation is sequential over the k states
     (mandatory: state j's penalty references states < j), but each state's
     BFGS, the overlap penalties, the RDMs and the BB descent all live in
@@ -1249,7 +1274,7 @@ def _fused_optorb_vqd(apply_fn: Callable,
     """
     run_vqd, batch_rdms = _vqd_stage_fns(
         apply_fn, n_active, k, init_mat, betas, weights, sector,
-        sector_init, vqe_maxiter, h_sp.dtype)
+        sector_init, vqe_maxiter, h_sp.dtype, tables=sector_tables)
     vag = _ORBITAL_VAG
 
     def outer_cond(c):
@@ -1398,7 +1423,8 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
                 self._apply_raw, n_active, self.k, self._init_mat,
                 self._betas, self._weights, thetas, U, h_sp, g_sp,
                 vqe_maxiter=self.vqe_maxiter, sector=self._sector,
-                sector_init=self._sector_init)
+                sector_init=self._sector_init,
+                sector_tables=getattr(self, "_sector_tables", None))
 
         w = np.asarray(self._weights)
         U = orth(self._U0)
@@ -1435,7 +1461,8 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
             self._apply_raw, n_active, self.k, self._init_mat,
             self._betas, self._weights, thetas, U, h_sp, g_sp,
             vqe_maxiter=self.vqe_maxiter, sector=self._sector,
-            sector_init=self._sector_init)
+            sector_init=self._sector_init,
+            sector_tables=getattr(self, "_sector_tables", None))
         result = FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(energies),
             optimal_point=np.asarray(thetas),
@@ -1473,6 +1500,7 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
                 sector=self._sector,
                 sector_init=self._sector_init,
                 callback=live_cb,
+                sector_tables=getattr(self, "_sector_tables", None),
             )
         it = int(it)
         if post_cb is not None:

@@ -252,3 +252,48 @@ def test_fused_sector_vqe_sharded_tables_e2e(h2_631g):
                         vqe_chunk=7).compute_minimum_energy()
     np.testing.assert_allclose(r2.eigenvalue, r0.eigenvalue, atol=1e-10)
     np.testing.assert_array_almost_equal(r0.eigenvalue, -1.8661, decimal=3)
+
+
+def test_fused_ssvqe_vqd_sharded_sector_tables(h2_631g):
+    """The excited-state fused family threads the mesh-sharded sector
+    tables too: SSVQE and VQD over a 4-device mesh == unmeshed runs."""
+    from esoo_tpu.parallel import make_orbital_mesh
+    from esoo_tpu.sim import QuantumCircuit, UCCSD
+    from esoo_tpu.orbital_optimization import (FusedOptOrbSSVQE,
+                                               FusedOptOrbVQD)
+
+    ansatz = UCCSD(2, (1, 1), reps=2)
+    s0 = QuantumCircuit(4); s0.x(0); s0.x(2)
+    s1 = QuantumCircuit(4); s1.x(1); s1.x(2)
+    mesh = make_orbital_mesh(4)
+
+    def ssvqe(mesh_):
+        return FusedOptOrbSSVQE(
+            num_spin_orbitals=4, ansatz=ansatz, initial_states=[s0, s1],
+            weight_vector=[2, 1], problem=h2_631g, maxiter=10,
+            simulation="sector", mesh=mesh_).compute_energies()
+
+    r0, r1 = ssvqe(None), None
+    solver = FusedOptOrbSSVQE(
+        num_spin_orbitals=4, ansatz=ansatz, initial_states=[s0, s1],
+        weight_vector=[2, 1], problem=h2_631g, maxiter=10,
+        simulation="sector", mesh=mesh)
+    assert solver._sector_tables is not None
+    r1 = solver.compute_energies()
+    np.testing.assert_allclose(np.asarray(r1.eigenvalues),
+                               np.asarray(r0.eigenvalues), atol=1e-10)
+
+    def vqd(mesh_, dispatch="one"):
+        return FusedOptOrbVQD(
+            num_spin_orbitals=4, ansatz=ansatz, initial_states=[s0, s1],
+            betas=[2, 2], problem=h2_631g, maxiter=10,
+            simulation="sector", mesh=mesh_,
+            dispatch=dispatch).compute_energies()
+
+    v0 = vqd(None)
+    v1 = vqd(mesh)
+    v2 = vqd(mesh, dispatch="two")
+    np.testing.assert_allclose(np.asarray(v1.eigenvalues),
+                               np.asarray(v0.eigenvalues), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(v2.eigenvalues),
+                               np.asarray(v0.eigenvalues), atol=1e-10)
