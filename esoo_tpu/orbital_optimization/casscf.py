@@ -1,0 +1,367 @@
+"""FusedOptOrbCASSCF — orbital optimization around EXACT active-space
+diagonalization (classical CASSCF, TPU-native).
+
+The OptOrb outer loop is eigensolver-agnostic: it alternates "solve the
+active-space eigenproblem at U" with "BB/Stiefel-descend U at fixed
+RDMs" (reference opt_orb_minimum_eigensolver.py:150-214).  Every
+reference solver plugs a *variational quantum* eigensolver into that
+slot; this class plugs in the exact lowest eigenpair of the sector
+Hamiltonian, computed by a fixed-shape Davidson iteration on the
+string-CI sigma kernels (sim/strings.py, solvers/davidson.py):
+
+  * No ansatz, no parameters, no K-gate scan — the eigensolver stage is
+    ~tens of sigma GEMM applications, warm-started across outer
+    iterations from the previous eigenvector.
+  * Energies are variationally exact in the active space: the upper
+    baseline every OptOrbVQE/AdaptVQE configuration converges toward
+    (for two-electron systems UCCSD is exact, so FusedOptOrbVQE and this
+    class agree to optimizer tolerance — tested).
+  * The result is the classical two-step CASSCF method, built from the
+    same TPU kernels as the quantum solvers: rotations are MXU GEMM
+    chains, the sigma algorithm is batched GEMMs, RDMs are
+    pair-correlation GEMMs, and `mesh=` shards both the m^4 integral
+    tensor (last-axis, parallel/sharded.py) and the sigma operator
+    batch (parallel.shard_sector_tables).
+
+No reference counterpart (the reference has no exact eigensolver in the
+loop; its FCI machinery only *initializes* states,
+configuration_interaction_states.py) — this is a beyond-parity
+capability that exists because the sector kernels made H·v cheap.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sim.sector import SectorCI
+from ..solvers.davidson import davidson_ground
+from .fused import (FusedOptOrbResult, _ORBITAL_VAG, _cached_callbacks,
+                    _inner_bb, _make_program_callback, _orb_program,
+                    _place_on_mesh)
+from .kernels import (expand_spin_tensors, rotate_one_body,
+                      rotate_two_body, spatial_blocks,
+                      spin_blocks_consistent, spin_reduce_rdms)
+from .stiefel import orth
+
+
+def _casscf_stage_fns(sector: SectorCI, max_subspace, davidson_maxiter,
+                      dtype, tables=None):
+    """(solve, extract_rdms): exact eigensolver stage at rotated
+    integrals, shared by the one- and two-dispatch programs."""
+    tol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-6
+    nB, nA = sector.nB, sector.nA
+
+    def solve(v_warm, h_act, g_act):
+        h_so, g_so = expand_spin_tensors(h_act, g_act)
+        vals = sector.build_values(h_so, g_so, tables=tables)
+        diag = sector.diagonal_values(vals, tables=tables).reshape(-1)
+
+        def mv(x):
+            return sector.sigma_values(x.reshape(nB, nA), vals,
+                                       tables=tables).reshape(-1)
+
+        res = davidson_ground(mv, diag, v_warm,
+                              max_subspace=max_subspace,
+                              maxiter=davidson_maxiter, tol=tol)
+        return res.eigenvector, res.eigenvalue
+
+    def extract_rdms(v):
+        return sector.rdms(v.reshape(nB, nA), tables=tables)
+
+    return solve, extract_rdms
+
+
+@partial(jax.jit, static_argnames=(
+    "sector", "outer_maxiter", "inner_maxiter", "max_subspace",
+    "davidson_maxiter", "callback"))
+def _fused_optorb_casscf(sector: SectorCI,
+                         v0: jnp.ndarray,
+                         U0: jnp.ndarray,
+                         h_sp: jnp.ndarray,
+                         g_sp: jnp.ndarray,
+                         outer_tol: jnp.ndarray,
+                         inner_tol: jnp.ndarray,
+                         bb_stepsize: jnp.ndarray,
+                         decay: jnp.ndarray,
+                         outer_maxiter: int = 20,
+                         inner_maxiter: int = 10000,
+                         max_subspace: int = 16,
+                         davidson_maxiter: int = 200,
+                         callback=None,
+                         sector_tables=None):
+    """One-dispatch CASSCF loop: (E, v, U, n_outer, trace).  Same outer
+    semantics as _fused_optorb_vqe (convergence rule, pre-rotation-U on
+    convergence, unconditional final re-solve) with the eigensolver
+    stage replaced by warm-started exact Davidson diagonalization."""
+    solve, extract_rdms = _casscf_stage_fns(
+        sector, max_subspace, davidson_maxiter, h_sp.dtype,
+        tables=sector_tables)
+    vag = _ORBITAL_VAG
+
+    def outer_cond(c):
+        return jnp.logical_not(c[-1])
+
+    def outer_body(c):
+        it, v, U, E_prev, _, trace, done = c
+        h_act = rotate_one_body(h_sp, U)
+        g_act = rotate_two_body(g_sp, U)
+        v, E = solve(v, h_act, g_act)
+        trace = trace.at[it].set(E)
+        if callback is not None:
+            jax.debug.callback(callback, it + 1, E, v, U, trace)
+
+        gamma, Gamma = extract_rdms(v)
+        gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
+        U_new = _inner_bb(vag, U, (gamma_s, Gamma_s, h_sp, g_sp),
+                          bb_stepsize, inner_tol, decay, inner_maxiter)
+        converged = jnp.abs(E - E_prev) < outer_tol
+        hit_max = it + 1 >= outer_maxiter
+        U_out = jnp.where(converged, U, U_new)
+        return (it + 1, v, U_out, E, E, trace,
+                jnp.logical_or(converged, hit_max))
+
+    trace0 = jnp.full((outer_maxiter,), jnp.nan, dtype=h_sp.dtype)
+    c0 = (jnp.asarray(0), v0, orth(U0),
+          jnp.asarray(jnp.inf, h_sp.dtype), jnp.asarray(0.0, h_sp.dtype),
+          trace0, jnp.asarray(False))
+    it, v, U, _, E, trace, done = jax.lax.while_loop(
+        outer_cond, outer_body, c0)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    v, E = solve(v, h_act, g_act)
+    return E, v, U, it, trace
+
+
+@partial(jax.jit, static_argnames=(
+    "sector", "max_subspace", "davidson_maxiter"))
+def _casscf_eig_rdm_program(sector: SectorCI,
+                            v_warm: jnp.ndarray,
+                            U: jnp.ndarray,
+                            h_sp: jnp.ndarray,
+                            g_sp: jnp.ndarray,
+                            max_subspace: int = 16,
+                            davidson_maxiter: int = 200,
+                            sector_tables=None):
+    """Two-dispatch program A: rotate, exact-diagonalize, RDMs."""
+    solve, extract_rdms = _casscf_stage_fns(
+        sector, max_subspace, davidson_maxiter, h_sp.dtype,
+        tables=sector_tables)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    v, E = solve(v_warm, h_act, g_act)
+    gamma, Gamma = extract_rdms(v)
+    gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
+    return v, E, gamma_s, Gamma_s
+
+
+class FusedOptOrbCASSCF:
+    """Orbital-optimized exact active-space diagonalization (CASSCF) as
+    one (or two, `dispatch='two'`) compiled XLA program(s).
+
+    Args mirror FusedOptOrbVQE minus the ansatz/eigensolver knobs:
+        num_spin_orbitals: active-space size N (n = N/2 spatial).
+        num_particles: (n_alpha, n_beta); default: from `problem`.
+        max_subspace / davidson_maxiter: Davidson search parameters.
+    Result fields follow FusedOptOrbResult; `optimal_point` holds the
+    exact sector eigenvector (flat, C(n,na)*C(n,nb) amplitudes).
+    """
+
+    def __init__(self,
+                 num_spin_orbitals: int,
+                 problem=None,
+                 integral_tensors=None,
+                 num_particles: Optional[Tuple[int, int]] = None,
+                 initial_partial_unitary=None,
+                 maxiter: int = 20,
+                 stopping_tolerance: float = 1e-5,
+                 inner_stopping_tolerance: float = 1e-5,
+                 inner_maxiter: int = 10000,
+                 initial_BBstepsize: float = 1e-3,
+                 decay_factor: float = 0.8,
+                 max_subspace: int = 16,
+                 davidson_maxiter: int = 200,
+                 dtype=None,
+                 mesh=None,
+                 dispatch: str = "one",
+                 outer_loop_callback=None,
+                 checkpoint_dir=None,
+                 resume_from=None):
+        from ..interop import adapt as _interop_adapt
+        problem, _ = _interop_adapt(problem, None)
+
+        if num_particles is None:
+            if problem is None or not hasattr(problem, "num_particles"):
+                raise ValueError(
+                    "num_particles is required when no problem carrying "
+                    "it is given")
+            num_particles = tuple(problem.num_particles)
+
+        if integral_tensors is not None:
+            h_so = np.asarray(integral_tensors[0], dtype=np.float64)
+            g_so = np.asarray(integral_tensors[1], dtype=np.float64)
+            if not spin_blocks_consistent(h_so, g_so):
+                raise ValueError(
+                    "FusedOptOrbCASSCF requires spin-block-structured "
+                    "integrals")
+            h_sp, g_sp = spatial_blocks(h_so, g_so)
+        elif problem is not None and hasattr(problem,
+                                             "spatial_integral_tensors"):
+            h_sp, g_sp = problem.spatial_integral_tensors()
+        elif problem is not None:
+            h_so, g_so = problem.integral_tensors()
+            if not spin_blocks_consistent(h_so, g_so):
+                raise ValueError(
+                    "FusedOptOrbCASSCF requires spin-block-structured "
+                    "integrals")
+            h_sp, g_sp = spatial_blocks(h_so, g_so)
+        else:
+            raise ValueError(
+                "either `problem` or `integral_tensors` required")
+        dtype = dtype or h_sp.dtype
+        self._h_sp = jnp.asarray(h_sp, dtype=dtype)
+        self._g_sp = jnp.asarray(g_sp, dtype=dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            self._h_sp, self._g_sp = _place_on_mesh(mesh, self._h_sp,
+                                                    self._g_sp)
+
+        self.num_spin_orbitals = num_spin_orbitals
+        self._sector = SectorCI(num_spin_orbitals, num_particles)
+        self._sector_tables = None
+        if mesh is not None:
+            from ..parallel import shard_sector_tables
+            self._sector_tables = shard_sector_tables(mesh, self._sector,
+                                                      dtype)
+
+        if resume_from is not None:
+            from .checkpoint import load_checkpoint
+            ck = load_checkpoint(resume_from)
+            initial_partial_unitary = ck["partial_unitary"]
+            if ("optimal_point" in ck and np.asarray(
+                    ck["optimal_point"]).size == self._sector.dim):
+                self._v0 = jnp.asarray(ck["optimal_point"], dtype=dtype)
+            else:
+                self._v0 = self._sector.hf_matrix(dtype).reshape(-1)
+        else:
+            self._v0 = self._sector.hf_matrix(dtype).reshape(-1)
+
+        m = h_sp.shape[0]
+        n = num_spin_orbitals // 2
+        if initial_partial_unitary is None:
+            U0 = np.zeros((m, n))
+            U0[np.arange(n), np.arange(n)] = 1.0
+        else:
+            U0 = np.asarray(initial_partial_unitary)
+        self._U0 = jnp.asarray(U0, dtype=dtype)
+
+        if maxiter < 1:
+            raise ValueError("maxiter must be >= 1")
+        self.maxiter = maxiter
+        self.stopping_tolerance = stopping_tolerance
+        self.inner_stopping_tolerance = inner_stopping_tolerance
+        self.inner_maxiter = inner_maxiter
+        self.initial_BBstepsize = initial_BBstepsize
+        self.decay_factor = decay_factor
+        self.max_subspace = max_subspace
+        self.davidson_maxiter = davidson_maxiter
+        if dispatch not in ("one", "two"):
+            raise ValueError("dispatch must be 'one' or 'two'")
+        self.dispatch = dispatch
+        self.outer_loop_callback = outer_loop_callback
+        self.checkpoint_dir = checkpoint_dir
+
+    def compute_minimum_energy(self) -> FusedOptOrbResult:
+        from ..utils.config import precision_mode
+        dtype = self._h_sp.dtype
+        mode = "fast" if jnp.finfo(dtype).bits < 64 else "high"
+        with precision_mode(mode):
+            if self.dispatch == "two":
+                return self._run_two_dispatch(dtype)
+            return self._run(dtype)
+
+    def _run(self, dtype) -> FusedOptOrbResult:
+        live_cb, post_cb = _cached_callbacks(self)
+        E, v, U, it, trace = _fused_optorb_casscf(
+            self._sector, self._v0, self._U0, self._h_sp, self._g_sp,
+            jnp.asarray(self.stopping_tolerance, dtype),
+            jnp.asarray(self.inner_stopping_tolerance, dtype),
+            jnp.asarray(self.initial_BBstepsize, dtype),
+            jnp.asarray(self.decay_factor, dtype),
+            outer_maxiter=self.maxiter,
+            inner_maxiter=self.inner_maxiter,
+            max_subspace=self.max_subspace,
+            davidson_maxiter=self.davidson_maxiter,
+            callback=live_cb,
+            sector_tables=self._sector_tables,
+        )
+        it = int(it)
+        if post_cb is not None:
+            post_cb(it, E, v, U, trace)
+        trace = np.asarray(trace)[:it]
+        return FusedOptOrbResult(
+            eigenvalue=float(E),
+            optimal_point=np.asarray(v),
+            optimal_partial_unitary=np.asarray(U),
+            energy_convergence_list=[float(e) for e in trace],
+            outer_iterations=it,
+            optimal_circuit=None,
+        )
+
+    def _run_two_dispatch(self, dtype) -> FusedOptOrbResult:
+        """Eigensolver+RDM program and BB/rotation program per outer
+        iteration, host convergence check — identical semantics to the
+        one-dispatch loop (cf. FusedOptOrbVQE dispatch='two')."""
+        cb = _make_program_callback(self.outer_loop_callback,
+                                    self.checkpoint_dir)
+        h_sp, g_sp = self._h_sp, self._g_sp
+        bb = jnp.asarray(self.initial_BBstepsize, dtype)
+        inner_tol = jnp.asarray(self.inner_stopping_tolerance, dtype)
+        decay = jnp.asarray(self.decay_factor, dtype)
+
+        def solve(v, U):
+            return _casscf_eig_rdm_program(
+                self._sector, v, U, h_sp, g_sp,
+                max_subspace=self.max_subspace,
+                davidson_maxiter=self.davidson_maxiter,
+                sector_tables=self._sector_tables)
+
+        v = self._v0
+        U = orth(self._U0)
+        trace = np.full((self.maxiter,), np.nan)
+        E_prev = np.inf
+        it = 0
+        converged = False
+        while True:
+            v, E, gamma_s, Gamma_s = solve(v, U)
+            E_f = float(E)
+            if it < trace.shape[0]:
+                trace[it] = E_f
+            if cb is not None:
+                cb(it + 1, E_f, np.asarray(v), np.asarray(U), trace)
+            converged = abs(E_f - E_prev) < self.stopping_tolerance
+            it += 1
+            if converged or it >= self.maxiter:
+                break
+            U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
+                             bb, inner_tol, decay,
+                             inner_maxiter=self.inner_maxiter)
+            E_prev = E_f
+        if not converged:
+            U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
+                             bb, inner_tol, decay,
+                             inner_maxiter=self.inner_maxiter)
+        # one-dispatch parity tail: re-solve at the final U
+        v, E, _, _ = solve(v, U)
+        return FusedOptOrbResult(
+            eigenvalue=float(E),
+            optimal_point=np.asarray(v),
+            optimal_partial_unitary=np.asarray(U),
+            energy_convergence_list=[float(e) for e in trace[:it]],
+            outer_iterations=it,
+            optimal_circuit=None,
+        )

@@ -914,3 +914,108 @@ class SectorUCC:
             jnp.where(case2, -jnp.transpose(Gamma_c, (0, 1, 3, 2)),
                       jnp.zeros((), dtype=dtype)))
         return gamma, Gamma
+
+
+class SectorCI:
+    """Gate-free determinant sector: the string-factorized sigma/RDM/
+    diagonal kernels over the FULL (na, nb) sector, with no circuit at
+    all — the operator backbone for exact active-space diagonalization
+    (CASCI) inside the OptOrb outer loop (FusedOptOrbCASSCF).
+
+    Exposes the same table/kernel surface the fused programs thread for
+    SectorUCC (device_tables / build_values / quadform_values / rdms /
+    kernel == 'strings'), so parallel.shard_sector_tables and the
+    tables-as-arguments plumbing work unchanged, plus
+
+      sigma_values(V, vals, tables=None)  -> H @ V on the string grid
+      diagonal_values(vals, tables=None)  -> exact diag(H) over the grid
+      hf_matrix(dtype)                    -> HF unit vector as (nB, nA)
+
+    No reference counterpart (the reference has no exact-diagonalization
+    eigensolver; its closest object is the FCI initializer,
+    configuration_interaction_states.py) — this is the TPU-native upper
+    baseline for every OptOrb* solver.
+    """
+
+    def __init__(self, num_spin_orbitals: int,
+                 num_particles: Tuple[int, int]):
+        N = num_spin_orbitals
+        n = N // 2
+        na, nb = num_particles
+        self.num_qubits = N
+        self.num_particles = (int(na), int(nb))
+        dets = np.asarray(
+            enumerate_determinants(N, (na, nb), max_excitation=na + nb),
+            dtype=np.int64)
+        self.dets = dets
+        self.dim = len(dets)
+        # full sector over both spins is always a product grid
+        self._str_tabs = _strings.build_string_tables(dets, n, [], [], [])
+        self.kernel = "strings"
+        self.nA = len(self._str_tabs.A)
+        self.nB = len(self._str_tabs.B)
+        hf_mask = ((1 << na) - 1) | (((1 << nb) - 1) << n)
+        self.init_index = int(np.searchsorted(dets, hf_mask))
+        self._dev_tabs = {}
+        self._rdm_maps = {}
+        self._content_key = ("SectorCI", N, (int(na), int(nb)))
+
+    def __hash__(self):
+        return hash(self._content_key)
+
+    def __eq__(self, other):
+        return (type(other) is SectorCI
+                and other._content_key == self._content_key)
+
+    def device_tables(self, dtype=None) -> dict:
+        """Host tables pytree (see SectorUCC.device_tables); the gate
+        tables are empty here — only the operator stacks and pair maps."""
+        dtype = np.dtype(dtype if dtype is not None else np.float64)
+        if dtype.name in self._dev_tabs:
+            return self._dev_tabs[dtype.name]
+        s = self._str_tabs
+        f = lambda a: np.asarray(a, dtype=dtype)
+        tabs = dict(MA=f(s.MA), MB=f(s.MB),
+                    LIN_A=s.LIN_A, LIN_B=s.LIN_B, CROSS=f(s.CROSS))
+        self._dev_tabs[dtype.name] = tabs
+        return tabs
+
+    def _tabs(self, tables):
+        return tables if tables is not None else self.device_tables()
+
+    def hf_matrix(self, dtype) -> jnp.ndarray:
+        """The Hartree-Fock determinant as a unit (nB, nA) string matrix
+        (the Davidson starting vector)."""
+        v = jnp.zeros(self.nB * self.nA, dtype=dtype)
+        return v.at[self.init_index].set(1.0).reshape(self.nB, self.nA)
+
+    def build_values(self, h_so: jnp.ndarray, g_so: jnp.ndarray,
+                     tables=None):
+        """Sigma-operator pytree from spin-orbital integrals (package
+        convention E = sum h gamma + sum g Gamma); pure jnp, jit-safe."""
+        return _strings.build_ops(h_so, g_so, self._tabs(tables))
+
+    def sigma_values(self, V: jnp.ndarray, vals, tables=None):
+        return _strings.sigma(V, vals, self._tabs(tables))
+
+    def quadform_values(self, V: jnp.ndarray, vals, tables=None):
+        return _strings.quadform(V, vals, self._tabs(tables))
+
+    def diagonal_values(self, vals, tables=None):
+        return _strings.diagonal(vals, self._tabs(tables))
+
+    def rdms(self, V: jnp.ndarray, tables=None):
+        """Spin-orbital (gamma, Gamma) from a normalized (nB, nA) string
+        matrix (strings.rdms)."""
+        tabs = self._tabs(tables)
+        q_pad = int(tabs["MA"].shape[0])
+        maps = self._rdm_maps.get(q_pad)
+        if maps is None:
+            maps = self._rdm_maps[q_pad] = _strings.build_rdm_maps(
+                self.num_qubits // 2, q_pad=q_pad)
+        return _strings.rdms(V, tabs, maps)
+
+    def to_full(self, V: jnp.ndarray) -> jnp.ndarray:
+        """Scatter a (nB, nA) string matrix into the 2^N statevector."""
+        full = jnp.zeros(2 ** self.num_qubits, dtype=V.dtype)
+        return full.at[jnp.asarray(self.dets)].set(V.reshape(-1))

@@ -500,3 +500,40 @@ def rdms(V, tabs, maps):
     Gamma = Gamma - jnp.asarray(CASE_A, dtype=dt) * jnp.einsum(
         "qr,ps->pqrs", eye, gamma)
     return gamma, Gamma
+
+
+def diagonal(ops, tabs):
+    """Exact diagonal of the sector Hamiltonian over the (nB, nA) string
+    grid — the Davidson preconditioner for exact sector diagonalization
+    (solvers/davidson.py, orbital_optimization FusedOptOrbCASSCF).
+
+    diag(ib, ia) = FA[ia,ia] + FB[ib,ib]
+                 + sum_{a,b alpha} G2[a,b] (MA[a] MA[b])[ia,ia]
+                 + sum_{a,b beta}  G2[a,b] (MB[a] MB[b])[ib,ib]
+                 + sum_{a alpha, b beta} (G2[a,b] + G2[b,a])
+                       diag(MA[a])[ia] diag(MB[b])[ib]
+
+    (same-spin products need the full intermediate sum Σ_j M[a,i,j]
+    M[b,j,i]; cross-spin products factor over the grid).  A few batched
+    GEMMs — O(P^2 ns^2) once per outer iteration.  Padding-transparent
+    like `sigma` (padded operators are zero matrices).  Exactness vs the
+    dense sector Hamiltonian: tests/test_strings.py."""
+    dt = ops["FA"].dtype
+    MA = jnp.asarray(tabs["MA"], dtype=dt)
+    MB = jnp.asarray(tabs["MB"], dtype=dt)
+    qp = MA.shape[0]
+    G2 = ops["G2"]
+    AA = G2[:qp, :qp]
+    BB = G2[qp:, qp:]
+    W_cross = G2[:qp, qp:] + G2[qp:, :qp].T          # (qp, qp)
+    dA1 = jnp.diagonal(ops["FA"])                    # (nA,)
+    dB1 = jnp.diagonal(ops["FB"])                    # (nB,)
+    DA = jnp.diagonal(MA, axis1=1, axis2=2)          # (qp, nA)
+    DB = jnp.diagonal(MB, axis1=1, axis2=2)          # (qp, nB)
+    # same-spin: d2[i] = sum_ab G2[a,b] sum_j M[a,i,j] M[b,j,i]
+    WA = jnp.einsum("ab,bji->aij", AA, MA)      # WA[a,i,j] = Σb AA M[b,j,i]
+    dA2 = jnp.einsum("aij,aij->i", MA, WA)
+    WB = jnp.einsum("ab,bji->aij", BB, MB)
+    dB2 = jnp.einsum("aij,aij->i", MB, WB)
+    cross = jnp.einsum("ab,ai,bj->ji", W_cross, DA, DB)   # (nB, nA)
+    return (dA1 + dA2)[None, :] + (dB1 + dB2)[:, None] + cross

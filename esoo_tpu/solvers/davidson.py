@@ -1,0 +1,142 @@
+"""Jittable Davidson eigensolver for the string-sector Hamiltonian.
+
+Exact lowest-eigenpair solver over an implicitly-represented symmetric
+operator (matvec + exact diagonal): the workhorse of classical string-CI
+codes, here as a fixed-shape JAX program so the whole OptOrb outer loop
+— rotate integrals, diagonalize the active space exactly, extract RDMs,
+BB/Stiefel descent — stays inside one compiled XLA program
+(orbital_optimization/casscf.py FusedOptOrbCASSCF).
+
+Design notes (TPU-first):
+  * Fixed subspace dimension `max_subspace` with implicit restarting —
+    all shapes static, the whole search is one `lax.while_loop`.
+  * One matvec per iteration (the restart reuses the Ritz vector's
+    H-image from the subspace, no extra matvec).
+  * Rayleigh-Ritz on the (m, m) projected matrix via `jnp.linalg.eigh`
+    with +LARGE padding on unused diagonal slots, so the lowest Ritz
+    pair always comes from the active subspace.
+  * The preconditioner is the EXACT sector diagonal
+    (sim/strings.py `diagonal`), the standard Davidson choice for
+    determinant-basis Hamiltonians (huge diagonal spread).
+
+No reference counterpart: the reference's only exact-solver object is
+the FCI *initializer* (configuration_interaction_states.py, host scipy);
+it has no exact eigensolver in the optimization loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class DavidsonResult(NamedTuple):
+    eigenvalue: jnp.ndarray      # lowest Ritz value
+    eigenvector: jnp.ndarray     # (dim,) normalized Ritz vector
+    iterations: jnp.ndarray      # matvec count actually performed
+    residual_norm: jnp.ndarray   # ||H x - E x|| at exit
+
+
+@partial(jax.jit, static_argnames=("matvec", "max_subspace", "maxiter"))
+def davidson_ground(matvec: Callable,
+                    diag: jnp.ndarray,
+                    v0: jnp.ndarray,
+                    max_subspace: int = 16,
+                    maxiter: int = 200,
+                    tol: float = 1e-8) -> DavidsonResult:
+    """Lowest eigenpair of the symmetric operator `matvec` (flat vectors
+    (dim,) -> (dim,)) with exact diagonal `diag`, started from `v0`.
+
+    Convergence: ||H x - E x|| < tol * max(1, |E|).  On stagnation of
+    the preconditioned correction (numerically inside the subspace) the
+    loop exits with the current Ritz pair.
+    """
+    dim = v0.shape[0]
+    dt = v0.dtype
+    m = max_subspace
+    LARGE = jnp.asarray(jnp.finfo(dt).max / 16, dt)
+    eps = jnp.asarray(jnp.finfo(dt).eps, dt)
+
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def body(c):
+        B, HB, cnt, it, E, x, hx, rn, stop = c
+        # Rayleigh-Ritz on the active subspace (inactive rows are zero;
+        # their Gram entries vanish — push their Ritz values to +LARGE)
+        G = B @ HB.T
+        G = (G + G.T) / 2.0
+        inactive = (jnp.arange(m) >= cnt).astype(dt)
+        G = G + jnp.diag(inactive * LARGE)
+        w, Y = jnp.linalg.eigh(G)
+        y = Y[:, 0]
+        E = w[0]
+        x = y @ B
+        hx = y @ HB
+        r = hx - E * x
+        rn = jnp.linalg.norm(r)
+        converged = rn < tol * jnp.maximum(1.0, jnp.abs(E))
+
+        # Davidson correction: t = r / (diag - E), guarded near zero
+        den = diag - E
+        den = jnp.where(jnp.abs(den) < 1e-2, jnp.where(den < 0, -1e-2,
+                                                       1e-2), den)
+        t = r / den
+        # orthogonalize against the basis (two Gram-Schmidt passes;
+        # inactive rows are zero so they project out nothing)
+        t = t - (B @ t) @ B
+        t = t - (B @ t) @ B
+        tn = jnp.linalg.norm(t)
+        stagnant = tn < 64 * eps
+        t = t / jnp.maximum(tn, eps)
+
+        # restart when the subspace is full: collapse to [x, t]
+        full = cnt >= m
+
+        def do_restart(_):
+            Bn = jnp.zeros_like(B).at[0].set(x / jnp.linalg.norm(x))
+            HBn = jnp.zeros_like(HB).at[0].set(hx / jnp.linalg.norm(x))
+            # re-orthogonalize t against the collapsed basis
+            t2 = t - jnp.dot(Bn[0], t) * Bn[0]
+            t2 = t2 / jnp.maximum(jnp.linalg.norm(t2), eps)
+            return (Bn.at[1].set(t2), HBn, jnp.asarray(2, cnt.dtype), t2)
+
+        def do_append(_):
+            return (B.at[cnt].set(t), HB, cnt + 1, t)
+
+        B, HB, cnt, t_new = jax.lax.cond(full, do_restart, do_append,
+                                         operand=None)
+        HB = HB.at[cnt - 1].set(matvec(t_new))
+        stop = jnp.logical_or(converged, stagnant)
+        return (B, HB, cnt, it + 1, E, x, hx, rn, stop)
+
+    def cond(c):
+        _, _, _, it, _, _, _, _, stop = c
+        return jnp.logical_and(jnp.logical_not(stop), it < maxiter)
+
+    B0 = jnp.zeros((m, dim), dt).at[0].set(v0)
+    HB0 = jnp.zeros((m, dim), dt).at[0].set(matvec(v0))
+    c0 = (B0, HB0, jnp.asarray(1), jnp.asarray(1),
+          jnp.asarray(0.0, dt), v0, HB0[0],
+          jnp.asarray(jnp.inf, dt), jnp.asarray(False))
+    B, HB, cnt, it, E, x, hx, rn, stop = jax.lax.while_loop(cond, body, c0)
+    # final Rayleigh-Ritz so the returned pair reflects the last append
+    G = B @ HB.T
+    G = (G + G.T) / 2.0
+    inactive = (jnp.arange(m) >= cnt).astype(dt)
+    G = G + jnp.diag(inactive * LARGE)
+    w, Y = jnp.linalg.eigh(G)
+    y = Y[:, 0]
+    E2 = w[0]
+    x2 = y @ B
+    hx2 = y @ HB
+    rn2 = jnp.linalg.norm(hx2 - E2 * x2)
+    better = rn2 <= rn
+    E = jnp.where(better, E2, E)
+    x = jnp.where(better, x2, x)
+    rn = jnp.where(better, rn2, rn)
+    x = x / jnp.linalg.norm(x)
+    return DavidsonResult(eigenvalue=E, eigenvector=x, iterations=it,
+                          residual_norm=rn)

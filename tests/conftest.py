@@ -37,6 +37,14 @@ def h2_631g():
 
 
 @pytest.fixture(scope="session")
+def h4_631g():
+    from esoo_tpu.chem import MoleculeDriver
+    return MoleculeDriver(
+        atom="H 0 0 0; H 0 0 1.23; H 0 0 2.46; H 0 0 3.69",
+        basis="6-31g").run()
+
+
+@pytest.fixture(scope="session")
 def h2_sto3g_hamiltonian(h2_sto3g):
     from esoo_tpu.ops import ActiveSpaceHamiltonianBuilder
     h, g = h2_sto3g.integral_tensors()

@@ -1,0 +1,154 @@
+"""FusedOptOrbCASSCF + Davidson: exact active-space diagonalization
+inside the OptOrb loop (orbital_optimization/casscf.py,
+solvers/davidson.py, sim/sector.py SectorCI)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+jax.config.update("jax_enable_x64", True)
+
+
+def _random_spin_orbital_tensors(N, seed=0):
+    rng = np.random.default_rng(seed)
+    h = rng.normal(size=(N, N))
+    h = jnp.asarray((h + h.T) / 2)
+    g0 = rng.normal(size=(N,) * 4)
+    g = (g0 + g0.transpose(1, 0, 3, 2) + g0.transpose(2, 3, 0, 1)
+         + g0.transpose(3, 2, 1, 0))
+    return h, jnp.asarray(g)
+
+
+@pytest.mark.parametrize("n,parts", [(3, (1, 1)), (4, (2, 2)), (4, (2, 1))])
+def test_davidson_matches_dense_eigh(n, parts):
+    """Davidson on the SectorCI sigma == lowest eigenvalue of the dense
+    sector Hamiltonian (pairs-kernel oracle), incl. open shells."""
+    from esoo_tpu.sim import HartreeFock, UCCSD
+    from esoo_tpu.sim.sector import SectorCI, SectorUCC
+    from esoo_tpu.solvers.davidson import davidson_ground
+
+    N = 2 * n
+    ci = SectorCI(N, parts)
+    h, g = _random_spin_orbital_tensors(N, seed=n + parts[0])
+    vals = ci.build_values(h, g)
+    diag = ci.diagonal_values(vals).reshape(-1)
+
+    def mv(x):
+        return ci.sigma_values(x.reshape(ci.nB, ci.nA),
+                               vals).reshape(-1)
+
+    res = davidson_ground(mv, diag, ci.hf_matrix(jnp.float64).reshape(-1),
+                          max_subspace=12, maxiter=300, tol=1e-10)
+    ans = UCCSD(n, parts, initial_state=HartreeFock(n, parts))
+    H = np.asarray(SectorUCC(ans, N, kernel="pairs",
+                             num_particles=parts).build_hamiltonian(h, g))
+    w = np.linalg.eigvalsh(H)
+    assert abs(float(res.eigenvalue) - w[0]) < 1e-8
+    # eigenvector residual is small
+    assert float(res.residual_norm) < 1e-8 * max(1.0, abs(w[0]))
+
+
+def test_sector_ci_diagonal_exact():
+    """strings.diagonal == diag of the dense sector Hamiltonian."""
+    from esoo_tpu.sim import HartreeFock, UCCSD
+    from esoo_tpu.sim.sector import SectorCI, SectorUCC
+
+    N, parts = 8, (2, 2)
+    ci = SectorCI(N, parts)
+    h, g = _random_spin_orbital_tensors(N, seed=3)
+    vals = ci.build_values(h, g)
+    d = np.asarray(ci.diagonal_values(vals)).reshape(-1)
+    ans = UCCSD(4, parts, initial_state=HartreeFock(4, parts))
+    H = np.asarray(SectorUCC(ans, N, kernel="pairs").build_hamiltonian(
+        h, g))
+    np.testing.assert_allclose(d, np.diag(H), atol=1e-12)
+
+
+def test_casscf_h2_631g_matches_optorbvqe_value(h2_631g):
+    """UCCSD is exact for two electrons, so CASSCF lands on the same
+    optimum as the reference-anchored OptOrbVQE expectation -1.8661038
+    (reference tests/test_optorbvqe.py:67)."""
+    from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+    r = FusedOptOrbCASSCF(4, problem=h2_631g,
+                          maxiter=20).compute_minimum_energy()
+    np.testing.assert_array_almost_equal(r.eigenvalue, -1.8661038,
+                                         decimal=4)
+    assert r.outer_iterations <= 10
+    # eigenvector is returned normalized, in the sector basis
+    assert abs(np.linalg.norm(r.optimal_point) - 1.0) < 1e-8
+
+
+def test_casscf_two_dispatch_equals_one_dispatch(h2_631g):
+    from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+    one = FusedOptOrbCASSCF(4, problem=h2_631g,
+                            maxiter=12).compute_minimum_energy()
+    two = FusedOptOrbCASSCF(4, problem=h2_631g, maxiter=12,
+                            dispatch="two").compute_minimum_energy()
+    np.testing.assert_allclose(two.eigenvalue, one.eigenvalue, atol=1e-10)
+    np.testing.assert_allclose(two.optimal_partial_unitary,
+                               one.optimal_partial_unitary, atol=1e-8)
+
+
+def test_casscf_below_or_equal_vqe(h4_631g):
+    """Exact diagonalization is the variational upper baseline: CASSCF
+    energy <= converged OptOrbVQE (UCCSD) energy at the same size."""
+    from esoo_tpu.orbital_optimization import (FusedOptOrbCASSCF,
+                                               FusedOptOrbVQE)
+    from esoo_tpu.sim import HartreeFock, UCCSD
+
+    rc = FusedOptOrbCASSCF(8, problem=h4_631g,
+                           maxiter=20).compute_minimum_energy()
+    ansatz = UCCSD(4, (2, 2), initial_state=HartreeFock(4, (2, 2)))
+    rv = FusedOptOrbVQE(8, ansatz, problem=h4_631g,
+                        maxiter=20).compute_minimum_energy()
+    assert rc.eigenvalue <= rv.eigenvalue + 1e-9
+
+
+def test_casscf_checkpoint_resume(h2_631g, tmp_path):
+    """resume_from warm-starts both U and the sector eigenvector."""
+    from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+    ckdir = str(tmp_path / "ck")
+    r = FusedOptOrbCASSCF(4, problem=h2_631g, maxiter=12,
+                          checkpoint_dir=ckdir).compute_minimum_energy()
+    import glob
+    cks = sorted(glob.glob(ckdir + "/*.npz"))
+    assert cks
+    r2 = FusedOptOrbCASSCF(4, problem=h2_631g, maxiter=12,
+                           resume_from=cks[-1]).compute_minimum_energy()
+    # the resumed run restarts the convergence check (E_prev = inf), so
+    # it may descend a little further than the original's stopping
+    # point — it must land at the same optimum at tolerance scale and
+    # never above the checkpointed energy
+    np.testing.assert_allclose(r2.eigenvalue, r.eigenvalue, atol=1e-4)
+    assert r2.eigenvalue <= r.eigenvalue + 1e-9
+
+
+def test_casscf_requires_particles_or_problem():
+    from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+    N = 4
+    h = np.zeros((N, N))
+    g = np.zeros((N,) * 4)
+    with pytest.raises(ValueError, match="num_particles"):
+        FusedOptOrbCASSCF(4, integral_tensors=(h, g))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4,
+                    reason="needs multiple (virtual) devices")
+def test_casscf_mesh_equality(h2_631g):
+    """mesh= shards both the g tensor and the sigma operator batch;
+    energies match the unmeshed run."""
+    from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+    from esoo_tpu.parallel import make_orbital_mesh
+
+    r0 = FusedOptOrbCASSCF(4, problem=h2_631g,
+                           maxiter=12).compute_minimum_energy()
+    solver = FusedOptOrbCASSCF(4, problem=h2_631g, maxiter=12,
+                               mesh=make_orbital_mesh(4))
+    assert solver._sector_tables is not None
+    r1 = solver.compute_minimum_energy()
+    np.testing.assert_allclose(r1.eigenvalue, r0.eigenvalue, atol=1e-10)
