@@ -57,19 +57,28 @@ def davidson_ground(matvec: Callable,
     dim = v0.shape[0]
     dt = v0.dtype
     m = max_subspace
-    LARGE = jnp.asarray(jnp.finfo(dt).max / 16, dt)
     eps = jnp.asarray(jnp.finfo(dt).eps, dt)
 
     v0 = v0 / jnp.linalg.norm(v0)
 
+    def _ritz_pad(G, cnt):
+        """Set inactive diagonal slots (zero rows of B -> zero Gram
+        entries) to max(active diag) + 1: strictly above the lowest
+        eigenvalue (lambda_min <= min diag <= max diag) while keeping
+        ||G|| at spectrum scale — a finfo-max pad makes the TPU's f32
+        eigh lose the active block entirely (measured: Davidson
+        returned the unconverged start vector on the v5e)."""
+        inactive = (jnp.arange(m) >= cnt).astype(dt)
+        dG = jnp.diagonal(G)
+        mx = jnp.max(jnp.where(inactive > 0, -jnp.inf, dG))
+        return G + jnp.diag(inactive * (mx + 1.0))
+
     def body(c):
         B, HB, cnt, it, E, x, hx, rn, stop = c
-        # Rayleigh-Ritz on the active subspace (inactive rows are zero;
-        # their Gram entries vanish — push their Ritz values to +LARGE)
+        # Rayleigh-Ritz on the active subspace
         G = B @ HB.T
         G = (G + G.T) / 2.0
-        inactive = (jnp.arange(m) >= cnt).astype(dt)
-        G = G + jnp.diag(inactive * LARGE)
+        G = _ritz_pad(G, cnt)
         w, Y = jnp.linalg.eigh(G)
         y = Y[:, 0]
         E = w[0]
@@ -125,8 +134,7 @@ def davidson_ground(matvec: Callable,
     # final Rayleigh-Ritz so the returned pair reflects the last append
     G = B @ HB.T
     G = (G + G.T) / 2.0
-    inactive = (jnp.arange(m) >= cnt).astype(dt)
-    G = G + jnp.diag(inactive * LARGE)
+    G = _ritz_pad(G, cnt)
     w, Y = jnp.linalg.eigh(G)
     y = Y[:, 0]
     E2 = w[0]
