@@ -4,7 +4,7 @@ from .eigensolver import OptOrbEigensolver, OptOrbEigensolverResult
 from .fused import (FusedOptOrbAdaptVQE, FusedOptOrbEigensolverResult,
                     FusedOptOrbMCVQE, FusedOptOrbResult, FusedOptOrbSSVQE,
                     FusedOptOrbVQD, FusedOptOrbVQE)
-from .casscf import FusedOptOrbCASSCF
+from .casscf import FusedOptOrbCASSCF, FusedOptOrbSACASSCF
 from .kernels import (
     expand_spin,
     rotate_one_body,
@@ -29,7 +29,7 @@ __all__ = [
     "load_checkpoint", "save_checkpoint",
     "OptOrbEigensolver", "OptOrbEigensolverResult",
     "FusedOptOrbResult", "FusedOptOrbVQE", "FusedOptOrbAdaptVQE",
-    "FusedOptOrbCASSCF",
+    "FusedOptOrbCASSCF", "FusedOptOrbSACASSCF",
     "FusedOptOrbEigensolverResult", "FusedOptOrbMCVQE", "FusedOptOrbSSVQE",
     "FusedOptOrbVQD",
     "OptOrbMinimumEigensolver", "OptOrbMinimumEigensolverResult",

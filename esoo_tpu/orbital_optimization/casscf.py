@@ -365,3 +365,268 @@ class FusedOptOrbCASSCF:
             outer_iterations=it,
             optimal_circuit=None,
         )
+
+
+def _sa_casscf_stage_fns(sector: SectorCI, k, weights, max_subspace,
+                         davidson_maxiter, dtype, tables=None):
+    """(solve, extract_rdms) for the state-averaged eigensolver stage:
+    lowest-k block Davidson + weight-combined RDMs."""
+    from ..solvers.davidson import davidson_block
+    tol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-6
+    nB, nA = sector.nB, sector.nA
+
+    def solve(V_warm, h_act, g_act):
+        h_so, g_so = expand_spin_tensors(h_act, g_act)
+        vals = sector.build_values(h_so, g_so, tables=tables)
+        diag = sector.diagonal_values(vals, tables=tables).reshape(-1)
+
+        def mv(x):
+            return sector.sigma_values(x.reshape(nB, nA), vals,
+                                       tables=tables).reshape(-1)
+
+        res = davidson_block(mv, diag, V_warm, k=k,
+                             max_subspace=max_subspace,
+                             maxiter=davidson_maxiter, tol=tol)
+        return res.eigenvectors, res.eigenvalues
+
+    def extract_rdms(V):
+        gammas, Gammas = jax.vmap(
+            lambda v: sector.rdms(v.reshape(nB, nA), tables=tables))(V)
+        return (jnp.tensordot(weights, gammas, axes=1),
+                jnp.tensordot(weights, Gammas, axes=1))
+
+    return solve, extract_rdms
+
+
+@partial(jax.jit, static_argnames=(
+    "sector", "k", "outer_maxiter", "inner_maxiter", "max_subspace",
+    "davidson_maxiter", "callback"))
+def _fused_optorb_sa_casscf(sector: SectorCI,
+                            k: int,
+                            weights: jnp.ndarray,
+                            V0: jnp.ndarray,
+                            U0: jnp.ndarray,
+                            h_sp: jnp.ndarray,
+                            g_sp: jnp.ndarray,
+                            outer_tol: jnp.ndarray,
+                            inner_tol: jnp.ndarray,
+                            bb_stepsize: jnp.ndarray,
+                            decay: jnp.ndarray,
+                            outer_maxiter: int = 20,
+                            inner_maxiter: int = 10000,
+                            max_subspace: int = 24,
+                            davidson_maxiter: int = 200,
+                            callback=None,
+                            sector_tables=None):
+    """One-dispatch state-averaged CASSCF loop:
+    (energies, V, U, n_outer, trace); convergence on the weighted sum
+    (the OptOrbEigensolver rule, reference opt_orb_eigensolver.py)."""
+    solve, extract_rdms = _sa_casscf_stage_fns(
+        sector, k, weights, max_subspace, davidson_maxiter, h_sp.dtype,
+        tables=sector_tables)
+    vag = _ORBITAL_VAG
+
+    def outer_cond(c):
+        return jnp.logical_not(c[-1])
+
+    def outer_body(c):
+        it, V, U, E_prev, _, trace, done = c
+        h_act = rotate_one_body(h_sp, U)
+        g_act = rotate_two_body(g_sp, U)
+        V, es = solve(V, h_act, g_act)
+        Ew = jnp.dot(weights, es)
+        trace = trace.at[it].set(Ew)
+        if callback is not None:
+            jax.debug.callback(callback, it + 1, es, V, U, trace)
+
+        gamma, Gamma = extract_rdms(V)
+        gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
+        U_new = _inner_bb(vag, U, (gamma_s, Gamma_s, h_sp, g_sp),
+                          bb_stepsize, inner_tol, decay, inner_maxiter)
+        converged = jnp.abs(Ew - E_prev) < outer_tol
+        hit_max = it + 1 >= outer_maxiter
+        U_out = jnp.where(converged, U, U_new)
+        return (it + 1, V, U_out, Ew, Ew, trace,
+                jnp.logical_or(converged, hit_max))
+
+    trace0 = jnp.full((outer_maxiter,), jnp.nan, dtype=h_sp.dtype)
+    c0 = (jnp.asarray(0), V0, orth(U0),
+          jnp.asarray(jnp.inf, h_sp.dtype), jnp.asarray(0.0, h_sp.dtype),
+          trace0, jnp.asarray(False))
+    it, V, U, _, Ew, trace, done = jax.lax.while_loop(
+        outer_cond, outer_body, c0)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    V, es = solve(V, h_act, g_act)
+    return es, V, U, it, trace
+
+
+@partial(jax.jit, static_argnames=(
+    "sector", "k", "max_subspace", "davidson_maxiter"))
+def _sa_casscf_eig_rdm_program(sector: SectorCI,
+                               k: int,
+                               weights: jnp.ndarray,
+                               V_warm: jnp.ndarray,
+                               U: jnp.ndarray,
+                               h_sp: jnp.ndarray,
+                               g_sp: jnp.ndarray,
+                               max_subspace: int = 24,
+                               davidson_maxiter: int = 200,
+                               sector_tables=None):
+    """Two-dispatch program A: rotate, block-diagonalize, weighted RDMs."""
+    solve, extract_rdms = _sa_casscf_stage_fns(
+        sector, k, weights, max_subspace, davidson_maxiter, h_sp.dtype,
+        tables=sector_tables)
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    V, es = solve(V_warm, h_act, g_act)
+    gamma, Gamma = extract_rdms(V)
+    gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
+    return V, es, gamma_s, Gamma_s
+
+
+class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
+    """State-averaged CASSCF: orbital optimization over the weighted sum
+    of the k LOWEST exact sector eigenvalues (block Davidson), the exact
+    counterpart of FusedOptOrbSSVQE/MCVQE/VQD — and their variational
+    upper baseline.  Weighted-sum convergence and weight-combined RDMs
+    follow the reference OptOrbEigensolver semantics
+    (opt_orb_eigensolver.py:149-169).
+
+    Extra args vs FusedOptOrbCASSCF:
+        k: number of states.
+        weight_vector: orbital-update weights (default k, k-1, ..., 1 —
+            the FusedOptOrbSSVQE convention).
+    `compute_energies()` returns a FusedOptOrbEigensolverResult whose
+    `optimal_point` holds the (k, nd) eigenvector block.
+    """
+
+    def __init__(self, num_spin_orbitals: int, k: int = 2,
+                 weight_vector=None, **kwargs):
+        max_subspace = kwargs.pop("max_subspace", None)
+        super().__init__(num_spin_orbitals, **kwargs)
+        if k < 1 or k > self._sector.dim:
+            raise ValueError(f"k={k} out of range for a "
+                             f"{self._sector.dim}-determinant sector")
+        self.k = int(k)
+        self.max_subspace = (max_subspace if max_subspace is not None
+                             else max(24, 4 * self.k))
+        if self.max_subspace < 2 * self.k:
+            raise ValueError("max_subspace must be >= 2k")
+        if weight_vector is None:
+            weight_vector = [self.k - i for i in range(self.k)]
+        if len(weight_vector) != self.k:
+            raise ValueError(f"weight_vector needs {self.k} entries")
+        dtype = self._h_sp.dtype
+        self._weights = jnp.asarray(weight_vector, dtype=dtype)
+        # seed: one-hot determinants at the k lowest diagonal entries of
+        # the initial (U0-rotated) sector Hamiltonian; a resumed (k, nd)
+        # eigenvector block from the checkpoint overrides it
+        v_ck = np.asarray(self._v0).reshape(-1)
+        if v_ck.size == self.k * self._sector.dim:
+            self._V0 = jnp.asarray(v_ck.reshape(self.k, self._sector.dim),
+                                   dtype=dtype)
+        else:
+            h_act = rotate_one_body(self._h_sp, orth(self._U0))
+            g_act = rotate_two_body(self._g_sp, orth(self._U0))
+            h_so, g_so = expand_spin_tensors(h_act, g_act)
+            vals = self._sector.build_values(
+                h_so, g_so, tables=self._sector_tables)
+            diag = np.asarray(self._sector.diagonal_values(
+                vals, tables=self._sector_tables)).reshape(-1)
+            order = np.argsort(diag)[: self.k]
+            V0 = np.zeros((self.k, self._sector.dim))
+            V0[np.arange(self.k), order] = 1.0
+            self._V0 = jnp.asarray(V0, dtype=dtype)
+
+    def compute_minimum_energy(self):
+        raise AttributeError(
+            "FusedOptOrbSACASSCF computes k states — use "
+            "compute_energies()")
+
+    def compute_energies(self):
+        from .fused import FusedOptOrbEigensolverResult
+        from ..utils.config import precision_mode
+        dtype = self._h_sp.dtype
+        mode = "fast" if jnp.finfo(dtype).bits < 64 else "high"
+        with precision_mode(mode):
+            if self.dispatch == "two":
+                return self._run_two_dispatch_sa(dtype)
+            live_cb, post_cb = _cached_callbacks(self)
+            es, V, U, it, trace = _fused_optorb_sa_casscf(
+                self._sector, self.k, self._weights, self._V0, self._U0,
+                self._h_sp, self._g_sp,
+                jnp.asarray(self.stopping_tolerance, dtype),
+                jnp.asarray(self.inner_stopping_tolerance, dtype),
+                jnp.asarray(self.initial_BBstepsize, dtype),
+                jnp.asarray(self.decay_factor, dtype),
+                outer_maxiter=self.maxiter,
+                inner_maxiter=self.inner_maxiter,
+                max_subspace=self.max_subspace,
+                davidson_maxiter=self.davidson_maxiter,
+                callback=live_cb,
+                sector_tables=self._sector_tables,
+            )
+            it = int(it)
+            if post_cb is not None:
+                post_cb(it, es, V, U, trace)
+            trace = np.asarray(trace)[:it]
+            return FusedOptOrbEigensolverResult(
+                eigenvalues=np.asarray(es),
+                optimal_point=np.asarray(V),
+                optimal_partial_unitary=np.asarray(U),
+                energy_convergence_list=[float(e) for e in trace],
+                outer_iterations=it,
+            )
+
+    def _run_two_dispatch_sa(self, dtype):
+        from .fused import FusedOptOrbEigensolverResult
+        cb = _make_program_callback(self.outer_loop_callback,
+                                    self.checkpoint_dir)
+        h_sp, g_sp = self._h_sp, self._g_sp
+        bb = jnp.asarray(self.initial_BBstepsize, dtype)
+        inner_tol = jnp.asarray(self.inner_stopping_tolerance, dtype)
+        decay = jnp.asarray(self.decay_factor, dtype)
+        w = np.asarray(self._weights)
+
+        def solve(V, U):
+            return _sa_casscf_eig_rdm_program(
+                self._sector, self.k, self._weights, V, U, h_sp, g_sp,
+                max_subspace=self.max_subspace,
+                davidson_maxiter=self.davidson_maxiter,
+                sector_tables=self._sector_tables)
+
+        V = self._V0
+        U = orth(self._U0)
+        trace = np.full((self.maxiter,), np.nan)
+        E_prev = np.inf
+        it = 0
+        converged = False
+        while True:
+            V, es, gamma_s, Gamma_s = solve(V, U)
+            Ew_f = float(np.dot(w, np.asarray(es)))
+            if it < trace.shape[0]:
+                trace[it] = Ew_f
+            if cb is not None:
+                cb(it + 1, np.asarray(es), np.asarray(V), np.asarray(U),
+                   trace)
+            converged = abs(Ew_f - E_prev) < self.stopping_tolerance
+            it += 1
+            if converged or it >= self.maxiter:
+                break
+            U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
+                             bb, inner_tol, decay,
+                             inner_maxiter=self.inner_maxiter)
+            E_prev = Ew_f
+        if not converged:
+            U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
+                             bb, inner_tol, decay,
+                             inner_maxiter=self.inner_maxiter)
+        V, es, _, _ = solve(V, U)
+        return FusedOptOrbEigensolverResult(
+            eigenvalues=np.asarray(es),
+            optimal_point=np.asarray(V),
+            optimal_partial_unitary=np.asarray(U),
+            energy_convergence_list=[float(e) for e in trace[:it]],
+            outer_iterations=it,
+        )

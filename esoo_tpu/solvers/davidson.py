@@ -148,3 +148,121 @@ def davidson_ground(matvec: Callable,
     x = x / jnp.linalg.norm(x)
     return DavidsonResult(eigenvalue=E, eigenvector=x, iterations=it,
                           residual_norm=rn)
+
+
+class BlockDavidsonResult(NamedTuple):
+    eigenvalues: jnp.ndarray     # (k,) lowest Ritz values, ascending
+    eigenvectors: jnp.ndarray    # (k, dim) orthonormal Ritz vectors
+    iterations: jnp.ndarray      # outer Davidson iterations performed
+    residual_norm: jnp.ndarray   # max_i ||H x_i - E_i x_i|| at exit
+
+
+@partial(jax.jit, static_argnames=("matvec", "k", "max_subspace",
+                                   "maxiter"))
+def davidson_block(matvec: Callable,
+                   diag: jnp.ndarray,
+                   V0: jnp.ndarray,
+                   k: int,
+                   max_subspace: int = 24,
+                   maxiter: int = 200,
+                   tol: float = 1e-8) -> BlockDavidsonResult:
+    """Lowest k eigenpairs of the symmetric operator `matvec` by block
+    Davidson: per iteration, Rayleigh-Ritz over the subspace, k
+    preconditioned residual corrections appended (orthonormalized
+    against the basis and each other), restart collapsing to the k Ritz
+    vectors when the subspace fills.  `V0` is (k, dim) (rows need not be
+    orthonormal; they are orthonormalized).  One batched k-vector
+    matvec per iteration.  Exactness vs dense eigh: tests/test_casscf.py.
+    """
+    dim = V0.shape[1]
+    dt = V0.dtype
+    m = max_subspace
+    if m < 2 * k:
+        raise ValueError(f"max_subspace={m} must be >= 2k={2 * k}")
+    eps = jnp.asarray(jnp.finfo(dt).eps, dt)
+
+    bmv = jax.vmap(matvec)
+
+    def _gs_rows(X, B, cnt):
+        mask = (jnp.arange(B.shape[0]) < cnt).astype(dt)
+        rows = []
+        for i in range(X.shape[0]):
+            x = X[i]
+            for _ in range(2):
+                x = x - ((B @ x) * mask) @ B
+                for r in rows:
+                    x = x - jnp.dot(r, x) * r
+            nx = jnp.linalg.norm(x)
+            ok = nx > 256 * eps
+            x = jnp.where(ok, x / jnp.maximum(nx, eps), jnp.zeros_like(x))
+            rows.append(x)
+        return jnp.stack(rows)
+
+    def _ritz(B, HB, cnt):
+        G = B @ HB.T
+        G = (G + G.T) / 2.0
+        inactive = (jnp.arange(m) >= cnt).astype(dt)
+        dG = jnp.diagonal(G)
+        mx = jnp.max(jnp.where(inactive > 0, -jnp.inf, dG))
+        G = G + jnp.diag(inactive * (mx + 1.0))
+        w, Y = jnp.linalg.eigh(G)
+        X = Y[:, :k].T @ B           # (k, dim) Ritz vectors
+        HX = Y[:, :k].T @ HB
+        return w[:k], X, HX
+
+    def body(c):
+        B, HB, cnt, it, ws, X, HX, rn, stop = c
+        ws, X, HX = _ritz(B, HB, cnt)
+        R = HX - ws[:, None] * X
+        rn = jnp.max(jnp.linalg.norm(R, axis=1))
+        converged = rn < tol * jnp.maximum(1.0, jnp.max(jnp.abs(ws)))
+
+        den = diag[None, :] - ws[:, None]
+        den = jnp.where(jnp.abs(den) < 1e-2,
+                        jnp.where(den < 0, -1e-2, 1e-2), den)
+        T = R / den
+
+        full = cnt + k > m
+
+        def do_restart(_):
+            Bn = jnp.zeros_like(B).at[:k].set(X)
+            HBn = jnp.zeros_like(HB).at[:k].set(HX)
+            return Bn, HBn, jnp.asarray(k, cnt.dtype)
+
+        def no_restart(_):
+            return B, HB, cnt
+
+        B2, HB2, cnt2 = jax.lax.cond(full, do_restart, no_restart, None)
+        Tn = _gs_rows(T, B2, cnt2)
+        alive = (jnp.linalg.norm(Tn, axis=1) > 0.5).astype(dt)
+        stagnant = jnp.sum(alive) < 0.5
+        HT = bmv(Tn) * alive[:, None]
+        idx = cnt2 + jnp.arange(k)
+        B3 = B2.at[idx].set(Tn)      # dead rows are zero: inert
+        HB3 = HB2.at[idx].set(HT)
+        cnt3 = cnt2 + jnp.asarray(k, cnt2.dtype)
+        stop = jnp.logical_or(converged, stagnant)
+        return (B3, HB3, cnt3, it + 1, ws, X, HX, rn, stop)
+
+    def cond(c):
+        _, _, _, it, _, _, _, _, stop = c
+        return jnp.logical_and(jnp.logical_not(stop), it < maxiter)
+
+    V0 = _gs_rows(V0, jnp.zeros((m, dim), dt), jnp.asarray(0))
+    B0 = jnp.zeros((m, dim), dt).at[:k].set(V0)
+    HB0 = jnp.zeros((m, dim), dt).at[:k].set(bmv(V0))
+    ws0 = jnp.zeros((k,), dt)
+    c0 = (B0, HB0, jnp.asarray(k), jnp.asarray(1), ws0, V0, HB0[:k],
+          jnp.asarray(jnp.inf, dt), jnp.asarray(False))
+    B, HB, cnt, it, ws, X, HX, rn, stop = jax.lax.while_loop(cond, body,
+                                                             c0)
+    ws2, X2, HX2 = _ritz(B, HB, cnt)
+    R2 = HX2 - ws2[:, None] * X2
+    rn2 = jnp.max(jnp.linalg.norm(R2, axis=1))
+    better = rn2 <= rn
+    ws = jnp.where(better, ws2, ws)
+    X = jnp.where(better, X2, X)
+    rn = jnp.where(better, rn2, rn)
+    X = X / jnp.linalg.norm(X, axis=1, keepdims=True)
+    return BlockDavidsonResult(eigenvalues=ws, eigenvectors=X,
+                               iterations=it, residual_norm=rn)
