@@ -40,13 +40,29 @@ import numpy as np
 
 from ..sim.sector import SectorCI
 from ..solvers.davidson import davidson_ground
-from .fused import (FusedOptOrbResult, _ORBITAL_VAG, _cached_callbacks,
-                    _inner_bb, _make_program_callback, _orb_program,
-                    _place_on_mesh)
+from .fused import (FusedOptOrbResult, _ORBITAL_VAG, _TABLED_MIN_ND,
+                    _cached_callbacks, _inner_bb, _make_program_callback,
+                    _orb_program, _place_on_mesh)
 from .kernels import (expand_spin_tensors, rotate_one_body,
                       rotate_two_body, spatial_blocks,
                       spin_blocks_consistent, spin_reduce_rdms)
 from .stiefel import orth
+
+
+_SECTOR_CI_CACHE = {}
+
+
+def _sector_ci_cached(num_spin_orbitals: int,
+                      num_particles: Tuple[int, int]) -> SectorCI:
+    """SectorCI instances keyed (N, particles): construction is pure in
+    the key, and the host table build is minutes at the million-
+    determinant shapes (H8 N=28) — pay it once per process, not per
+    solver instance."""
+    key = (int(num_spin_orbitals), tuple(int(p) for p in num_particles))
+    hit = _SECTOR_CI_CACHE.get(key)
+    if hit is None:
+        hit = _SECTOR_CI_CACHE[key] = SectorCI(*key)
+    return hit
 
 
 def _casscf_stage_fns(sector: SectorCI, max_subspace, davidson_maxiter,
@@ -231,12 +247,29 @@ class FusedOptOrbCASSCF:
                                                     self._g_sp)
 
         self.num_spin_orbitals = num_spin_orbitals
-        self._sector = SectorCI(num_spin_orbitals, num_particles)
+        self._sector = _sector_ci_cached(num_spin_orbitals,
+                                         tuple(num_particles))
         self._sector_tables = None
         if mesh is not None:
             from ..parallel import shard_sector_tables
             self._sector_tables = shard_sector_tables(mesh, self._sector,
                                                       dtype)
+        elif self._sector.dim >= _TABLED_MIN_ND:
+            # large sectors: the MA/MB operator stacks as program
+            # ARGUMENTS (device buffers, transferred once) — baked
+            # constants at this size break the remote-compile transport
+            # (the documented ~630 MB failure class, CLAUDE.md).  The
+            # device buffers are cached on the (cached) SectorCI so a
+            # second solver instance re-transfers nothing (measured at
+            # H8 N=28: the 1.6 GB stacks dominate the warm wall)
+            cache = getattr(self._sector, "_dev_put_cache", None)
+            if cache is None:
+                cache = self._sector._dev_put_cache = {}
+            key = np.dtype(dtype).name
+            if key not in cache:
+                cache[key] = jax.device_put(
+                    self._sector.device_tables(dtype))
+            self._sector_tables = cache[key]
 
         if resume_from is not None:
             from .checkpoint import load_checkpoint
