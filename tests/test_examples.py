@@ -81,3 +81,13 @@ def test_h2s_frozen_core_example():
 def test_custom_basis_gbs_example():
     out = _run("examples/Custom_Basis_GBS.py")
     assert "identical" in out
+
+
+@pytest.mark.slow
+def test_h4_casscf_example():
+    out = _run("examples/H4_CASSCF.py")
+    line = [ln for ln in out.splitlines()
+            if ln.startswith("FusedOptOrbCASSCF")][0]
+    energy = float(line.split(":")[1].split("Ha")[0])
+    np.testing.assert_allclose(energy, -4.032159, atol=5e-4)
+    assert "FusedOptOrbSACASSCF" in out
