@@ -1517,9 +1517,11 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
 
 
 def _adapt_stage_fns(state_fn, n_active, R, P, sector, vqe_maxiter, dtype,
-                     grad_tol, eig_tol):
+                     grad_tol, eig_tol, tables=None):
     """(run_adapt, extract_rdms) for the ADAPT eigensolver stage, shared
-    by the one-dispatch program and the two-dispatch variant."""
+    by the one-dispatch program and the two-dispatch variant.  `tables`
+    threads the sector tables in as program arguments (mesh-sharded
+    placement, parallel.shard_sector_tables)."""
     N = 2 * n_active
     gtol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-5
 
@@ -1537,15 +1539,16 @@ def _adapt_stage_fns(state_fn, n_active, R, P, sector, vqe_maxiter, dtype,
     else:
         def make_energy(h_act, g_act):
             h_so, g_so = expand_spin_tensors(h_act, g_act)
-            vals = sector.build_values(h_so, g_so)
+            vals = sector.build_values(h_so, g_so, tables=tables)
 
             def energy(theta):
-                return sector.energy_values(theta, vals)
+                return sector.energy_values(theta, vals, tables=tables)
             return energy
 
         def extract_rdms(theta):
             # sector-native RDMs: never touches the 2^N space
-            return sector.rdms(sector.state(theta))
+            return sector.rdms(sector.state(theta, tables=tables),
+                               tables=tables)
 
     def run_adapt(h_act, g_act):
         vqe_energy = make_energy(h_act, g_act)
@@ -1607,12 +1610,13 @@ def _adapt_eig_rdm_program(state_fn: Callable,
                            grad_tol: jnp.ndarray,
                            eig_tol: jnp.ndarray,
                            vqe_maxiter: int = 200,
-                           sector=None):
+                           sector=None,
+                           sector_tables=None):
     """Two-dispatch mode, ADAPT program A: rotate integrals, run the
     on-device growth loop from scratch, extract spin-reduced RDMs."""
     run_adapt, extract_rdms = _adapt_stage_fns(
         state_fn, n_active, R, P, sector, vqe_maxiter, h_sp.dtype,
-        grad_tol, eig_tol)
+        grad_tol, eig_tol, tables=sector_tables)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
     theta, mask, E = run_adapt(h_act, g_act)
@@ -1641,7 +1645,8 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
                             inner_maxiter: int = 10000,
                             vqe_maxiter: int = 200,
                             sector=None,
-                            callback=None):
+                            callback=None,
+                            sector_tables=None):
     """Fused ADAPT-VQE OptOrb loop: (E, theta, mask, U, n_outer, trace).
 
     ADAPT growth runs entirely on device as masking over a fixed padded
@@ -1665,7 +1670,7 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
     dtype = h_sp.dtype
     run_adapt, extract_rdms = _adapt_stage_fns(
         state_fn, n_active, R, P, sector, vqe_maxiter, dtype,
-        grad_tol, eig_tol)
+        grad_tol, eig_tol, tables=sector_tables)
     vag = _ORBITAL_VAG
 
     def outer_cond(c):
@@ -1813,11 +1818,7 @@ class FusedOptOrbVQE:
         # the HBM hog at N>=24 sectors — partitions as P/D across chips
         self._sector_tables = None
         if (mesh is not None and self._sector is not None
-                and self._sector.kernel == "strings"
-                and type(self) is FusedOptOrbVQE):
-            # (ADAPT overrides the run methods with its own growth-loop
-            # programs, which do not thread sector tables — its mesh
-            # support shards the integral tensors only)
+                and self._sector.kernel == "strings"):
             from ..parallel import shard_sector_tables
             self._sector_tables = shard_sector_tables(mesh, self._sector,
                                                       dtype)
@@ -2081,7 +2082,8 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
             return _adapt_eig_rdm_program(
                 state_fn, n_active, self._R, self._P, U, h_sp, g_sp,
                 grad_tol, eig_tol, vqe_maxiter=self.vqe_maxiter,
-                sector=self._sector)
+                sector=self._sector,
+                sector_tables=getattr(self, "_sector_tables", None))
 
         U = orth(self._U0)
         trace = np.full((self.maxiter,), np.nan)
@@ -2139,6 +2141,7 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
             vqe_maxiter=self.vqe_maxiter,
             sector=self._sector,
             callback=live_cb,
+            sector_tables=getattr(self, "_sector_tables", None),
         )
         it = int(it)
         if post_cb is not None:
