@@ -297,3 +297,25 @@ def test_fused_ssvqe_vqd_sharded_sector_tables(h2_631g):
                                np.asarray(v0.eigenvalues), atol=1e-10)
     np.testing.assert_allclose(np.asarray(v2.eigenvalues),
                                np.asarray(v0.eigenvalues), atol=1e-10)
+
+
+def test_fused_adapt_sharded_sector_tables(h2_631g):
+    """FusedOptOrbAdaptVQE threads the mesh-sharded sector tables
+    through its growth-loop programs (one- and two-dispatch)."""
+    from esoo_tpu.parallel import make_orbital_mesh
+    from esoo_tpu.sim import HartreeFock, UCCSD
+    from esoo_tpu.orbital_optimization import FusedOptOrbAdaptVQE
+
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    r0 = FusedOptOrbAdaptVQE(4, ansatz, problem=h2_631g, maxiter=8,
+                             simulation="sector").compute_minimum_energy()
+    mesh = make_orbital_mesh(4)
+    solver = FusedOptOrbAdaptVQE(4, ansatz, problem=h2_631g, maxiter=8,
+                                 simulation="sector", mesh=mesh)
+    assert solver._sector_tables is not None
+    r1 = solver.compute_minimum_energy()
+    np.testing.assert_allclose(r1.eigenvalue, r0.eigenvalue, atol=1e-10)
+    r2 = FusedOptOrbAdaptVQE(4, ansatz, problem=h2_631g, maxiter=8,
+                             simulation="sector", mesh=mesh,
+                             dispatch="two").compute_minimum_energy()
+    np.testing.assert_allclose(r2.eigenvalue, r0.eigenvalue, atol=1e-10)
