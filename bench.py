@@ -29,13 +29,14 @@ import time
 import numpy as np
 
 # persistent XLA compile cache: repeat bench invocations skip the large
-# fused-program compiles (CPU-side; remote TPU compiles are server-side)
+# fused-program compiles (CPU-side; remote TPU compiles are server-side).
+# Host-fingerprinted dir — foreign-host AOT entries SIGILL (xla_cache.py)
 os.makedirs(os.path.expanduser("~/.cache/esoo_jax"), exist_ok=True)
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/esoo_jax"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from esoo_tpu.utils import xla_cache  # noqa: E402
+
+xla_cache.setup(jax)
 
 REF_H2_ENERGY = -1.8712471686505392
 BASELINE_BUDGET_S = 600.0

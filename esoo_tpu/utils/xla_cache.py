@@ -1,0 +1,41 @@
+"""Host-fingerprinted persistent XLA compile-cache location.
+
+The XLA:CPU AOT cache embeds the COMPILE machine's CPU feature set; the
+round driver reschedules work across VMs whose CPU flags differ, and
+loading a foreign entry makes XLA warn "could lead to execution errors
+such as SIGILL" — and then actually SIGILL/crash mid-suite (observed:
+the fast tier died with a faulthandler dump after a cache populated on
+another host was reused).  Keying the cache directory by a hash of the
+host's CPU flags makes entries machine-local; data caches (MO-tensor
+npz, Slater-Condon structure) stay in the shared base dir because they
+are pure numerical content.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+BASE = os.path.expanduser("~/.cache/esoo_jax")
+
+
+def _cpu_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
+
+def setup(jax) -> str:
+    """Point jax's persistent compile cache at the host-local dir."""
+    path = os.path.join(BASE, f"xla-{_cpu_fingerprint()}")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    return path

@@ -15,10 +15,11 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-os.makedirs(os.path.expanduser("~/.cache/esoo_jax"), exist_ok=True)
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/esoo_jax"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# host-fingerprinted cache dir: foreign-host AOT entries SIGILL (see
+# esoo_tpu/utils/xla_cache.py)
+from esoo_tpu.utils import xla_cache  # noqa: E402
+
+xla_cache.setup(jax)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
