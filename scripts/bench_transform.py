@@ -16,12 +16,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.makedirs(os.path.expanduser("~/.cache/esoo_jax"), exist_ok=True)
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/esoo_jax"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from esoo_tpu.utils import xla_cache  # noqa: E402
+
+xla_cache.setup(jax)  # host-fingerprinted (foreign AOT entries SIGILL)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
