@@ -175,6 +175,18 @@ def _casscf_eig_rdm_program(sector: SectorCI,
     return v, E, gamma_s, Gamma_s
 
 
+@partial(jax.jit, static_argnames=("sector",))
+def _natural_occupations(sector: SectorCI, v: jnp.ndarray,
+                         sector_tables=None) -> jnp.ndarray:
+    """Descending natural-orbital occupations (eigenvalues of the
+    spin-summed spatial 1-RDM; sum = n_alpha + n_beta) of a sector
+    vector — the standard CASSCF wavefunction diagnostic."""
+    gamma, Gamma = sector.rdms(v.reshape(sector.nB, sector.nA),
+                               tables=sector_tables)
+    gamma_s, _ = spin_reduce_rdms(gamma, Gamma)
+    return jnp.linalg.eigvalsh(gamma_s)[::-1]
+
+
 class FusedOptOrbCASSCF:
     """Orbital-optimized exact active-space diagonalization (CASSCF) as
     one (or two, `dispatch='two'`) compiled XLA program(s).
@@ -336,6 +348,8 @@ class FusedOptOrbCASSCF:
         if post_cb is not None:
             post_cb(it, E, v, U, trace)
         trace = np.asarray(trace)[:it]
+        occ = _natural_occupations(self._sector, jnp.asarray(v),
+                                   sector_tables=self._sector_tables)
         return FusedOptOrbResult(
             eigenvalue=float(E),
             optimal_point=np.asarray(v),
@@ -343,6 +357,7 @@ class FusedOptOrbCASSCF:
             energy_convergence_list=[float(e) for e in trace],
             outer_iterations=it,
             optimal_circuit=None,
+            natural_occupations=np.asarray(occ),
         )
 
     def _run_two_dispatch(self, dtype) -> FusedOptOrbResult:
@@ -390,6 +405,8 @@ class FusedOptOrbCASSCF:
                              inner_maxiter=self.inner_maxiter)
         # one-dispatch parity tail: re-solve at the final U
         v, E, _, _ = solve(v, U)
+        occ = _natural_occupations(self._sector, jnp.asarray(v),
+                                   sector_tables=self._sector_tables)
         return FusedOptOrbResult(
             eigenvalue=float(E),
             optimal_point=np.asarray(v),
@@ -397,6 +414,7 @@ class FusedOptOrbCASSCF:
             energy_convergence_list=[float(e) for e in trace[:it]],
             outer_iterations=it,
             optimal_circuit=None,
+            natural_occupations=np.asarray(occ),
         )
 
 

@@ -171,6 +171,10 @@ class FusedOptOrbResult:
     energy_convergence_list: list
     outer_iterations: int
     optimal_circuit: Optional[QuantumCircuit] = None
+    # natural-orbital occupation numbers of the optimal state (descending
+    # eigenvalues of the spin-summed spatial 1-RDM; populated by the
+    # exact-diagonalization solvers, casscf.py)
+    natural_occupations: Optional[np.ndarray] = None
 
     @property
     def optimal_parameters(self):

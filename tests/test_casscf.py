@@ -78,6 +78,10 @@ def test_casscf_h2_631g_matches_optorbvqe_value(h2_631g):
     assert r.outer_iterations <= 10
     # eigenvector is returned normalized, in the sector basis
     assert abs(np.linalg.norm(r.optimal_point) - 1.0) < 1e-8
+    # natural occupations: descending, trace = number of electrons
+    occ = r.natural_occupations
+    assert occ is not None and np.all(np.diff(occ) <= 1e-12)
+    np.testing.assert_allclose(occ.sum(), 2.0, atol=1e-8)
 
 
 def test_casscf_two_dispatch_equals_one_dispatch(h2_631g):
