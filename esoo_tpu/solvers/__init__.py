@@ -15,6 +15,8 @@ from .optimizers import (
     Optimizer,
     OptimizerResult,
 )
+from .davidson import (BlockDavidsonResult, DavidsonResult,
+                       davidson_block, davidson_ground)
 from .ssvqe import SSVQE, SSVQEResult
 from .vqd import VQD, VQDResult
 from .vqe import (VQE, AlgorithmError, NumPyEigensolver,
@@ -25,6 +27,8 @@ __all__ = [
     "MCVQE", "MCVQEResult",
     "ADAM", "CG", "COBYLA", "L_BFGS_B", "NELDER_MEAD", "POWELL", "SLSQP",
     "SPSA", "GradientDescent", "JaxBFGS", "Minimizer", "Optimizer", "OptimizerResult",
+    "DavidsonResult", "BlockDavidsonResult", "davidson_ground",
+    "davidson_block",
     "SSVQE", "SSVQEResult",
     "VQD", "VQDResult",
     "VQE", "AlgorithmError", "NumPyEigensolver", "NumPyEigensolverResult",

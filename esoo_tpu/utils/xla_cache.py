@@ -33,9 +33,26 @@ def _cpu_fingerprint() -> str:
 
 
 def setup(jax) -> str:
-    """Point jax's persistent compile cache at the host-local dir."""
+    """Point jax's persistent compile cache at the host-local dir.
+
+    Two hardening choices, both from an observed in-process SEGV inside
+    `compilation_cache.put_executable_and_time` while serializing a
+    GSPMD (4-device-mesh) executable mid-suite (jax 0.9.0):
+      * XLA-side auxiliary caches are not written
+        (`jax_persistent_cache_enable_xla_caches='none'`) — the jax
+        executable cache alone is what saves the minutes-long fused
+        recompiles;
+      * only compiles >= 5 s are persisted, so the many small per-test
+        programs (whose recompiles are cheap anyway) never exercise the
+        serializer.
+    """
     path = os.path.join(BASE, f"xla-{_cpu_fingerprint()}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    try:
+        jax.config.update("jax_persistent_cache_enable_xla_caches",
+                          "none")
+    except Exception:  # pragma: no cover - older jax without the knob
+        pass
     return path

@@ -16,6 +16,31 @@ pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 2, reason="needs multiple (virtual) devices")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """XLA:CPU SEGFAULTS compiling one of this module's GSPMD programs
+    when the process already holds a full suite's worth of compiled
+    executables (deterministic across 3 runs at test_fused_ssvqe_vqd_
+    sharded_sector_tables — first inside the persistent-cache serializer,
+    then, with caching disabled, inside backend_compile_and_load itself;
+    the identical program compiles fine in a fresh process).  Dropping
+    every live executable before the mesh module sidesteps the
+    accumulated-JIT-state trigger; the handful of recompiles this forces
+    are small.  Persistent-cache writes stay disabled for the module
+    too (both crash sites are avoided)."""
+    import jax._src.config as _c
+    from jax._src import compilation_cache as _cc
+    jax.clear_caches()
+    old = _c.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    _cc.reset_cache()   # is_cache_used() LATCHES per process — a plain
+    # config toggle after any compile has no effect (jax 0.9
+    # compilation_cache.py:73-77); reset re-evaluates the flag
+    yield
+    jax.config.update("jax_enable_compilation_cache", old)
+    _cc.reset_cache()
+
+
 @pytest.fixture(scope="module")
 def toy():
     m, n = 12, 3
