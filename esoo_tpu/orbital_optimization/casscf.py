@@ -51,6 +51,8 @@ from .stiefel import orth
 
 _SECTOR_CI_CACHE = {}
 
+_COMPACT_MIN_ND = 1_100_000   # 'auto' -> int8-chunked stacks past this
+
 
 def _sector_ci_cached(num_spin_orbitals: int,
                       num_particles: Tuple[int, int]) -> SectorCI:
@@ -195,6 +197,10 @@ class FusedOptOrbCASSCF:
         num_spin_orbitals: active-space size N (n = N/2 spatial).
         num_particles: (n_alpha, n_beta); default: from `problem`.
         max_subspace / davidson_maxiter: Davidson search parameters.
+        table_storage: 'dense' (f32/f64 operator stacks), 'compact'
+            (int8 stacks + operator-chunked kernels — the single-chip
+            HBM path past ~1M determinants), or 'auto' (compact beyond
+            nd > 1.1M, dense below; mesh= always shards dense).
     Result fields follow FusedOptOrbResult; `optimal_point` holds the
     exact sector eigenvector (flat, C(n,na)*C(n,nb) amplitudes).
     """
@@ -216,11 +222,21 @@ class FusedOptOrbCASSCF:
                  dtype=None,
                  mesh=None,
                  dispatch: str = "one",
+                 table_storage: str = "auto",
                  outer_loop_callback=None,
                  checkpoint_dir=None,
                  resume_from=None):
         from ..interop import adapt as _interop_adapt
         problem, _ = _interop_adapt(problem, None)
+
+        if table_storage not in ("auto", "dense", "compact"):
+            raise ValueError(
+                "table_storage must be 'auto', 'dense', or 'compact'")
+        if mesh is not None and table_storage == "compact":
+            raise ValueError(
+                "table_storage='compact' is the single-device "
+                "large-sector path; with mesh= the dense stacks are "
+                "sharded across chips instead")
 
         if num_particles is None:
             if problem is None or not hasattr(problem, "num_particles"):
@@ -266,22 +282,35 @@ class FusedOptOrbCASSCF:
             from ..parallel import shard_sector_tables
             self._sector_tables = shard_sector_tables(mesh, self._sector,
                                                       dtype)
-        elif self._sector.dim >= _TABLED_MIN_ND:
-            # large sectors: the MA/MB operator stacks as program
-            # ARGUMENTS (device buffers, transferred once) — baked
-            # constants at this size break the remote-compile transport
-            # (the documented ~630 MB failure class, CLAUDE.md).  The
-            # device buffers are cached on the (cached) SectorCI so a
-            # second solver instance re-transfers nothing (measured at
-            # H8 N=28: the 1.6 GB stacks dominate the warm wall)
-            cache = getattr(self._sector, "_dev_put_cache", None)
-            if cache is None:
-                cache = self._sector._dev_put_cache = {}
-            key = np.dtype(dtype).name
-            if key not in cache:
-                cache[key] = jax.device_put(
-                    self._sector.device_tables(dtype))
-            self._sector_tables = cache[key]
+        else:
+            storage = table_storage
+            if storage == "auto":
+                # int8-chunked kernels only past the proven dense-path
+                # sizes (N=28 nd=1,002,001 keeps its measured path; the
+                # dense working set at N=32 nd=3.31M exceeds one v5e's
+                # 16 GB HBM, so compact is the only single-chip option)
+                storage = ("compact"
+                           if self._sector.dim > _COMPACT_MIN_ND
+                           else "dense")
+            if (storage == "compact"
+                    or self._sector.dim >= _TABLED_MIN_ND):
+                # large sectors: the MA/MB operator stacks as program
+                # ARGUMENTS (device buffers, transferred once) — baked
+                # constants at this size break the remote-compile
+                # transport (the documented ~630 MB failure class,
+                # CLAUDE.md).  The device buffers are cached on the
+                # (cached) SectorCI so a second solver instance
+                # re-transfers nothing (measured at H8 N=28: the 1.6 GB
+                # stacks dominate the warm wall)
+                cache = getattr(self._sector, "_dev_put_cache", None)
+                if cache is None:
+                    cache = self._sector._dev_put_cache = {}
+                key = (np.dtype(dtype).name, storage)
+                if key not in cache:
+                    cache[key] = jax.device_put(
+                        self._sector.device_tables(dtype,
+                                                   storage=storage))
+                self._sector_tables = cache[key]
 
         if resume_from is not None:
             from .checkpoint import load_checkpoint

@@ -967,17 +967,29 @@ class SectorCI:
         return (type(other) is SectorCI
                 and other._content_key == self._content_key)
 
-    def device_tables(self, dtype=None) -> dict:
+    def device_tables(self, dtype=None, storage: str = "dense") -> dict:
         """Host tables pytree (see SectorUCC.device_tables); the gate
-        tables are empty here — only the operator stacks and pair maps."""
+        tables are empty here — only the operator stacks and pair maps.
+
+        storage='compact' keeps the operator stacks int8 (keys
+        "MA8"/"MB8", entries are JW signs in {0, +-1}) and routes every
+        kernel to the operator-chunked variants (strings.py compact
+        section) — the single-chip HBM path past nd ~ 1M (H8 N=32:
+        1.7 GB stacks vs 13.6 GB dense f64, T halves streamed)."""
         dtype = np.dtype(dtype if dtype is not None else np.float64)
-        if dtype.name in self._dev_tabs:
-            return self._dev_tabs[dtype.name]
+        key = (dtype.name, storage)
+        if key in self._dev_tabs:
+            return self._dev_tabs[key]
         s = self._str_tabs
-        f = lambda a: np.asarray(a, dtype=dtype)
-        tabs = dict(MA=f(s.MA), MB=f(s.MB),
-                    LIN_A=s.LIN_A, LIN_B=s.LIN_B, CROSS=f(s.CROSS))
-        self._dev_tabs[dtype.name] = tabs
+        if storage == "compact":
+            tabs = _strings.compact_tables(s, dtype)
+        elif storage == "dense":
+            f = lambda a: np.asarray(a, dtype=dtype)
+            tabs = dict(MA=f(s.MA), MB=f(s.MB),
+                        LIN_A=s.LIN_A, LIN_B=s.LIN_B, CROSS=f(s.CROSS))
+        else:
+            raise ValueError("storage must be 'dense' or 'compact'")
+        self._dev_tabs[key] = tabs
         return tabs
 
     def _tabs(self, tables):
@@ -1008,7 +1020,7 @@ class SectorCI:
         """Spin-orbital (gamma, Gamma) from a normalized (nB, nA) string
         matrix (strings.rdms)."""
         tabs = self._tabs(tables)
-        q_pad = int(tabs["MA"].shape[0])
+        q_pad = int(tabs["MA8" if "MA8" in tabs else "MA"].shape[0])
         maps = self._rdm_maps.get(q_pad)
         if maps is None:
             maps = self._rdm_maps[q_pad] = _strings.build_rdm_maps(

@@ -170,9 +170,13 @@ def _one_body_matrices(S: np.ndarray, n: int) -> np.ndarray:
     """M[(p*n + r), j, i] = <S[j]| a+_p a_r |S[i]> over one spin's
     strings, with the within-block JW phases (for beta pairs the
     alpha-parity phase factors cancel between a_r and a+_p because the
-    alpha occupation is untouched in between)."""
+    alpha occupation is untouched in between).
+
+    Stored int8: every entry is a JW sign in {0, +-1}, and the compact
+    (int8-on-device) kernel path consumes the stacks verbatim — at H8
+    N=32 (nA=1820) the two stacks are 1.7 GB int8 vs 13.6 GB f64."""
     ns = len(S)
-    M = np.zeros((n * n, ns, ns))
+    M = np.zeros((n * n, ns, ns), dtype=np.int8)
     index = {int(s): i for i, s in enumerate(S)}
     for r in range(n):
         occ_r = ((S >> r) & 1) == 1
@@ -342,6 +346,198 @@ def apply_gates(V0, theta, tabs):
 
 # -- sigma / quadform ---------------------------------------------------------
 
+# -- compact (int8-stack, operator-chunked) kernel variants -------------------
+#
+# The dense kernels materialize the f32/f64 one-body stacks MA/MB
+# ((n^2, ns, ns) per spin) plus the full (2 q_pad, nd) T tensor — at H8
+# N=32 (nA = 1820, nd = 3.31M) that is > 20 GB, past one v5e's 16 GB
+# HBM.  Every stack entry is a JW sign in {0, +-1}, so a compact tables
+# pytree stores them int8 (keys "MA8"/"MB8", 1.7 GB at N=32) and the
+# kernels below stream them in _OP_CHUNK-operator blocks (one f32 cast
+# per block, ~0.4 GB transient), accumulating with lax.scan.  The T
+# tensor is kept as two (q_pad, nd) halves (never concatenated).  Peak
+# HBM at N=32: ~6.8 GB (T halves) + 1.7 GB (int8 stacks) + chunk
+# transients — the single-chip path to the 3.3M-determinant sector.
+# Dispatch is by key presence ("MA8" in tabs), so every dense-path
+# program is unchanged.  Exact equality with the dense kernels:
+# tests/test_strings.py (TestCompactKernels).
+
+_OP_CHUNK = 32
+
+
+def compact_tables(tabs_or_strtabs, dtype):
+    """Compact tables dict from a StringTables or a dense tables dict:
+    int8 operator stacks under "MA8"/"MB8" (operator axis zero-padded to
+    a _OP_CHUNK multiple — the kernels' static chunk size), pair maps at
+    `dtype`.  Gate tables are not carried (the compact path serves the
+    gate-free SectorCI eigensolver)."""
+    dtype = np.dtype(dtype)
+    if isinstance(tabs_or_strtabs, dict):
+        MA, MB = tabs_or_strtabs["MA"], tabs_or_strtabs["MB"]
+        LIN_A = tabs_or_strtabs["LIN_A"]
+        LIN_B = tabs_or_strtabs["LIN_B"]
+        CROSS = tabs_or_strtabs["CROSS"]
+    else:
+        s = tabs_or_strtabs
+        MA, MB, LIN_A, LIN_B, CROSS = s.MA, s.MB, s.LIN_A, s.LIN_B, s.CROSS
+    MA = np.asarray(MA, dtype=np.int8)
+    MB = np.asarray(MB, dtype=np.int8)
+    q = MA.shape[0]
+    q_pad = ((q + _OP_CHUNK - 1) // _OP_CHUNK) * _OP_CHUNK
+    if q_pad != q:
+        pad = [(0, q_pad - q), (0, 0), (0, 0)]
+        MA = np.pad(MA, pad)
+        MB = np.pad(MB, pad)
+    return dict(MA8=MA, MB8=MB, LIN_A=LIN_A, LIN_B=LIN_B,
+                CROSS=np.asarray(CROSS, dtype=dtype))
+
+
+def _fold_one_body(hvec, M8, dt):
+    """F = sum_q hvec[q] M8[q] without materializing the f32 stack."""
+    q_pad, ns = M8.shape[0], M8.shape[1]
+    c = min(_OP_CHUNK, q_pad)
+
+    def step(acc, xs):
+        hc, Mc = xs
+        return acc + jnp.einsum("q,qji->ji", hc, Mc.astype(dt)), None
+
+    F, _ = jax.lax.scan(step, jnp.zeros((ns, ns), dt),
+                        (hvec.reshape(-1, c), M8.reshape(-1, c, ns, ns)))
+    return F
+
+
+def _t_halves(V, MA8, MB8, dt):
+    """((q_pad, nd), (q_pad, nd)) T-tensor halves T_a = D_a v, built one
+    operator chunk at a time (lax.scan ys write straight into the output
+    buffers; no f32 stack, no alpha/beta concatenation)."""
+    nB, nA = V.shape
+    q_pad = MA8.shape[0]
+    c = min(_OP_CHUNK, q_pad)
+
+    def stepA(_, Mc):
+        return None, jnp.einsum("qji,bi->qbj", Mc.astype(dt), V)
+
+    _, TA = jax.lax.scan(stepA, None, MA8.reshape(-1, c, nA, nA))
+
+    def stepB(_, Mc):
+        return None, jnp.einsum("qji,ia->qja", Mc.astype(dt), V)
+
+    _, TB = jax.lax.scan(stepB, None, MB8.reshape(-1, c, nB, nB))
+    return TA.reshape(q_pad, nB * nA), TB.reshape(q_pad, nB * nA)
+
+
+def _sigma_compact(V, ops, tabs):
+    """H . v with int8 stacks: same math as `sigma`, streamed over
+    operator chunks (U = G2 T is formed c rows at a time and contracted
+    back immediately — never materialized)."""
+    dt = V.dtype
+    MA8, MB8 = tabs["MA8"], tabs["MB8"]
+    nB, nA = V.shape
+    q_pad = MA8.shape[0]
+    c = min(_OP_CHUNK, q_pad)
+    s1 = V @ ops["FA"].T + ops["FB"] @ V
+    TAf, TBf = _t_halves(V, MA8, MB8, dt)
+    G2 = ops["G2"]
+
+    def stepA(acc, xs):
+        Mc, Gc = xs                      # (c, nA, nA) int8, (c, 2 q_pad)
+        Uc = Gc[:, :q_pad] @ TAf + Gc[:, q_pad:] @ TBf
+        return acc + jnp.einsum("qji,qbi->bj", Mc.astype(dt),
+                                Uc.reshape(c, nB, nA)), None
+
+    s2A, _ = jax.lax.scan(
+        stepA, jnp.zeros((nB, nA), dt),
+        (MA8.reshape(-1, c, nA, nA),
+         G2[:q_pad].reshape(-1, c, 2 * q_pad)))
+
+    def stepB(acc, xs):
+        Mc, Gc = xs
+        Uc = Gc[:, :q_pad] @ TAf + Gc[:, q_pad:] @ TBf
+        return acc + jnp.einsum("qji,qia->ja", Mc.astype(dt),
+                                Uc.reshape(c, nB, nA)), None
+
+    s2B, _ = jax.lax.scan(
+        stepB, jnp.zeros((nB, nA), dt),
+        (MB8.reshape(-1, c, nB, nB),
+         G2[q_pad:].reshape(-1, c, 2 * q_pad)))
+    return s1 + s2A + s2B
+
+
+def _rdms_compact(V, tabs, maps):
+    """`rdms` with int8 stacks: chunk-built T halves, the (2 q_pad)^2
+    pair-correlation matrix from four half GEMMs, then the same
+    constant-index gather as the dense path."""
+    dt = V.dtype
+    nB, nA = V.shape
+    IDX, SGN, CASE_A = maps
+    N = CASE_A.shape[0]
+    nsp = N // 2
+    q_pad = tabs["MA8"].shape[0]
+    TAf, TBf = _t_halves(V, tabs["MA8"], tabs["MB8"], dt)
+    v = V.reshape(-1)
+    gp_a = TAf @ v
+    gp_b = TBf @ v
+    gamma = jnp.zeros((N, N), dtype=dt)
+    gamma = gamma.at[:nsp, :nsp].set(
+        gp_a[: nsp * nsp].reshape(nsp, nsp))
+    gamma = gamma.at[nsp:, nsp:].set(
+        gp_b[: nsp * nsp].reshape(nsp, nsp))
+    G2f = jnp.concatenate([
+        jnp.concatenate([TAf @ TAf.T, TAf @ TBf.T], axis=1),
+        jnp.concatenate([TBf @ TAf.T, TBf @ TBf.T], axis=1),
+    ], axis=0).reshape(-1)
+    Gamma = (jnp.asarray(SGN, dtype=dt) * G2f[jnp.asarray(IDX)]
+             ).reshape(N, N, N, N)
+    eye = jnp.eye(N, dtype=dt)
+    Gamma = Gamma - jnp.asarray(CASE_A, dtype=dt) * jnp.einsum(
+        "qr,ps->pqrs", eye, gamma)
+    return gamma, Gamma
+
+
+def _diag_same_spin(G2blk, M8, dt):
+    """d2[i] = sum_ab G2blk[a,b] sum_j M[a,i,j] M[b,j,i], both operator
+    axes streamed in chunks (two casts of one chunk each per step)."""
+    q_pad, ns = M8.shape[0], M8.shape[1]
+    c = min(_OP_CHUNK, q_pad)
+    Mr = M8.reshape(-1, c, ns, ns)
+
+    def outer(acc, xs):
+        Gc, Ma = xs                      # (c, q_pad), (c, ns, ns)
+        Maf = Ma.astype(dt)
+
+        def inner(W, ys):
+            Gab, Mb = ys                 # (c, c), (c, ns, ns)
+            return W + jnp.einsum("ab,bji->aij", Gab,
+                                  Mb.astype(dt)), None
+
+        W, _ = jax.lax.scan(
+            inner, jnp.zeros((c, ns, ns), dt),
+            (Gc.reshape(c, -1, c).swapaxes(0, 1), Mr))
+        return acc + jnp.einsum("aij,aij->i", Maf, W), None
+
+    d2, _ = jax.lax.scan(outer, jnp.zeros((ns,), dt), (
+        G2blk.reshape(-1, c, q_pad), Mr))
+    return d2
+
+
+def _diagonal_compact(ops, tabs):
+    """Exact diag(H) with int8 stacks (same identity as `diagonal`)."""
+    dt = ops["FA"].dtype
+    MA8, MB8 = tabs["MA8"], tabs["MB8"]
+    q_pad = MA8.shape[0]
+    G2 = ops["G2"]
+    W_cross = G2[:q_pad, q_pad:] + G2[q_pad:, :q_pad].T
+    dA1 = jnp.diagonal(ops["FA"])
+    dB1 = jnp.diagonal(ops["FB"])
+    # per-operator diagonals: a gather from the int8 stacks — tiny
+    DA = jnp.diagonal(MA8, axis1=1, axis2=2).astype(dt)
+    DB = jnp.diagonal(MB8, axis1=1, axis2=2).astype(dt)
+    dA2 = _diag_same_spin(G2[:q_pad, :q_pad], MA8, dt)
+    dB2 = _diag_same_spin(G2[q_pad:, q_pad:], MB8, dt)
+    cross = jnp.einsum("ab,ai,bj->ji", W_cross, DA, DB)
+    return (dA1 + dA2)[None, :] + (dB1 + dB2)[:, None] + cross
+
+
 def build_ops(h_so, g_so, tabs):
     """Per-outer-iteration operator pytree for the sigma kernel, from
     spin-orbital integrals in the package convention E = sum h gamma +
@@ -357,9 +553,10 @@ def build_ops(h_so, g_so, tabs):
     padded (2 q_pad, 2 q_pad) layout so `sigma` needs no special
     handling."""
     dt = h_so.dtype
+    compact = "MA8" in tabs                         # int8-stack variant
     P_half = tabs["CROSS"].shape[0] // 2
     nsp = int(round(np.sqrt(P_half)))               # spatial orbitals
-    q_pad = tabs["MA"].shape[0]                     # padded operator axis
+    q_pad = tabs["MA8" if compact else "MA"].shape[0]  # padded op axis
     gf = g_so.reshape(-1)
     LIN_A = jnp.asarray(tabs["LIN_A"])
     LIN_B = jnp.asarray(tabs["LIN_B"])
@@ -385,15 +582,19 @@ def build_ops(h_so, g_so, tabs):
     # -D_qq D_ps products — subtracting them here would double-count
     sA = jnp.einsum("pqqs->ps", g_so[:, :nsp, :nsp, :])
     sB = jnp.einsum("pqqs->ps", g_so[:, nsp:, nsp:, :])
-    MA = jnp.asarray(tabs["MA"], dtype=dt)
-    MB = jnp.asarray(tabs["MB"], dtype=dt)
     hA = (h_so - sA)[:nsp, :nsp].reshape(-1)
     hB = (h_so - sB)[nsp:, nsp:].reshape(-1)
     if q_pad != P_half:
         hA = jnp.pad(hA, (0, q_pad - P_half))
         hB = jnp.pad(hB, (0, q_pad - P_half))
-    FA = jnp.einsum("q,qji->ji", hA, MA)
-    FB = jnp.einsum("q,qji->ji", hB, MB)
+    if compact:
+        FA = _fold_one_body(hA, tabs["MA8"], dt)
+        FB = _fold_one_body(hB, tabs["MB8"], dt)
+    else:
+        MA = jnp.asarray(tabs["MA"], dtype=dt)
+        MB = jnp.asarray(tabs["MB"], dtype=dt)
+        FA = jnp.einsum("q,qji->ji", hA, MA)
+        FB = jnp.einsum("q,qji->ji", hB, MB)
     return {"G2": G2, "FA": FA, "FB": FB}
 
 
@@ -401,7 +602,10 @@ def sigma(V, ops, tabs):
     """H . v on the string matrix — batched small GEMMs only.
 
     sigma = V FA^T + FB V + sum_a D_a (sum_b g~[a,b] D_b v), with the
-    T tensors (P, nB, nA) materialized once (2.5 MB at H8 N=16)."""
+    T tensors (P, nB, nA) materialized once (2.5 MB at H8 N=16).
+    Compact (int8-stack) tables run the operator-chunked variant."""
+    if "MA8" in tabs:
+        return _sigma_compact(V, ops, tabs)
     dt = V.dtype
     MA = jnp.asarray(tabs["MA"], dtype=dt)
     MB = jnp.asarray(tabs["MB"], dtype=dt)
@@ -475,6 +679,8 @@ def rdms(V, tabs, maps):
     one constant-index gather of the (P, P) pair-correlation matrix
     (vs the (N^2, nd)-table element gathers of sector._rdm_tables).
     `maps` is a build_rdm_maps triple."""
+    if "MA8" in tabs:
+        return _rdms_compact(V, tabs, maps)
     dt = V.dtype
     MA = jnp.asarray(tabs["MA"], dtype=dt)
     MB = jnp.asarray(tabs["MB"], dtype=dt)
@@ -518,6 +724,8 @@ def diagonal(ops, tabs):
     GEMMs — O(P^2 ns^2) once per outer iteration.  Padding-transparent
     like `sigma` (padded operators are zero matrices).  Exactness vs the
     dense sector Hamiltonian: tests/test_strings.py."""
+    if "MA8" in tabs:
+        return _diagonal_compact(ops, tabs)
     dt = ops["FA"].dtype
     MA = jnp.asarray(tabs["MA"], dtype=dt)
     MB = jnp.asarray(tabs["MB"], dtype=dt)

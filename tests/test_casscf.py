@@ -237,3 +237,55 @@ def test_sa_casscf_mesh_equality(h2_631g):
                              mesh=make_orbital_mesh(4)).compute_energies()
     np.testing.assert_allclose(np.asarray(r1.eigenvalues),
                                np.asarray(r0.eigenvalues), atol=1e-10)
+
+
+def test_casscf_compact_storage_equals_dense(h4_631g):
+    """table_storage='compact' (int8 stacks + operator-chunked kernels,
+    the single-chip path past ~1M determinants) reproduces the dense
+    path end-to-end — energies, U, and natural occupations."""
+    from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+    dense = FusedOptOrbCASSCF(8, problem=h4_631g, maxiter=8,
+                              table_storage="dense"
+                              ).compute_minimum_energy()
+    comp = FusedOptOrbCASSCF(8, problem=h4_631g, maxiter=8,
+                             table_storage="compact"
+                             ).compute_minimum_energy()
+    np.testing.assert_allclose(comp.eigenvalue, dense.eigenvalue,
+                               atol=1e-9)
+    np.testing.assert_allclose(comp.optimal_partial_unitary,
+                               dense.optimal_partial_unitary, atol=1e-7)
+    np.testing.assert_allclose(comp.natural_occupations,
+                               dense.natural_occupations, atol=1e-8)
+
+
+def test_casscf_compact_two_dispatch_and_sa(h2_631g):
+    """Compact storage works through dispatch='two' and the
+    state-averaged block-Davidson variant."""
+    from esoo_tpu.orbital_optimization import (FusedOptOrbCASSCF,
+                                               FusedOptOrbSACASSCF)
+
+    one = FusedOptOrbCASSCF(4, problem=h2_631g, maxiter=10,
+                            table_storage="compact"
+                            ).compute_minimum_energy()
+    two = FusedOptOrbCASSCF(4, problem=h2_631g, maxiter=10,
+                            dispatch="two", table_storage="compact"
+                            ).compute_minimum_energy()
+    np.testing.assert_allclose(two.eigenvalue, one.eigenvalue, atol=1e-10)
+
+    sa_d = FusedOptOrbSACASSCF(4, problem=h2_631g, k=2, maxiter=8
+                               ).compute_energies()
+    sa_c = FusedOptOrbSACASSCF(4, problem=h2_631g, k=2, maxiter=8,
+                               table_storage="compact").compute_energies()
+    np.testing.assert_allclose(np.asarray(sa_c.eigenvalues),
+                               np.asarray(sa_d.eigenvalues), atol=1e-9)
+
+
+def test_casscf_compact_mesh_rejected(h2_631g):
+    from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+    with pytest.raises(ValueError, match="compact"):
+        FusedOptOrbCASSCF(4, problem=h2_631g, table_storage="compact",
+                          mesh=object())
+    with pytest.raises(ValueError, match="table_storage"):
+        FusedOptOrbCASSCF(4, problem=h2_631g, table_storage="int8")

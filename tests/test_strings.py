@@ -216,3 +216,78 @@ def test_explicit_pairs_vals_still_dispatch():
     np.testing.assert_allclose(float(sec.quadform_values(v, triple)),
                                float(sec.quadform_values(v, ops)),
                                atol=1e-11)
+
+
+# -- compact (int8-stack, operator-chunked) kernels ---------------------------
+
+
+@pytest.mark.parametrize("n,parts", [(4, (2, 2)), (6, (3, 3)), (4, (3, 2))])
+def test_compact_kernels_equal_dense(n, parts):
+    """The int8-stack operator-chunked kernel variants (strings.py
+    compact section — the single-chip path past ~1M determinants) are
+    numerically equal to the dense kernels: build_ops folds, sigma,
+    quadform, exact diagonal, and RDMs.  n=6 exercises multi-chunk
+    scans plus operator-axis padding (q=36 -> 64)."""
+    from esoo_tpu.sim.sector import SectorCI
+
+    N = 2 * n
+    sec = SectorCI(N, parts)
+    h, g = _random_integrals(N, seed=7 * n + parts[0])
+    dense = sec.device_tables(np.float64)
+    comp = sec.device_tables(np.float64, storage="compact")
+    assert comp["MA8"].dtype == np.int8
+    assert comp["MA8"].shape[0] % S._OP_CHUNK == 0
+    assert "MA" not in comp
+
+    ops_d = S.build_ops(h, g, dense)
+    ops_c = S.build_ops(h, g, comp)
+    np.testing.assert_allclose(np.asarray(ops_c["FA"]),
+                               np.asarray(ops_d["FA"]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ops_c["FB"]),
+                               np.asarray(ops_d["FB"]), atol=1e-12)
+
+    rng = np.random.default_rng(5)
+    V = jnp.asarray(rng.normal(size=(sec.nB, sec.nA)))
+    V = V / jnp.linalg.norm(V)
+    np.testing.assert_allclose(
+        np.asarray(S.sigma(V, ops_c, comp)),
+        np.asarray(S.sigma(V, ops_d, dense)), atol=1e-11)
+    np.testing.assert_allclose(
+        float(S.quadform(V, ops_c, comp)),
+        float(S.quadform(V, ops_d, dense)), atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(S.diagonal(ops_c, comp)),
+        np.asarray(S.diagonal(ops_d, dense)), atol=1e-11)
+
+    maps_d = S.build_rdm_maps(n, q_pad=dense["MA"].shape[0])
+    maps_c = S.build_rdm_maps(n, q_pad=comp["MA8"].shape[0])
+    gam_d, Gam_d = S.rdms(V, dense, maps_d)
+    gam_c, Gam_c = S.rdms(V, comp, maps_c)
+    np.testing.assert_allclose(np.asarray(gam_c), np.asarray(gam_d),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(Gam_c), np.asarray(Gam_d),
+                               atol=1e-11)
+
+
+def test_compact_tables_jit_arguments():
+    """Compact tables pass through jit as argument pytrees (the
+    large-sector program-argument transport) with key-based dispatch."""
+    from esoo_tpu.sim.sector import SectorCI
+
+    n, parts = 4, (2, 2)
+    sec = SectorCI(2 * n, parts)
+    h, g = _random_integrals(2 * n, seed=11)
+    comp = sec.device_tables(np.float64, storage="compact")
+    dense = sec.device_tables(np.float64)
+
+    @jax.jit
+    def energy(h, g, V, tabs):
+        ops = S.build_ops(h, g, tabs)
+        return S.quadform(V, ops, tabs)
+
+    rng = np.random.default_rng(2)
+    V = jnp.asarray(rng.normal(size=(sec.nB, sec.nA)))
+    V = V / jnp.linalg.norm(V)
+    np.testing.assert_allclose(float(energy(h, g, V, comp)),
+                               float(energy(h, g, V, dense)),
+                               atol=1e-11)
