@@ -4,7 +4,8 @@ from .eigensolver import OptOrbEigensolver, OptOrbEigensolverResult
 from .fused import (FusedOptOrbAdaptVQE, FusedOptOrbEigensolverResult,
                     FusedOptOrbMCVQE, FusedOptOrbResult, FusedOptOrbSSVQE,
                     FusedOptOrbVQD, FusedOptOrbVQE)
-from .casscf import FusedOptOrbCASSCF, FusedOptOrbSACASSCF
+from .casscf import (FusedOptOrbCASSCF, FusedOptOrbSACASSCF,
+                     spin_squared_from_rdms)
 from .kernels import (
     expand_spin,
     rotate_one_body,
@@ -30,6 +31,7 @@ __all__ = [
     "OptOrbEigensolver", "OptOrbEigensolverResult",
     "FusedOptOrbResult", "FusedOptOrbVQE", "FusedOptOrbAdaptVQE",
     "FusedOptOrbCASSCF", "FusedOptOrbSACASSCF",
+    "spin_squared_from_rdms",
     "FusedOptOrbEigensolverResult", "FusedOptOrbMCVQE", "FusedOptOrbSSVQE",
     "FusedOptOrbVQD",
     "OptOrbMinimumEigensolver", "OptOrbMinimumEigensolverResult",

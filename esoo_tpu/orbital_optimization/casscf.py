@@ -177,16 +177,38 @@ def _casscf_eig_rdm_program(sector: SectorCI,
     return v, E, gamma_s, Gamma_s
 
 
+def spin_squared_from_rdms(gamma: jnp.ndarray,
+                           Gamma: jnp.ndarray) -> jnp.ndarray:
+    """<S^2> from spin-orbital RDMs in the package convention
+    (gamma_pq = <a+_p a_q>, Gamma_pqrs = <a+_p a+_q a_s a_r>, alpha
+    block first): S^2 = S_- S_+ + S_z (S_z + 1), and with
+    S_+ = sum_i a+_{i alpha} a_{i beta},
+
+        <S_- S_+> = N_beta - sum_ij Gamma[i_b, j_a, j_b, i_a].
+
+    Exact for fixed-(n_alpha, n_beta) states (S_z eigenstates — every
+    sector/UCC state here), where <S_z^2> = S_z^2.  Standard spin
+    diagnostic (0 singlet, 0.75 doublet, 2 triplet, ...)."""
+    n = gamma.shape[0] // 2
+    n_a = jnp.trace(gamma[:n, :n])
+    n_b = jnp.trace(gamma[n:, n:])
+    sz = 0.5 * (n_a - n_b)
+    cross = jnp.einsum("ijji->", Gamma[n:, :n, n:, :n])
+    return n_b - cross + sz * (sz + 1.0)
+
+
 @partial(jax.jit, static_argnames=("sector",))
-def _natural_occupations(sector: SectorCI, v: jnp.ndarray,
-                         sector_tables=None) -> jnp.ndarray:
-    """Descending natural-orbital occupations (eigenvalues of the
-    spin-summed spatial 1-RDM; sum = n_alpha + n_beta) of a sector
-    vector — the standard CASSCF wavefunction diagnostic."""
+def _state_diagnostics(sector: SectorCI, v: jnp.ndarray,
+                       sector_tables=None):
+    """(natural occupations, <S^2>) of a sector vector — the standard
+    CASSCF wavefunction diagnostics: descending eigenvalues of the
+    spin-summed spatial 1-RDM (sum = n_alpha + n_beta), and the total
+    spin expectation (spin_squared_from_rdms)."""
     gamma, Gamma = sector.rdms(v.reshape(sector.nB, sector.nA),
                                tables=sector_tables)
     gamma_s, _ = spin_reduce_rdms(gamma, Gamma)
-    return jnp.linalg.eigvalsh(gamma_s)[::-1]
+    return (jnp.linalg.eigvalsh(gamma_s)[::-1],
+            spin_squared_from_rdms(gamma, Gamma))
 
 
 class FusedOptOrbCASSCF:
@@ -377,8 +399,8 @@ class FusedOptOrbCASSCF:
         if post_cb is not None:
             post_cb(it, E, v, U, trace)
         trace = np.asarray(trace)[:it]
-        occ = _natural_occupations(self._sector, jnp.asarray(v),
-                                   sector_tables=self._sector_tables)
+        occ, s2 = _state_diagnostics(self._sector, jnp.asarray(v),
+                                     sector_tables=self._sector_tables)
         return FusedOptOrbResult(
             eigenvalue=float(E),
             optimal_point=np.asarray(v),
@@ -387,6 +409,7 @@ class FusedOptOrbCASSCF:
             outer_iterations=it,
             optimal_circuit=None,
             natural_occupations=np.asarray(occ),
+            spin_squared=float(s2),
         )
 
     def _run_two_dispatch(self, dtype) -> FusedOptOrbResult:
@@ -434,8 +457,8 @@ class FusedOptOrbCASSCF:
                              inner_maxiter=self.inner_maxiter)
         # one-dispatch parity tail: re-solve at the final U
         v, E, _, _ = solve(v, U)
-        occ = _natural_occupations(self._sector, jnp.asarray(v),
-                                   sector_tables=self._sector_tables)
+        occ, s2 = _state_diagnostics(self._sector, jnp.asarray(v),
+                                     sector_tables=self._sector_tables)
         return FusedOptOrbResult(
             eigenvalue=float(E),
             optimal_point=np.asarray(v),
@@ -444,6 +467,7 @@ class FusedOptOrbCASSCF:
             outer_iterations=it,
             optimal_circuit=None,
             natural_occupations=np.asarray(occ),
+            spin_squared=float(s2),
         )
 
 

@@ -175,6 +175,10 @@ class FusedOptOrbResult:
     # eigenvalues of the spin-summed spatial 1-RDM; populated by the
     # exact-diagonalization solvers, casscf.py)
     natural_occupations: Optional[np.ndarray] = None
+    # total-spin expectation <S^2> of the optimal state (0 singlet,
+    # 0.75 doublet, 2 triplet, ...; populated by casscf.py via
+    # spin_squared_from_rdms)
+    spin_squared: Optional[float] = None
 
     @property
     def optimal_parameters(self):

@@ -10,7 +10,11 @@ in a fraction of that, at strictly LOWER (exact) active-space energies.
 dispatch='two' keeps every compiled dispatch short (the shared worker's
 documented kill is dispatch-length-bound) and logs live progress.
 
-Usage: python scripts/probe_h8_casscf.py [maxiter] [n_red_so]
+Usage: python scripts/probe_h8_casscf.py [maxiter] [n_red_so] [storage]
+
+storage: 'auto' (default; compact int8-chunked stacks past nd=1.1M —
+i.e. N>=32), 'dense', or 'compact' — the N=32 3.31M-determinant sector
+only fits one v5e's 16 GB HBM via 'compact'.
 """
 import json
 import os
@@ -42,6 +46,7 @@ def worker_alive(timeout_s=120):
 def main():
     maxiter = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     n_red_so = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    storage = sys.argv[3] if len(sys.argv) > 3 else "auto"
 
     for attempt in range(30):
         if worker_alive():
@@ -82,9 +87,11 @@ def main():
         return FusedOptOrbCASSCF(
             num_spin_orbitals=n_red_so, problem=_P(), maxiter=maxiter,
             stopping_tolerance=1e-5, dtype=jnp.float32, dispatch="two",
+            table_storage=storage,
             outer_loop_callback=callback).compute_minimum_energy()
 
-    log(f"solver config: CASSCF two-dispatch N={n_red_so}; cold run")
+    log(f"solver config: CASSCF two-dispatch N={n_red_so} "
+        f"storage={storage}; cold run")
     t0 = time.perf_counter()
     r = run(callback=cb)
     cold = time.perf_counter() - t0
@@ -97,7 +104,7 @@ def main():
     out = dict(energy=r2.eigenvalue, cold_s=round(cold, 2),
                warm_s=round(warm, 2), outer_iters=r2.outer_iterations,
                e_nn=e_nn, solver="casscf", dispatch="two",
-               n_red_so=n_red_so)
+               n_red_so=n_red_so, table_storage=storage)
     print("H8JSON " + json.dumps(out), flush=True)
 
 

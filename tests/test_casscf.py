@@ -289,3 +289,65 @@ def test_casscf_compact_mesh_rejected(h2_631g):
                           mesh=object())
     with pytest.raises(ValueError, match="table_storage"):
         FusedOptOrbCASSCF(4, problem=h2_631g, table_storage="int8")
+
+
+def test_casscf_spin_squared_diagnostic(h2_631g):
+    """<S^2> of the optimal state: H2 ground state is a singlet (0);
+    an H3 doublet sector gives 0.75; both dispatch modes populate it."""
+    from esoo_tpu.chem import MoleculeDriver
+    from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+    r = FusedOptOrbCASSCF(4, problem=h2_631g,
+                          maxiter=10).compute_minimum_energy()
+    np.testing.assert_allclose(r.spin_squared, 0.0, atol=1e-8)
+    r2 = FusedOptOrbCASSCF(4, problem=h2_631g, maxiter=10,
+                           dispatch="two").compute_minimum_energy()
+    np.testing.assert_allclose(r2.spin_squared, 0.0, atol=1e-8)
+
+    p3 = MoleculeDriver(atom="H 0 0 0; H 0 0 0.9; H 0 0 1.8",
+                        basis="sto-3g", spin=1).run()
+    r3 = FusedOptOrbCASSCF(6, problem=p3,
+                           maxiter=10).compute_minimum_energy()
+    np.testing.assert_allclose(r3.spin_squared, 0.75, atol=1e-7)
+
+
+def test_spin_squared_from_rdms_triplet():
+    """The RDM spin formula on exact sector eigenstates: the (1, 1)
+    sector of a 2-orbital system contains both the S_z=0 triplet
+    component (S^2 = 2) and singlets (S^2 = 0) — check against exact
+    eigenvectors of a dense SPIN-FREE sector Hamiltonian (random spatial
+    tensors spin-expanded, so [H, S^2] = 0 and every non-degenerate
+    eigenstate is an S^2 eigenstate)."""
+    from esoo_tpu.sim.sector import SectorCI
+    from esoo_tpu.orbital_optimization import spin_squared_from_rdms
+    from esoo_tpu.orbital_optimization.kernels import expand_spin_tensors
+
+    n, parts = 2, (1, 1)
+    sec = SectorCI(2 * n, parts)
+    rng = np.random.default_rng(3)
+    h_sp = rng.normal(size=(n, n))
+    h_sp = (h_sp + h_sp.T) / 2
+    g0 = rng.normal(size=(n,) * 4)
+    g_sp = (g0 + g0.transpose(1, 0, 3, 2) + g0.transpose(2, 3, 0, 1)
+            + g0.transpose(3, 2, 1, 0))
+    h, g = expand_spin_tensors(jnp.asarray(h_sp), jnp.asarray(g_sp))
+    vals = sec.build_values(h, g)
+    nd = sec.dim
+    H = np.zeros((nd, nd))
+    for j in range(nd):
+        e = np.zeros(nd)
+        e[j] = 1.0
+        H[:, j] = np.asarray(sec.sigma_values(
+            jnp.asarray(e).reshape(sec.nB, sec.nA), vals)).reshape(-1)
+    w, X = np.linalg.eigh((H + H.T) / 2)
+    s2s = []
+    for j in range(nd):
+        gam, Gam = sec.rdms(jnp.asarray(X[:, j]).reshape(sec.nB, sec.nA))
+        s2s.append(float(spin_squared_from_rdms(gam, Gam)))
+    s2s = np.sort(np.round(np.asarray(s2s), 6))
+    # 4 determinants in the (1,1) sector: 3 singlet-ish combos + 1
+    # triplet S_z=0 component; a spin-free random Hamiltonian may mix
+    # degenerate states, but every exact eigenstate must have S^2 in
+    # {0, 2} up to degeneracy mixing — check the extremes are present
+    assert s2s[0] < 1e-6           # at least one singlet
+    assert abs(s2s[-1] - 2.0) < 1e-6   # the triplet component
