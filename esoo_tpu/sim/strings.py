@@ -406,85 +406,108 @@ def _fold_one_body(hvec, M8, dt):
     return F
 
 
-def _t_halves(V, MA8, MB8, dt):
-    """((q_pad, nd), (q_pad, nd)) T-tensor halves T_a = D_a v, built one
-    operator chunk at a time (lax.scan ys write straight into the output
-    buffers; no f32 stack, no alpha/beta concatenation)."""
+def _t_half(V, M8, dt, ein):
+    """One (q_pad, nd) T-tensor half T_a = D_a v, built one operator
+    chunk at a time (lax.scan ys write straight into the output buffer;
+    no f32 stack).  ein: "qji,bi->qbj" (alpha) / "qji,ia->qja" (beta)."""
     nB, nA = V.shape
-    q_pad = MA8.shape[0]
+    q_pad, ns = M8.shape[0], M8.shape[1]
     c = min(_OP_CHUNK, q_pad)
 
-    def stepA(_, Mc):
-        return None, jnp.einsum("qji,bi->qbj", Mc.astype(dt), V)
+    def step(_, Mc):
+        return None, jnp.einsum(ein, Mc.astype(dt), V)
 
-    _, TA = jax.lax.scan(stepA, None, MA8.reshape(-1, c, nA, nA))
+    _, T = jax.lax.scan(step, None, M8.reshape(-1, c, ns, ns))
+    return T.reshape(q_pad, nB * nA)
 
-    def stepB(_, Mc):
-        return None, jnp.einsum("qji,ia->qja", Mc.astype(dt), V)
 
-    _, TB = jax.lax.scan(stepB, None, MB8.reshape(-1, c, nB, nB))
-    return TA.reshape(q_pad, nB * nA), TB.reshape(q_pad, nB * nA)
+def _back_contract(Tf, G2blk, M8, dt, spin, nB, nA):
+    """sum over operator chunks of M_chunk^T-applied((G2blk row chunk) @
+    Tf) — the U = G2 T rows are formed c at a time and contracted back
+    immediately, never materialized.  spin: 'A' accumulates the
+    alpha-side (nB, nA) contribution, 'B' the beta-side."""
+    q_pad, ns = M8.shape[0], M8.shape[1]
+    c = min(_OP_CHUNK, q_pad)
+    ein = "qji,qbi->bj" if spin == "A" else "qji,qia->ja"
+
+    def step(acc, xs):
+        Mc, Gc = xs                      # (c, ns, ns) int8, (c, q_pad)
+        Uc = Gc @ Tf
+        return acc + jnp.einsum(ein, Mc.astype(dt),
+                                Uc.reshape(c, nB, nA)), None
+
+    acc, _ = jax.lax.scan(
+        step, jnp.zeros((nB, nA), dt),
+        (M8.reshape(-1, c, ns, ns), G2blk.reshape(-1, c, q_pad)))
+    return acc
 
 
 def _sigma_compact(V, ops, tabs):
     """H . v with int8 stacks: same math as `sigma`, streamed over
-    operator chunks (U = G2 T is formed c rows at a time and contracted
-    back immediately — never materialized)."""
+    operator chunks.  Only ONE (q_pad, nd) T half is ever live: the G2
+    coupling is split into its four spin blocks, the TAf contributions
+    (AA + BA) are consumed first, and an optimization_barrier forces the
+    TBf build after them so XLA's liveness frees TAf — peak HBM is one
+    half (3.4 GB at H8 N=32) instead of two."""
     dt = V.dtype
     MA8, MB8 = tabs["MA8"], tabs["MB8"]
     nB, nA = V.shape
     q_pad = MA8.shape[0]
-    c = min(_OP_CHUNK, q_pad)
     s1 = V @ ops["FA"].T + ops["FB"] @ V
-    TAf, TBf = _t_halves(V, MA8, MB8, dt)
     G2 = ops["G2"]
-
-    def stepA(acc, xs):
-        Mc, Gc = xs                      # (c, nA, nA) int8, (c, 2 q_pad)
-        Uc = Gc[:, :q_pad] @ TAf + Gc[:, q_pad:] @ TBf
-        return acc + jnp.einsum("qji,qbi->bj", Mc.astype(dt),
-                                Uc.reshape(c, nB, nA)), None
-
-    s2A, _ = jax.lax.scan(
-        stepA, jnp.zeros((nB, nA), dt),
-        (MA8.reshape(-1, c, nA, nA),
-         G2[:q_pad].reshape(-1, c, 2 * q_pad)))
-
-    def stepB(acc, xs):
-        Mc, Gc = xs
-        Uc = Gc[:, :q_pad] @ TAf + Gc[:, q_pad:] @ TBf
-        return acc + jnp.einsum("qji,qia->ja", Mc.astype(dt),
-                                Uc.reshape(c, nB, nA)), None
-
-    s2B, _ = jax.lax.scan(
-        stepB, jnp.zeros((nB, nA), dt),
-        (MB8.reshape(-1, c, nB, nB),
-         G2[q_pad:].reshape(-1, c, 2 * q_pad)))
-    return s1 + s2A + s2B
+    TAf = _t_half(V, MA8, dt, "qji,bi->qbj")
+    sA = _back_contract(TAf, G2[:q_pad, :q_pad], MA8, dt, "A", nB, nA)
+    sB = _back_contract(TAf, G2[q_pad:, :q_pad], MB8, dt, "B", nB, nA)
+    # schedule fence: TBf may not be built before the TAf passes finish
+    V2, sA, sB = jax.lax.optimization_barrier((V, sA, sB))
+    TBf = _t_half(V2, MB8, dt, "qji,ia->qja")
+    sA = sA + _back_contract(TBf, G2[:q_pad, q_pad:], MA8, dt, "A",
+                             nB, nA)
+    sB = sB + _back_contract(TBf, G2[q_pad:, q_pad:], MB8, dt, "B",
+                             nB, nA)
+    return s1 + sA + sB
 
 
 def _rdms_compact(V, tabs, maps):
-    """`rdms` with int8 stacks: chunk-built T halves, the (2 q_pad)^2
-    pair-correlation matrix from four half GEMMs, then the same
+    """`rdms` with int8 stacks: the (2 q_pad)^2 pair-correlation matrix
+    assembled per spin block with only one T half live at a time (the
+    cross block TAf TBf^T streams TBf chunks recomputed on the fly; the
+    full matrix is symmetric, so BA = AB^T), then the same
     constant-index gather as the dense path."""
     dt = V.dtype
     nB, nA = V.shape
     IDX, SGN, CASE_A = maps
     N = CASE_A.shape[0]
     nsp = N // 2
-    q_pad = tabs["MA8"].shape[0]
-    TAf, TBf = _t_halves(V, tabs["MA8"], tabs["MB8"], dt)
+    MA8, MB8 = tabs["MA8"], tabs["MB8"]
+    q_pad = MA8.shape[0]
+    c = min(_OP_CHUNK, q_pad)
     v = V.reshape(-1)
+
+    TAf = _t_half(V, MA8, dt, "qji,bi->qbj")
     gp_a = TAf @ v
-    gp_b = TBf @ v
+    AA = TAf @ TAf.T
+
+    def stepx(_, Mc):
+        Tc = jnp.einsum("qji,ia->qja", Mc.astype(dt), V
+                        ).reshape(c, nB * nA)
+        return None, TAf @ Tc.T                      # (q_pad, c)
+
+    _, ABcols = jax.lax.scan(stepx, None, MB8.reshape(-1, c, nB, nB))
+    AB = ABcols.transpose(1, 0, 2).reshape(q_pad, q_pad)
+    V2, gp_a, AA, AB = jax.lax.optimization_barrier((V, gp_a, AA, AB))
+    TBf = _t_half(V2, MB8, dt, "qji,ia->qja")
+    gp_b = TBf @ V2.reshape(-1)
+    BB = TBf @ TBf.T
+
     gamma = jnp.zeros((N, N), dtype=dt)
     gamma = gamma.at[:nsp, :nsp].set(
         gp_a[: nsp * nsp].reshape(nsp, nsp))
     gamma = gamma.at[nsp:, nsp:].set(
         gp_b[: nsp * nsp].reshape(nsp, nsp))
     G2f = jnp.concatenate([
-        jnp.concatenate([TAf @ TAf.T, TAf @ TBf.T], axis=1),
-        jnp.concatenate([TBf @ TAf.T, TBf @ TBf.T], axis=1),
+        jnp.concatenate([AA, AB], axis=1),
+        jnp.concatenate([AB.T, BB], axis=1),
     ], axis=0).reshape(-1)
     Gamma = (jnp.asarray(SGN, dtype=dt) * G2f[jnp.asarray(IDX)]
              ).reshape(N, N, N, N)

@@ -32,6 +32,10 @@ result = FusedOptOrbCASSCF(num_spin_orbitals=8, problem=problem,
 print(f"FusedOptOrbCASSCF H4 6-31G->8: {result.eigenvalue:.8f} Ha "
       f"(electronic) in {result.outer_iterations} outer iterations, "
       f"{perf_counter() - t0:.1f}s")
+# standard CASSCF wavefunction diagnostics: natural-orbital occupation
+# numbers and the total-spin expectation (0 = pure singlet)
+print("natural occupations:", result.natural_occupations)
+print(f"<S^2> = {result.spin_squared:.6f}")
 
 # state-averaged: the three lowest exact states steer the orbitals
 t0 = perf_counter()
