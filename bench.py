@@ -292,7 +292,10 @@ def run_h8_casscf(n_red_so=24, maxiter=10):
     seconds (measured on the v5e, scripts/probe_h8_casscf.py:
     N=20 36.8 s cold / 0.79 s warm E=-10.267078; N=24 191.0 s cold /
     1.91 s warm E=-10.274961; N=28 — a 1,002,001-determinant sector —
-    113.7 s cold / 66.7 s warm E=-10.283794, 2026-08-18)."""
+    113.7 s cold / 66.7 s warm E=-10.283794, 2026-08-18; N=32 — a
+    3,312,400-determinant sector via table_storage='compact' int8
+    stacks, past the dense path's HBM wall — 158.3 s cold / 82.3 s
+    warm E=-10.285221, 2026-08-18)."""
     import jax
     import jax.numpy as jnp
     from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
@@ -314,23 +317,26 @@ def run_h8_casscf(n_red_so=24, maxiter=10):
                                  dtype=jnp.float32, dispatch="two")
 
     t0 = time.perf_counter()
-    r = make().compute_minimum_energy()
+    solver = make()
+    r = solver.compute_minimum_energy()
     cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     r = make().compute_minimum_energy()
     warm = time.perf_counter() - t0
     return dict(energy=r.eigenvalue, cold_s=round(cold, 2),
                 warm_s=round(warm, 2), outer_iters=r.outer_iterations,
-                e_nn=e_nn, n_red_so=n_red_so)
+                e_nn=e_nn, n_red_so=n_red_so,
+                table_storage=solver.table_storage)
 
 
 def run_h8_casscf_subprocess():
     """run_h8_casscf isolated like run_h8_scale_subprocess; attempts
-    N=28 (million-determinant flagship), then N=24, then N=20."""
+    N=32 (3.31M-determinant flagship, compact int8 stacks), then
+    N=28, 24, 20."""
     import subprocess
     import sys
     err = "unknown"
-    for n_red in (28, 24, 20):
+    for n_red in (32, 28, 24, 20):
         prog = ("import json; from bench import run_h8_casscf; "
                 "print('H8JSON ' + json.dumps(run_h8_casscf("
                 f"n_red_so={n_red})))")
@@ -715,6 +721,7 @@ def main():
         "h8_casscf_warm_s": h8c["warm_s"],
         "h8_casscf_outer_iters": h8c["outer_iters"],
         "h8_casscf_n_red_so": h8c.get("n_red_so"),
+        "h8_casscf_table_storage": h8c.get("table_storage"),
         "m120_sharded_energy_f32": m120["energy"],
         "m120_sharded_cold_s": m120["cold_s"],
         "m120_sharded_warm_s": m120["warm_s"],

@@ -302,6 +302,7 @@ class FusedOptOrbCASSCF:
         self._sector_tables = None
         if mesh is not None:
             from ..parallel import shard_sector_tables
+            self.table_storage = "sharded"
             self._sector_tables = shard_sector_tables(mesh, self._sector,
                                                       dtype)
         else:
@@ -314,6 +315,7 @@ class FusedOptOrbCASSCF:
                 storage = ("compact"
                            if self._sector.dim > _COMPACT_MIN_ND
                            else "dense")
+            self.table_storage = storage
             if (storage == "compact"
                     or self._sector.dim >= _TABLED_MIN_ND):
                 # large sectors: the MA/MB operator stacks as program
