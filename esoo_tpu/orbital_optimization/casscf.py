@@ -480,6 +480,11 @@ def _sa_casscf_stage_fns(sector: SectorCI, k, weights, max_subspace,
     from ..solvers.davidson import davidson_block
     tol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-6
     nB, nA = sector.nB, sector.nA
+    # compact int8 tables: one matvec's T half is HBM-scale, so the
+    # k-vector block matvec and the per-state RDMs must run
+    # sequentially (lax.map) instead of batched (vmap) — identical
+    # results, k-fold smaller transients
+    compact = tables is not None and "MA8" in tables
 
     def solve(V_warm, h_act, g_act):
         h_so, g_so = expand_spin_tensors(h_act, g_act)
@@ -492,12 +497,17 @@ def _sa_casscf_stage_fns(sector: SectorCI, k, weights, max_subspace,
 
         res = davidson_block(mv, diag, V_warm, k=k,
                              max_subspace=max_subspace,
-                             maxiter=davidson_maxiter, tol=tol)
+                             maxiter=davidson_maxiter, tol=tol,
+                             sequential_mv=compact)
         return res.eigenvectors, res.eigenvalues
 
     def extract_rdms(V):
-        gammas, Gammas = jax.vmap(
-            lambda v: sector.rdms(v.reshape(nB, nA), tables=tables))(V)
+        state_rdms = lambda v: sector.rdms(v.reshape(nB, nA),
+                                           tables=tables)
+        if compact:
+            gammas, Gammas = jax.lax.map(state_rdms, V)
+        else:
+            gammas, Gammas = jax.vmap(state_rdms)(V)
         return (jnp.tensordot(weights, gammas, axes=1),
                 jnp.tensordot(weights, Gammas, axes=1))
 

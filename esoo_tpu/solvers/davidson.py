@@ -158,14 +158,15 @@ class BlockDavidsonResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("matvec", "k", "max_subspace",
-                                   "maxiter"))
+                                   "maxiter", "sequential_mv"))
 def davidson_block(matvec: Callable,
                    diag: jnp.ndarray,
                    V0: jnp.ndarray,
                    k: int,
                    max_subspace: int = 24,
                    maxiter: int = 200,
-                   tol: float = 1e-8) -> BlockDavidsonResult:
+                   tol: float = 1e-8,
+                   sequential_mv: bool = False) -> BlockDavidsonResult:
     """Lowest k eigenpairs of the symmetric operator `matvec` by block
     Davidson: per iteration, Rayleigh-Ritz over the subspace, k
     preconditioned residual corrections appended (orthonormalized
@@ -181,7 +182,14 @@ def davidson_block(matvec: Callable,
         raise ValueError(f"max_subspace={m} must be >= 2k={2 * k}")
     eps = jnp.asarray(jnp.finfo(dt).eps, dt)
 
-    bmv = jax.vmap(matvec)
+    # sequential_mv=True: lax.map instead of vmap — identical results,
+    # k-fold smaller transient memory (needed when one matvec's working
+    # set is HBM-scale, e.g. the compact-table sigma at nd ~ millions
+    # whose (q_pad, nd) T half is GBs)
+    if sequential_mv:
+        bmv = lambda X: jax.lax.map(matvec, X)
+    else:
+        bmv = jax.vmap(matvec)
 
     def _gs_rows(X, B, cnt):
         mask = (jnp.arange(B.shape[0]) < cnt).astype(dt)
