@@ -10,11 +10,13 @@ in a fraction of that, at strictly LOWER (exact) active-space energies.
 dispatch='two' keeps every compiled dispatch short (the shared worker's
 documented kill is dispatch-length-bound) and logs live progress.
 
-Usage: python scripts/probe_h8_casscf.py [maxiter] [n_red_so] [storage]
+Usage: python scripts/probe_h8_casscf.py [maxiter] [n_red_so] [storage] [k]
 
 storage: 'auto' (default; compact int8-chunked stacks past nd=1.1M —
 i.e. N>=32), 'dense', or 'compact' — the N=32 3.31M-determinant sector
 only fits one v5e's 16 GB HBM via 'compact'.
+k: number of states (default 1 = ground-state FusedOptOrbCASSCF;
+k > 1 runs the state-averaged FusedOptOrbSACASSCF exact ladder).
 """
 import json
 import os
@@ -47,6 +49,7 @@ def main():
     maxiter = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     n_red_so = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     storage = sys.argv[3] if len(sys.argv) > 3 else "auto"
+    k = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     for attempt in range(30):
         if worker_alive():
@@ -62,7 +65,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from bench import h8_spatial_tensors   # also sets the compile cache
-    from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+    from esoo_tpu.orbital_optimization import (FusedOptOrbCASSCF,
+                                               FusedOptOrbSACASSCF)
 
     log("building/loading H8 cc-pVTZ MO tensors")
     h_sp, g_sp, parts, e_nn = h8_spatial_tensors()
@@ -81,9 +85,17 @@ def main():
             return h_dev, g_dev
 
     def cb(it, e, *_):
-        log(f"outer iteration {it}: E = {e:.6f}")
+        log(f"outer iteration {it}: E = "
+            f"{np.array2string(np.asarray(e), precision=6)}")
 
     def run(callback=None):
+        if k > 1:
+            return FusedOptOrbSACASSCF(
+                num_spin_orbitals=n_red_so, k=k, problem=_P(),
+                maxiter=maxiter, stopping_tolerance=1e-5,
+                dtype=jnp.float32, dispatch="two",
+                table_storage=storage,
+                outer_loop_callback=callback).compute_energies()
         return FusedOptOrbCASSCF(
             num_spin_orbitals=n_red_so, problem=_P(), maxiter=maxiter,
             stopping_tolerance=1e-5, dtype=jnp.float32, dispatch="two",
@@ -91,20 +103,26 @@ def main():
             outer_loop_callback=callback).compute_minimum_energy()
 
     log(f"solver config: CASSCF two-dispatch N={n_red_so} "
-        f"storage={storage}; cold run")
+        f"storage={storage} k={k}; cold run")
+
+    def energy_of(res):
+        if k > 1:
+            return [float(e) for e in np.asarray(res.eigenvalues)]
+        return res.eigenvalue
+
     t0 = time.perf_counter()
     r = run(callback=cb)
     cold = time.perf_counter() - t0
-    log(f"COLD DONE E={r.eigenvalue:.6f} iters={r.outer_iterations} "
+    log(f"COLD DONE E={energy_of(r)} iters={r.outer_iterations} "
         f"cold_s={cold:.1f}")
 
     t0 = time.perf_counter()
     r2 = run()
     warm = time.perf_counter() - t0
-    out = dict(energy=r2.eigenvalue, cold_s=round(cold, 2),
+    out = dict(energy=energy_of(r2), cold_s=round(cold, 2),
                warm_s=round(warm, 2), outer_iters=r2.outer_iterations,
-               e_nn=e_nn, solver="casscf", dispatch="two",
-               n_red_so=n_red_so, table_storage=storage)
+               e_nn=e_nn, solver="casscf" if k == 1 else f"sa-casscf-k{k}",
+               dispatch="two", n_red_so=n_red_so, table_storage=storage)
     print("H8JSON " + json.dumps(out), flush=True)
 
 
