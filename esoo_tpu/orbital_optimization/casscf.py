@@ -219,6 +219,11 @@ class FusedOptOrbCASSCF:
         num_spin_orbitals: active-space size N (n = N/2 spatial).
         num_particles: (n_alpha, n_beta); default: from `problem`.
         max_subspace / davidson_maxiter: Davidson search parameters.
+        davidson_chunk: with dispatch='two', advance the eigensolver at
+            most this many iterations per compiled dispatch (host loop
+            reads the on-device stop flag between dispatches) — the
+            vqe_chunk analogue for execution-time-limited workers;
+            currently consumed by the state-averaged solver.
         table_storage: 'dense' (f32/f64 operator stacks), 'compact'
             (int8 stacks + operator-chunked kernels — the single-chip
             HBM path past ~1M determinants), or 'auto' (compact beyond
@@ -241,6 +246,7 @@ class FusedOptOrbCASSCF:
                  decay_factor: float = 0.8,
                  max_subspace: int = 16,
                  davidson_maxiter: int = 200,
+                 davidson_chunk: Optional[int] = None,
                  dtype=None,
                  mesh=None,
                  dispatch: str = "one",
@@ -369,6 +375,16 @@ class FusedOptOrbCASSCF:
         self.davidson_maxiter = davidson_maxiter
         if dispatch not in ("one", "two"):
             raise ValueError("dispatch must be 'one' or 'two'")
+        if davidson_chunk is not None:
+            if dispatch != "two":
+                raise ValueError(
+                    "davidson_chunk requires dispatch='two' (it bounds "
+                    "the per-dispatch eigensolver iterations with a "
+                    "host-side loop)")
+            if int(davidson_chunk) < 1:
+                raise ValueError("davidson_chunk must be >= 1")
+            davidson_chunk = int(davidson_chunk)
+        self.davidson_chunk = davidson_chunk
         self.dispatch = dispatch
         self.outer_loop_callback = outer_loop_callback
         self.checkpoint_dir = checkpoint_dir
@@ -601,6 +617,98 @@ def _sa_casscf_eig_rdm_program(sector: SectorCI,
     return V, es, gamma_s, Gamma_s
 
 
+@partial(jax.jit, static_argnames=(
+    "sector", "k", "max_subspace", "sequential_mv"))
+def _sa_davidson_init_program(sector: SectorCI,
+                              k: int,
+                              V_warm: jnp.ndarray,
+                              U: jnp.ndarray,
+                              h_sp: jnp.ndarray,
+                              g_sp: jnp.ndarray,
+                              max_subspace: int = 24,
+                              tol: float = 1e-8,
+                              sequential_mv: bool = False,
+                              sector_tables=None):
+    """Chunked SA program A1: rotate integrals, build the sigma
+    operators + exact diagonal, initialize the block-Davidson carry.
+    Returns (state, vals, diag) — all device residents threaded through
+    the bounded advance dispatches (davidson_block_advance)."""
+    from ..solvers.davidson import davidson_block_init
+    nB, nA = sector.nB, sector.nA
+    h_act = rotate_one_body(h_sp, U)
+    g_act = rotate_two_body(g_sp, U)
+    h_so, g_so = expand_spin_tensors(h_act, g_act)
+    vals = sector.build_values(h_so, g_so, tables=sector_tables)
+    diag = sector.diagonal_values(vals, tables=sector_tables).reshape(-1)
+
+    def mv(x):
+        return sector.sigma_values(x.reshape(nB, nA), vals,
+                                   tables=sector_tables).reshape(-1)
+
+    state = davidson_block_init(mv, diag, V_warm, k=k,
+                                max_subspace=max_subspace, tol=tol,
+                                sequential_mv=sequential_mv)
+    return state, vals, diag
+
+
+@partial(jax.jit, static_argnames=("sector", "iters", "sequential_mv"))
+def _sa_davidson_advance_program(sector: SectorCI,
+                                 state,
+                                 vals,
+                                 diag: jnp.ndarray,
+                                 iters: int,
+                                 tol: float = 1e-8,
+                                 sequential_mv: bool = False,
+                                 sector_tables=None):
+    """Chunked SA program A2: at most `iters` block-Davidson iterations
+    — one SHORT compiled dispatch (the shared TPU worker kills
+    dispatch-length-bound programs; the monolithic k=3 N=32 solve was
+    such a kill), basis stays on device, host reads only the stop
+    flag."""
+    from ..solvers.davidson import davidson_block_advance
+    nB, nA = sector.nB, sector.nA
+
+    def mv(x):
+        return sector.sigma_values(x.reshape(nB, nA), vals,
+                                   tables=sector_tables).reshape(-1)
+
+    return davidson_block_advance(mv, diag, state, iters=iters, tol=tol,
+                                  sequential_mv=sequential_mv)
+
+
+@partial(jax.jit, static_argnames=("sector", "sequential_mv"))
+def _sa_finish_rdm_program(sector: SectorCI,
+                           weights: jnp.ndarray,
+                           state,
+                           vals,
+                           diag: jnp.ndarray,
+                           tol: float = 1e-8,
+                           sequential_mv: bool = False,
+                           sector_tables=None):
+    """Chunked SA program A3: final Rayleigh-Ritz polish + weighted
+    RDMs (sequential per-state extraction under compact tables)."""
+    from ..solvers.davidson import davidson_block_finish
+    nB, nA = sector.nB, sector.nA
+
+    def mv(x):
+        return sector.sigma_values(x.reshape(nB, nA), vals,
+                                   tables=sector_tables).reshape(-1)
+
+    res = davidson_block_finish(mv, diag, state, tol=tol,
+                                sequential_mv=sequential_mv)
+    V, es = res.eigenvectors, res.eigenvalues
+    state_rdms = lambda v: sector.rdms(v.reshape(nB, nA),
+                                       tables=sector_tables)
+    if sequential_mv:
+        gammas, Gammas = jax.lax.map(state_rdms, V)
+    else:
+        gammas, Gammas = jax.vmap(state_rdms)(V)
+    gamma = jnp.tensordot(weights, gammas, axes=1)
+    Gamma = jnp.tensordot(weights, Gammas, axes=1)
+    gamma_s, Gamma_s = spin_reduce_rdms(gamma, Gamma)
+    return V, es, gamma_s, Gamma_s
+
+
 class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
     """State-averaged CASSCF: orbital optimization over the weighted sum
     of the k LOWEST exact sector eigenvalues (block Davidson), the exact
@@ -705,12 +813,34 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
         decay = jnp.asarray(self.decay_factor, dtype)
         w = np.asarray(self._weights)
 
+        tabs = self._sector_tables
+        compact = tabs is not None and "MA8" in tabs
+        dav_tol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-6
+        chunk = self.davidson_chunk
+
         def solve(V, U):
-            return _sa_casscf_eig_rdm_program(
-                self._sector, self.k, self._weights, V, U, h_sp, g_sp,
-                max_subspace=self.max_subspace,
-                davidson_maxiter=self.davidson_maxiter,
-                sector_tables=self._sector_tables)
+            if chunk is None:
+                return _sa_casscf_eig_rdm_program(
+                    self._sector, self.k, self._weights, V, U, h_sp,
+                    g_sp, max_subspace=self.max_subspace,
+                    davidson_maxiter=self.davidson_maxiter,
+                    sector_tables=tabs)
+            # chunked eigensolver: bounded advance dispatches so no
+            # single compiled dispatch exceeds the shared worker's
+            # execution budget (cf. vqe_chunk, CLAUDE.md)
+            state, vals, diag = _sa_davidson_init_program(
+                self._sector, self.k, V, U, h_sp, g_sp,
+                max_subspace=self.max_subspace, tol=dav_tol,
+                sequential_mv=compact, sector_tables=tabs)
+            while (not bool(np.asarray(state[-1]))
+                   and int(np.asarray(state[3])) < self.davidson_maxiter):
+                state = _sa_davidson_advance_program(
+                    self._sector, state, vals, diag, iters=chunk,
+                    tol=dav_tol, sequential_mv=compact,
+                    sector_tables=tabs)
+            return _sa_finish_rdm_program(
+                self._sector, self._weights, state, vals, diag,
+                tol=dav_tol, sequential_mv=compact, sector_tables=tabs)
 
         V = self._V0
         U = orth(self._U0)

@@ -157,29 +157,12 @@ class BlockDavidsonResult(NamedTuple):
     residual_norm: jnp.ndarray   # max_i ||H x_i - E_i x_i|| at exit
 
 
-@partial(jax.jit, static_argnames=("matvec", "k", "max_subspace",
-                                   "maxiter", "sequential_mv"))
-def davidson_block(matvec: Callable,
-                   diag: jnp.ndarray,
-                   V0: jnp.ndarray,
-                   k: int,
-                   max_subspace: int = 24,
-                   maxiter: int = 200,
-                   tol: float = 1e-8,
-                   sequential_mv: bool = False) -> BlockDavidsonResult:
-    """Lowest k eigenpairs of the symmetric operator `matvec` by block
-    Davidson: per iteration, Rayleigh-Ritz over the subspace, k
-    preconditioned residual corrections appended (orthonormalized
-    against the basis and each other), restart collapsing to the k Ritz
-    vectors when the subspace fills.  `V0` is (k, dim) (rows need not be
-    orthonormal; they are orthonormalized).  One batched k-vector
-    matvec per iteration.  Exactness vs dense eigh: tests/test_casscf.py.
-    """
-    dim = V0.shape[1]
-    dt = V0.dtype
-    m = max_subspace
-    if m < 2 * k:
-        raise ValueError(f"max_subspace={m} must be >= 2k={2 * k}")
+def _block_fns(matvec, diag, k, m, tol, dt, sequential_mv):
+    """Shared block-Davidson machinery: (bmv, gs_rows, ritz, body).
+    The loop carry is (B, HB, cnt, it, ws, X, HX, rn, stop) — a pure
+    array pytree, so a search can round-trip through the host between
+    bounded `davidson_block_advance` dispatches (the chunked mode that
+    keeps each compiled dispatch short on kill-prone shared workers)."""
     eps = jnp.asarray(jnp.finfo(dt).eps, dt)
 
     # sequential_mv=True: lax.map instead of vmap — identical results,
@@ -209,7 +192,12 @@ def davidson_block(matvec: Callable,
     def _ritz(B, HB, cnt):
         G = B @ HB.T
         G = (G + G.T) / 2.0
-        inactive = (jnp.arange(m) >= cnt).astype(dt)
+        # a slot is inactive if beyond cnt OR a dead (zeroed) correction
+        # row inside the window — dead rows otherwise contribute
+        # spurious zero Ritz pairs, which rank into the lowest k (and
+        # fake rn = 0 convergence) whenever the spectrum straddles zero
+        dead = (jnp.linalg.norm(B, axis=1) < 0.5).astype(dt)
+        inactive = jnp.maximum((jnp.arange(m) >= cnt).astype(dt), dead)
         dG = jnp.diagonal(G)
         mx = jnp.max(jnp.where(inactive > 0, -jnp.inf, dG))
         G = G + jnp.diag(inactive * (mx + 1.0))
@@ -252,25 +240,131 @@ def davidson_block(matvec: Callable,
         stop = jnp.logical_or(converged, stagnant)
         return (B3, HB3, cnt3, it + 1, ws, X, HX, rn, stop)
 
+    def init(V0):
+        dim = V0.shape[1]
+        V0 = _gs_rows(V0, jnp.zeros((m, dim), dt), jnp.asarray(0))
+        B0 = jnp.zeros((m, dim), dt).at[:k].set(V0)
+        HB0 = jnp.zeros((m, dim), dt).at[:k].set(bmv(V0))
+        ws0 = jnp.zeros((k,), dt)
+        return (B0, HB0, jnp.asarray(k), jnp.asarray(1), ws0, V0,
+                HB0[:k], jnp.asarray(jnp.inf, dt), jnp.asarray(False))
+
+    def finish(c):
+        B, HB, cnt, it, ws, X, HX, rn, stop = c
+        ws2, X2, HX2 = _ritz(B, HB, cnt)
+        R2 = HX2 - ws2[:, None] * X2
+        rn2 = jnp.max(jnp.linalg.norm(R2, axis=1))
+        better = rn2 <= rn
+        ws = jnp.where(better, ws2, ws)
+        X = jnp.where(better, X2, X)
+        rn = jnp.where(better, rn2, rn)
+        X = X / jnp.linalg.norm(X, axis=1, keepdims=True)
+        return BlockDavidsonResult(eigenvalues=ws, eigenvectors=X,
+                                   iterations=it, residual_norm=rn)
+
+    return bmv, _gs_rows, _ritz, body, init, finish
+
+
+@partial(jax.jit, static_argnames=("matvec", "k", "max_subspace",
+                                   "maxiter", "sequential_mv"))
+def davidson_block(matvec: Callable,
+                   diag: jnp.ndarray,
+                   V0: jnp.ndarray,
+                   k: int,
+                   max_subspace: int = 24,
+                   maxiter: int = 200,
+                   tol: float = 1e-8,
+                   sequential_mv: bool = False) -> BlockDavidsonResult:
+    """Lowest k eigenpairs of the symmetric operator `matvec` by block
+    Davidson: per iteration, Rayleigh-Ritz over the subspace, k
+    preconditioned residual corrections appended (orthonormalized
+    against the basis and each other), restart collapsing to the k Ritz
+    vectors when the subspace fills.  `V0` is (k, dim) (rows need not be
+    orthonormal; they are orthonormalized).  One batched k-vector
+    matvec per iteration.  Exactness vs dense eigh: tests/test_casscf.py.
+    """
+    dt = V0.dtype
+    m = max_subspace
+    if m < 2 * k:
+        raise ValueError(f"max_subspace={m} must be >= 2k={2 * k}")
+    _, _, _, body, init, finish = _block_fns(matvec, diag, k, m, tol,
+                                             dt, sequential_mv)
+
     def cond(c):
-        _, _, _, it, _, _, _, _, stop = c
+        it, stop = c[3], c[8]
         return jnp.logical_and(jnp.logical_not(stop), it < maxiter)
 
-    V0 = _gs_rows(V0, jnp.zeros((m, dim), dt), jnp.asarray(0))
-    B0 = jnp.zeros((m, dim), dt).at[:k].set(V0)
-    HB0 = jnp.zeros((m, dim), dt).at[:k].set(bmv(V0))
-    ws0 = jnp.zeros((k,), dt)
-    c0 = (B0, HB0, jnp.asarray(k), jnp.asarray(1), ws0, V0, HB0[:k],
-          jnp.asarray(jnp.inf, dt), jnp.asarray(False))
-    B, HB, cnt, it, ws, X, HX, rn, stop = jax.lax.while_loop(cond, body,
-                                                             c0)
-    ws2, X2, HX2 = _ritz(B, HB, cnt)
-    R2 = HX2 - ws2[:, None] * X2
-    rn2 = jnp.max(jnp.linalg.norm(R2, axis=1))
-    better = rn2 <= rn
-    ws = jnp.where(better, ws2, ws)
-    X = jnp.where(better, X2, X)
-    rn = jnp.where(better, rn2, rn)
-    X = X / jnp.linalg.norm(X, axis=1, keepdims=True)
-    return BlockDavidsonResult(eigenvalues=ws, eigenvectors=X,
-                               iterations=it, residual_norm=rn)
+    c = jax.lax.while_loop(cond, body, init(V0))
+    return finish(c)
+
+
+@partial(jax.jit, static_argnames=("matvec", "k", "max_subspace",
+                                   "sequential_mv"))
+def davidson_block_init(matvec: Callable,
+                        diag: jnp.ndarray,
+                        V0: jnp.ndarray,
+                        k: int,
+                        max_subspace: int = 24,
+                        tol: float = 1e-8,
+                        sequential_mv: bool = False):
+    """Initial carry for a chunked block-Davidson search (see
+    davidson_block_advance)."""
+    dt = V0.dtype
+    if max_subspace < 2 * k:
+        raise ValueError(
+            f"max_subspace={max_subspace} must be >= 2k={2 * k}")
+    _, _, _, _, init, _ = _block_fns(matvec, diag, k, max_subspace,
+                                     tol, dt, sequential_mv)
+    return init(V0)
+
+
+@partial(jax.jit, static_argnames=("matvec", "iters", "sequential_mv"))
+def davidson_block_advance(matvec: Callable,
+                           diag: jnp.ndarray,
+                           state,
+                           iters: int,
+                           tol: float = 1e-8,
+                           sequential_mv: bool = False):
+    """Advance a block-Davidson search by at most `iters` iterations
+    from `state` (an init/advance carry) and return the new carry.
+    Identical math to davidson_block's loop — the chunked driver for
+    dispatch-length-limited backends: each advance is one SHORT
+    compiled dispatch, the (m, dim) basis stays on device between
+    dispatches, and the host reads only the scalar stop flag
+    (state[-1]) to decide whether to continue.  k and max_subspace are
+    recovered from the carry shapes."""
+    B, ws = state[0], state[4]
+    m, k = B.shape[0], ws.shape[0]
+    dt = B.dtype
+    _, _, _, body, _, _ = _block_fns(matvec, diag, k, m, tol, dt,
+                                     sequential_mv)
+
+    def cond(c):
+        it0, c = c
+        stop = c[8]
+        return jnp.logical_and(jnp.logical_not(stop),
+                               c[3] - it0 < iters)
+
+    def body2(c):
+        it0, cc = c
+        return (it0, body(cc))
+
+    _, c = jax.lax.while_loop(cond, body2, (state[3], state))
+    return c
+
+
+@partial(jax.jit, static_argnames=("matvec", "sequential_mv"))
+def davidson_block_finish(matvec: Callable,
+                          diag: jnp.ndarray,
+                          state,
+                          tol: float = 1e-8,
+                          sequential_mv: bool = False) -> BlockDavidsonResult:
+    """Final Rayleigh-Ritz polish of a chunked search carry — the same
+    exit block as davidson_block, so init + advance* + finish computes
+    the identical result."""
+    B, ws = state[0], state[4]
+    m, k = B.shape[0], ws.shape[0]
+    dt = B.dtype
+    _, _, _, _, _, finish = _block_fns(matvec, diag, k, m, tol, dt,
+                                       sequential_mv)
+    return finish(state)

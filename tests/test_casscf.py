@@ -351,3 +351,59 @@ def test_spin_squared_from_rdms_triplet():
     # {0, 2} up to degeneracy mixing — check the extremes are present
     assert s2s[0] < 1e-6           # at least one singlet
     assert abs(s2s[-1] - 2.0) < 1e-6   # the triplet component
+
+
+def test_block_davidson_chunked_equals_monolithic():
+    """init + bounded advance dispatches + finish computes the identical
+    result to the single-while-loop davidson_block — and on a spectrum
+    that straddles zero, where dead correction rows used to alias
+    spurious zero Ritz pairs (regression: dead rows are now padded out
+    of the Rayleigh-Ritz)."""
+    from esoo_tpu.solvers.davidson import (
+        davidson_block, davidson_block_init, davidson_block_advance,
+        davidson_block_finish)
+
+    rng = np.random.default_rng(0)
+    n, k = 200, 3
+    A = rng.normal(size=(n, n))
+    A = (A + A.T) / 2 + np.diag(np.arange(n) * 1.0)   # lowest evals < 0
+    Aj = jnp.asarray(A)
+    mv = lambda x: Aj @ x
+    diag = jnp.diagonal(Aj)
+    V0 = jnp.asarray(rng.normal(size=(k, n)))
+    ref = davidson_block(mv, diag, V0, k=k, max_subspace=12,
+                         maxiter=300, tol=1e-10)
+    w_exact = np.linalg.eigvalsh(A)[:k]
+    np.testing.assert_allclose(np.asarray(ref.eigenvalues), w_exact,
+                               atol=1e-8)
+    st = davidson_block_init(mv, diag, V0, k=k, max_subspace=12,
+                             tol=1e-10)
+    while (not bool(np.asarray(st[-1]))
+           and int(np.asarray(st[3])) < 300):
+        st = davidson_block_advance(mv, diag, st, iters=7, tol=1e-10)
+    r2 = davidson_block_finish(mv, diag, st, tol=1e-10)
+    np.testing.assert_allclose(np.asarray(r2.eigenvalues),
+                               np.asarray(ref.eigenvalues), atol=1e-10)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(r2.eigenvectors)
+               @ np.asarray(ref.eigenvectors).T), np.eye(k), atol=1e-6)
+
+
+def test_sa_casscf_davidson_chunk_equality(h2_631g):
+    """davidson_chunk (bounded eigensolver dispatches, the vqe_chunk
+    analogue) reproduces the unchunked SA result, dense and compact."""
+    from esoo_tpu.orbital_optimization import FusedOptOrbSACASSCF
+
+    base = FusedOptOrbSACASSCF(4, problem=h2_631g, k=2, maxiter=8,
+                               dispatch="two").compute_energies()
+    for storage in ("dense", "compact"):
+        ck = FusedOptOrbSACASSCF(4, problem=h2_631g, k=2, maxiter=8,
+                                 dispatch="two", davidson_chunk=3,
+                                 table_storage=storage
+                                 ).compute_energies()
+        np.testing.assert_allclose(np.asarray(ck.eigenvalues),
+                                   np.asarray(base.eigenvalues),
+                                   atol=1e-8)
+    with pytest.raises(ValueError, match="davidson_chunk"):
+        FusedOptOrbSACASSCF(4, problem=h2_631g, k=2, davidson_chunk=3,
+                            dispatch="one")
