@@ -16,7 +16,9 @@ from .optimizers import (
     OptimizerResult,
 )
 from .davidson import (BlockDavidsonResult, DavidsonResult,
-                       davidson_block, davidson_ground)
+                       davidson_block, davidson_block_advance,
+                       davidson_block_finish, davidson_block_init,
+                       davidson_ground)
 from .ssvqe import SSVQE, SSVQEResult
 from .vqd import VQD, VQDResult
 from .vqe import (VQE, AlgorithmError, NumPyEigensolver,
@@ -28,7 +30,8 @@ __all__ = [
     "ADAM", "CG", "COBYLA", "L_BFGS_B", "NELDER_MEAD", "POWELL", "SLSQP",
     "SPSA", "GradientDescent", "JaxBFGS", "Minimizer", "Optimizer", "OptimizerResult",
     "DavidsonResult", "BlockDavidsonResult", "davidson_ground",
-    "davidson_block",
+    "davidson_block", "davidson_block_init", "davidson_block_advance",
+    "davidson_block_finish",
     "SSVQE", "SSVQEResult",
     "VQD", "VQDResult",
     "VQE", "AlgorithmError", "NumPyEigensolver", "NumPyEigensolverResult",

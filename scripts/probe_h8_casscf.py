@@ -95,6 +95,9 @@ def main():
                 maxiter=maxiter, stopping_tolerance=1e-5,
                 dtype=jnp.float32, dispatch="two",
                 table_storage=storage,
+                # bounded eigensolver dispatches: the monolithic k=3
+                # N=32 solve is a multi-minute dispatch -> worker kill
+                davidson_chunk=8,
                 outer_loop_callback=callback).compute_energies()
         return FusedOptOrbCASSCF(
             num_spin_orbitals=n_red_so, problem=_P(), maxiter=maxiter,
