@@ -198,6 +198,22 @@ def spin_squared_from_rdms(gamma: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("sector",))
+def _states_diagnostics(sector: SectorCI, V: jnp.ndarray,
+                        sector_tables=None):
+    """Per-state (natural occupations (k, n), <S^2> (k,)) of a (k, nd)
+    eigenvector block — sequential over states (one state's RDM working
+    set is HBM-scale under compact tables)."""
+    def one(v):
+        gamma, Gamma = sector.rdms(v.reshape(sector.nB, sector.nA),
+                                   tables=sector_tables)
+        gamma_s, _ = spin_reduce_rdms(gamma, Gamma)
+        return (jnp.linalg.eigvalsh(gamma_s)[::-1],
+                spin_squared_from_rdms(gamma, Gamma))
+
+    return jax.lax.map(one, V)
+
+
+@partial(jax.jit, static_argnames=("sector",))
 def _state_diagnostics(sector: SectorCI, v: jnp.ndarray,
                        sector_tables=None):
     """(natural occupations, <S^2>) of a sector vector — the standard
@@ -222,8 +238,9 @@ class FusedOptOrbCASSCF:
         davidson_chunk: with dispatch='two', advance the eigensolver at
             most this many iterations per compiled dispatch (host loop
             reads the on-device stop flag between dispatches) — the
-            vqe_chunk analogue for execution-time-limited workers;
-            currently consumed by the state-averaged solver.
+            vqe_chunk analogue for execution-time-limited workers
+            (the ground solver runs the k=1 block machinery when
+            chunked).
         table_storage: 'dense' (f32/f64 operator stacks), 'compact'
             (int8 stacks + operator-chunked kernels — the single-chip
             HBM path past ~1M determinants), or 'auto' (compact beyond
@@ -441,12 +458,36 @@ class FusedOptOrbCASSCF:
         inner_tol = jnp.asarray(self.inner_stopping_tolerance, dtype)
         decay = jnp.asarray(self.decay_factor, dtype)
 
+        tabs = self._sector_tables
+        compact = tabs is not None and "MA8" in tabs
+        dav_tol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-6
+        chunk = self.davidson_chunk
+        w1 = jnp.ones((1,), dtype)
+
         def solve(v, U):
-            return _casscf_eig_rdm_program(
-                self._sector, v, U, h_sp, g_sp,
-                max_subspace=self.max_subspace,
-                davidson_maxiter=self.davidson_maxiter,
-                sector_tables=self._sector_tables)
+            if chunk is None:
+                return _casscf_eig_rdm_program(
+                    self._sector, v, U, h_sp, g_sp,
+                    max_subspace=self.max_subspace,
+                    davidson_maxiter=self.davidson_maxiter,
+                    sector_tables=tabs)
+            # bounded eigensolver dispatches (cf. the SA path): the
+            # block machinery with k=1 plays the role of
+            # davidson_ground, chunked across dispatches
+            state, vals, diag = _sa_davidson_init_program(
+                self._sector, 1, jnp.asarray(v).reshape(1, -1), U,
+                h_sp, g_sp, max_subspace=self.max_subspace,
+                tol=dav_tol, sequential_mv=compact, sector_tables=tabs)
+            while (not bool(np.asarray(state[-1]))
+                   and int(np.asarray(state[3])) < self.davidson_maxiter):
+                state = _sa_davidson_advance_program(
+                    self._sector, state, vals, diag, iters=chunk,
+                    tol=dav_tol, sequential_mv=compact,
+                    sector_tables=tabs)
+            V, es, gamma_s, Gamma_s = _sa_finish_rdm_program(
+                self._sector, w1, state, vals, diag, tol=dav_tol,
+                sequential_mv=compact, sector_tables=tabs)
+            return V[0], es[0], gamma_s, Gamma_s
 
         v = self._v0
         U = orth(self._U0)
@@ -795,12 +836,16 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
             if post_cb is not None:
                 post_cb(it, es, V, U, trace)
             trace = np.asarray(trace)[:it]
+            occ, s2 = _states_diagnostics(self._sector, jnp.asarray(V),
+                                          sector_tables=self._sector_tables)
             return FusedOptOrbEigensolverResult(
                 eigenvalues=np.asarray(es),
                 optimal_point=np.asarray(V),
                 optimal_partial_unitary=np.asarray(U),
                 energy_convergence_list=[float(e) for e in trace],
                 outer_iterations=it,
+                natural_occupations=np.asarray(occ),
+                spin_squared=np.asarray(s2),
             )
 
     def _run_two_dispatch_sa(self, dtype):
@@ -869,10 +914,14 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
                              bb, inner_tol, decay,
                              inner_maxiter=self.inner_maxiter)
         V, es, _, _ = solve(V, U)
+        occ, s2 = _states_diagnostics(self._sector, jnp.asarray(V),
+                                      sector_tables=self._sector_tables)
         return FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(es),
             optimal_point=np.asarray(V),
             optimal_partial_unitary=np.asarray(U),
             energy_convergence_list=[float(e) for e in trace[:it]],
             outer_iterations=it,
+            natural_occupations=np.asarray(occ),
+            spin_squared=np.asarray(s2),
         )

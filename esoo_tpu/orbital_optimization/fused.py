@@ -512,6 +512,12 @@ class FusedOptOrbEigensolverResult:
     optimal_partial_unitary: np.ndarray
     energy_convergence_list: list     # weighted sums per outer iteration
     outer_iterations: int
+    # per-state CASSCF wavefunction diagnostics (exact-diagonalization
+    # solvers, casscf.py): descending natural occupations (k, n_spatial)
+    # and total-spin expectations <S^2> (k,) — spin labels for the
+    # exact ladder (0 singlet, 0.75 doublet, 2 triplet, ...)
+    natural_occupations: Optional[np.ndarray] = None
+    spin_squared: Optional[np.ndarray] = None
 
     @property
     def optimal_parameters(self):

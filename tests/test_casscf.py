@@ -407,3 +407,41 @@ def test_sa_casscf_davidson_chunk_equality(h2_631g):
     with pytest.raises(ValueError, match="davidson_chunk"):
         FusedOptOrbSACASSCF(4, problem=h2_631g, k=2, davidson_chunk=3,
                             dispatch="one")
+
+
+def test_ground_casscf_davidson_chunk_equality(h2_631g):
+    """Ground-path davidson_chunk (k=1 block machinery, bounded
+    dispatches) matches the unchunked davidson_ground two-dispatch run,
+    dense and compact."""
+    from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+    base = FusedOptOrbCASSCF(4, problem=h2_631g, maxiter=10,
+                             dispatch="two").compute_minimum_energy()
+    for storage in ("dense", "compact"):
+        ck = FusedOptOrbCASSCF(4, problem=h2_631g, maxiter=10,
+                               dispatch="two", davidson_chunk=4,
+                               table_storage=storage
+                               ).compute_minimum_energy()
+        np.testing.assert_allclose(ck.eigenvalue, base.eigenvalue,
+                                   atol=1e-7)
+
+
+def test_sa_casscf_per_state_diagnostics(h2_631g):
+    """SA results carry per-state natural occupations and <S^2>: the H2
+    6-31G -> 4 k=2 ladder is ground singlet + first excited state; each
+    state's occupations sum to the electron count and <S^2> identifies
+    its spin (values in {0, 2} for this two-electron sector)."""
+    from esoo_tpu.orbital_optimization import FusedOptOrbSACASSCF
+
+    r = FusedOptOrbSACASSCF(4, problem=h2_631g, k=2,
+                            maxiter=8).compute_energies()
+    assert r.spin_squared is not None and r.spin_squared.shape == (2,)
+    assert r.natural_occupations.shape == (2, 2)
+    np.testing.assert_allclose(r.natural_occupations.sum(axis=1),
+                               [2.0, 2.0], atol=1e-7)
+    for s2 in r.spin_squared:
+        assert min(abs(s2 - 0.0), abs(s2 - 2.0)) < 1e-6
+    r2 = FusedOptOrbSACASSCF(4, problem=h2_631g, k=2, maxiter=8,
+                             dispatch="two").compute_energies()
+    np.testing.assert_allclose(r2.spin_squared, r.spin_squared,
+                               atol=1e-7)
