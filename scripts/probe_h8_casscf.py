@@ -50,6 +50,7 @@ def main():
     n_red_so = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     storage = sys.argv[3] if len(sys.argv) > 3 else "auto"
     k = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    tol = float(sys.argv[5]) if len(sys.argv) > 5 else 1e-5
 
     for attempt in range(30):
         if worker_alive():
@@ -92,7 +93,7 @@ def main():
         if k > 1:
             return FusedOptOrbSACASSCF(
                 num_spin_orbitals=n_red_so, k=k, problem=_P(),
-                maxiter=maxiter, stopping_tolerance=1e-5,
+                maxiter=maxiter, stopping_tolerance=tol,
                 dtype=jnp.float32, dispatch="two",
                 table_storage=storage,
                 # bounded eigensolver dispatches: the monolithic k=3
@@ -101,7 +102,7 @@ def main():
                 outer_loop_callback=callback).compute_energies()
         return FusedOptOrbCASSCF(
             num_spin_orbitals=n_red_so, problem=_P(), maxiter=maxiter,
-            stopping_tolerance=1e-5, dtype=jnp.float32, dispatch="two",
+            stopping_tolerance=tol, dtype=jnp.float32, dispatch="two",
             table_storage=storage,
             outer_loop_callback=callback).compute_minimum_energy()
 
@@ -125,7 +126,8 @@ def main():
     out = dict(energy=energy_of(r2), cold_s=round(cold, 2),
                warm_s=round(warm, 2), outer_iters=r2.outer_iterations,
                e_nn=e_nn, solver="casscf" if k == 1 else f"sa-casscf-k{k}",
-               dispatch="two", n_red_so=n_red_so, table_storage=storage)
+               dispatch="two", n_red_so=n_red_so, table_storage=storage,
+               stopping_tolerance=tol)
     print("H8JSON " + json.dumps(out), flush=True)
 
 
