@@ -445,3 +445,10 @@ def test_sa_casscf_per_state_diagnostics(h2_631g):
                              dispatch="two").compute_energies()
     np.testing.assert_allclose(r2.spin_squared, r.spin_squared,
                                atol=1e-7)
+    # sequential (compact-table) diagnostics extraction agrees too
+    r3 = FusedOptOrbSACASSCF(4, problem=h2_631g, k=2, maxiter=8,
+                             table_storage="compact").compute_energies()
+    np.testing.assert_allclose(r3.spin_squared, r.spin_squared,
+                               atol=1e-7)
+    np.testing.assert_allclose(r3.natural_occupations,
+                               r.natural_occupations, atol=1e-7)
