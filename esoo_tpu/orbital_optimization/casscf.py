@@ -53,6 +53,23 @@ _SECTOR_CI_CACHE = {}
 
 _COMPACT_MIN_ND = 1_100_000   # 'auto' -> int8-chunked stacks past this
 
+# Past this many determinants the k-state block matvec/RDM extraction
+# runs sequentially (lax.map) even with DENSE tables: vmap materializes
+# k copies of the (q, nd) T working set, and the measured single-state
+# headroom at N=28 (nd=1.0M, dense ground completes in 13.2 s warm)
+# vanishes at k=3 (OOMs the 16 GB v5e).  N=24 (nd=245k) keeps vmap.
+_SEQ_MV_MIN_ND = 500_000
+
+
+def _sa_sequential(sector: SectorCI, k: int, tables) -> bool:
+    """Sequential (lax.map) vs batched (vmap) state processing for the
+    state-averaged eigensolver/RDM stages — sequential whenever the
+    compact int8 tables are in play (one state's working set is already
+    HBM-scale) or the dense sector is big enough that k live T tensors
+    would not fit (see _SEQ_MV_MIN_ND)."""
+    compact = tables is not None and "MA8" in tables
+    return compact or (k > 1 and sector.nB * sector.nA >= _SEQ_MV_MIN_ND)
+
 
 def _sector_ci_cached(num_spin_orbitals: int,
                       num_particles: Tuple[int, int]) -> SectorCI:
@@ -537,11 +554,11 @@ def _sa_casscf_stage_fns(sector: SectorCI, k, weights, max_subspace,
     from ..solvers.davidson import davidson_block
     tol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-6
     nB, nA = sector.nB, sector.nA
-    # compact int8 tables: one matvec's T half is HBM-scale, so the
-    # k-vector block matvec and the per-state RDMs must run
-    # sequentially (lax.map) instead of batched (vmap) — identical
-    # results, k-fold smaller transients
-    compact = tables is not None and "MA8" in tables
+    # compact int8 tables (one matvec's T half is HBM-scale) or a large
+    # dense sector (k live T tensors under vmap): run the k-vector block
+    # matvec and the per-state RDMs sequentially (lax.map) instead of
+    # batched (vmap) — identical results, k-fold smaller transients
+    compact = _sa_sequential(sector, k, tables)
 
     def solve(V_warm, h_act, g_act):
         h_so, g_so = expand_spin_tensors(h_act, g_act)
@@ -859,7 +876,7 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
         w = np.asarray(self._weights)
 
         tabs = self._sector_tables
-        compact = tabs is not None and "MA8" in tabs
+        compact = _sa_sequential(self._sector, self.k, tabs)
         dav_tol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-6
         chunk = self.davidson_chunk
 

@@ -452,3 +452,25 @@ def test_sa_casscf_per_state_diagnostics(h2_631g):
                                atol=1e-7)
     np.testing.assert_allclose(r3.natural_occupations,
                                r.natural_occupations, atol=1e-7)
+
+
+def test_sa_sequential_predicate():
+    """Sequential state processing trips on compact tables OR a dense
+    sector past _SEQ_MV_MIN_ND (the SA k=3 N=28 dense vmap OOM), and
+    never for single-state dense work."""
+    from types import SimpleNamespace
+    from esoo_tpu.orbital_optimization.casscf import (
+        _sa_sequential, _SEQ_MV_MIN_ND)
+
+    small = SimpleNamespace(nB=70, nA=70)            # nd = 4,900
+    big = SimpleNamespace(nB=1001, nA=1001)          # nd ~ 1.0M (N=28)
+    assert big.nB * big.nA >= _SEQ_MV_MIN_ND
+    compact_tabs = {"MA8": None}
+    dense_tabs = {"MA": None}
+    assert not _sa_sequential(small, 3, None)
+    assert not _sa_sequential(small, 3, dense_tabs)
+    assert _sa_sequential(small, 3, compact_tabs)
+    assert _sa_sequential(big, 3, None)
+    assert _sa_sequential(big, 3, dense_tabs)
+    assert not _sa_sequential(big, 1, dense_tabs)    # ground keeps vmap
+    assert _sa_sequential(big, 1, compact_tabs)
