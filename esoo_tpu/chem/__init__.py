@@ -1,6 +1,7 @@
 from .basis import BASIS_SETS, Shell, build_shells
 from .driver import ElectronicStructureProblem, MoleculeDriver
 from .integrals import IntegralEngine
+from .properties import AU_TO_DEBYE, dipole_moment, hf_density_spatial
 from .scf import rhf
 
 __all__ = [
@@ -10,5 +11,8 @@ __all__ = [
     "ElectronicStructureProblem",
     "MoleculeDriver",
     "IntegralEngine",
+    "AU_TO_DEBYE",
+    "dipole_moment",
+    "hf_density_spatial",
     "rhf",
 ]

@@ -51,6 +51,15 @@ class ElectronicStructureProblem:
     basis: str = ""
     core_energy: float = 0.0      # frozen-core mean-field energy (active-
     # space problems: total electronic = solver energy + core_energy)
+    # dipole-operator ⟨p|r_d|q⟩ matrices in the MO basis, (3, n, n), and
+    # the nuclear dipole Σ_A Z_A R_A (origin at 0).  Populated by
+    # MoleculeDriver (the PySCF `int1e_r` role); None for problems built
+    # from bare integral tensors.  dipole_core accumulates the frozen-
+    # core electronic ⟨r⟩ under active_space reductions.
+    dipole_mo: Optional[np.ndarray] = None
+    nuclear_dipole: Optional[np.ndarray] = None
+    dipole_core: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3))
 
     @property
     def num_spin_orbitals(self) -> int:
@@ -106,6 +115,12 @@ class ElectronicStructureProblem:
         h_eff = (h[act, act]
                  + 2.0 * np.einsum("pqii->pq", eri[act, act, core, core])
                  - np.einsum("piiq->pq", eri[act, core, core, act]))
+        dip_act, dip_core, nuc_dip = None, self.dipole_core, None
+        if self.dipole_mo is not None:
+            dip_act = np.ascontiguousarray(self.dipole_mo[:, act, act])
+            dip_core = self.dipole_core + 2.0 * np.einsum(
+                "dii->d", self.dipole_mo[:, core, core])
+            nuc_dip = self.nuclear_dipole
         return ElectronicStructureProblem(
             num_particles=(na - nc, nb - nc),
             num_spatial_orbitals=stop - nc,
@@ -116,6 +131,9 @@ class ElectronicStructureProblem:
             atom=self.atom,
             basis=self.basis,
             core_energy=self.core_energy + float(e_core),
+            dipole_mo=dip_act,
+            nuclear_dipole=nuc_dip,
+            dipole_core=dip_core,
         )
 
     def one_body_tensor(self) -> np.ndarray:
@@ -213,6 +231,9 @@ class MoleculeDriver:
         eri_mo = np.einsum("ijks,sl->ijkl", tmp, C, optimize=True)
 
         n_mo = C.shape[1]
+        dip_ao = engine.dipole()
+        dip_mo = np.einsum("dpq,pi,qj->dij", dip_ao, C, C, optimize=True)
+        nuc_dip = np.einsum("a,ad->d", charges, coords)
         return ElectronicStructureProblem(
             num_particles=(n_a, n_b),
             num_spatial_orbitals=n_mo,
@@ -222,4 +243,6 @@ class MoleculeDriver:
             scf=scf,
             atom=self.atom,
             basis=self.basis,
+            dipole_mo=dip_mo,
+            nuclear_dipole=nuc_dip,
         )

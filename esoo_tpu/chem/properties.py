@@ -1,0 +1,109 @@
+"""Molecular properties from RDMs (dipole moments and friends).
+
+The reference obtains property integrals from PySCF and never evaluates
+them (its results are energies only); the rebuild's chem frontend plays
+the PySCF role (SURVEY.md §2.3 "PySCF integrals"), so first-class
+observable evaluation belongs here.  Every OptOrb-family result carries
+(or can reconstruct) the active-space 1-RDM and the optimal partial
+unitary U, which is all a one-body property needs:
+
+    μ = Σ_A Z_A R_A  −  [ ⟨r⟩_core + Σ_pq (Uᵀ D U)[p,q] γ[q,p] ]
+
+with D the MO-basis dipole-operator matrices computed by the integral
+engine (chem/integrals.py `IntegralEngine.dipole`), γ the spin-summed
+spatial 1-RDM of the active-space state, and ⟨r⟩_core the frozen-core
+contribution accumulated by `ElectronicStructureProblem.active_space`.
+
+Because every solver in the package is variational, the Hellmann-
+Feynman theorem holds at the optimum: dE/dF for the field-perturbed
+Hamiltonian h → h + F·D equals tr(γD).  tests/test_properties.py
+enforces exactly this identity (finite-field SCF and finite-field
+FusedOptOrbCASSCF against the analytic RDM dipole).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+# 1 atomic unit of electric dipole = ea0 = 2.541746473 Debye (CODATA)
+AU_TO_DEBYE = 2.541746473
+
+
+def hf_density_spatial(problem) -> np.ndarray:
+    """Spin-summed spatial 1-RDM of the problem's mean-field reference
+    in its own MO basis: diag(2,...,2,1,...,1,0,...) — doubly occupied
+    up to n_beta, singly (alpha) occupied up to n_alpha (ROHF order)."""
+    na, nb = problem.num_particles
+    n = problem.num_spatial_orbitals
+    occ = np.zeros(n)
+    occ[:nb] = 2.0
+    occ[nb:na] = 1.0
+    return np.diag(occ)
+
+
+def spin_summed(gamma_so: np.ndarray) -> np.ndarray:
+    """Reduce a spin-orbital 1-RDM (block ordering, alpha first) to the
+    spin-summed spatial 1-RDM γ_sp = γ_αα + γ_ββ."""
+    gamma_so = np.asarray(gamma_so)
+    half = gamma_so.shape[0] // 2
+    return gamma_so[:half, :half] + gamma_so[half:, half:]
+
+
+def dipole_moment(problem,
+                  gamma_spatial: Optional[np.ndarray] = None,
+                  partial_unitary: Optional[np.ndarray] = None,
+                  unit: str = "au") -> np.ndarray:
+    """Electric dipole moment vector of the state described by
+    `gamma_spatial` (spin-summed spatial 1-RDM over the problem's
+    orbitals, or over the rotated/active orbitals when
+    `partial_unitary` is given).
+
+    Args:
+        problem: an `ElectronicStructureProblem` from `MoleculeDriver`
+            (must carry `dipole_mo`; problems built from bare tensors
+            cannot evaluate properties).
+        gamma_spatial: (n, n) spin-summed spatial 1-RDM.  Default: the
+            mean-field reference density (HF dipole).  A spin-orbital
+            (2n, 2n) block matrix is accepted and spin-reduced.
+        partial_unitary: optional (m, n) spatial partial unitary — the
+            `optimal_partial_unitary` of an OptOrb result, mapping the
+            problem's m orbitals onto the n active orbitals γ lives in.
+        unit: 'au' (default) or 'debye'.
+
+    Returns (3,) dipole vector μ = μ_nuc − ⟨r⟩_elec.
+    """
+    D = getattr(problem, "dipole_mo", None)
+    if D is None:
+        raise ValueError(
+            "problem carries no dipole integrals (dipole_mo is None); "
+            "build it with chem.MoleculeDriver — problems ingested from "
+            "bare integral tensors cannot evaluate properties")
+    D = np.asarray(D, dtype=np.float64)
+    if gamma_spatial is None:
+        gamma = hf_density_spatial(problem)
+    else:
+        gamma = np.asarray(gamma_spatial, dtype=np.float64)
+    if partial_unitary is not None:
+        U = np.asarray(partial_unitary, dtype=np.float64)
+        if U.shape[0] != D.shape[1]:
+            raise ValueError(
+                f"partial unitary rows ({U.shape[0]}) do not match the "
+                f"problem's {D.shape[1]} spatial orbitals")
+        D = np.einsum("dpq,pi,qj->dij", D, U, U, optimize=True)
+    if gamma.shape[0] == 2 * D.shape[1]:
+        gamma = spin_summed(gamma)
+    if gamma.shape != D.shape[1:]:
+        raise ValueError(
+            f"1-RDM shape {gamma.shape} does not match the "
+            f"{D.shape[1]}-orbital dipole operator; pass the "
+            f"partial_unitary for active-space RDMs")
+    elec = np.einsum("dpq,qp->d", D, gamma) + np.asarray(
+        problem.dipole_core, dtype=np.float64)
+    mu = np.asarray(problem.nuclear_dipole, dtype=np.float64) - elec
+    if unit.lower() in ("debye", "d"):
+        return mu * AU_TO_DEBYE
+    if unit.lower() != "au":
+        raise ValueError("unit must be 'au' or 'debye'")
+    return mu

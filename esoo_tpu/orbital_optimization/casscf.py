@@ -225,7 +225,8 @@ def _states_diagnostics(sector: SectorCI, V: jnp.ndarray,
                                    tables=sector_tables)
         gamma_s, _ = spin_reduce_rdms(gamma, Gamma)
         return (jnp.linalg.eigvalsh(gamma_s)[::-1],
-                spin_squared_from_rdms(gamma, Gamma))
+                spin_squared_from_rdms(gamma, Gamma),
+                gamma_s)
 
     return jax.lax.map(one, V)
 
@@ -241,7 +242,8 @@ def _state_diagnostics(sector: SectorCI, v: jnp.ndarray,
                                tables=sector_tables)
     gamma_s, _ = spin_reduce_rdms(gamma, Gamma)
     return (jnp.linalg.eigvalsh(gamma_s)[::-1],
-            spin_squared_from_rdms(gamma, Gamma))
+            spin_squared_from_rdms(gamma, Gamma),
+            gamma_s)
 
 
 class FusedOptOrbCASSCF:
@@ -451,8 +453,8 @@ class FusedOptOrbCASSCF:
         if post_cb is not None:
             post_cb(it, E, v, U, trace)
         trace = np.asarray(trace)[:it]
-        occ, s2 = _state_diagnostics(self._sector, jnp.asarray(v),
-                                     sector_tables=self._sector_tables)
+        occ, s2, g1 = _state_diagnostics(self._sector, jnp.asarray(v),
+                                         sector_tables=self._sector_tables)
         return FusedOptOrbResult(
             eigenvalue=float(E),
             optimal_point=np.asarray(v),
@@ -462,6 +464,7 @@ class FusedOptOrbCASSCF:
             optimal_circuit=None,
             natural_occupations=np.asarray(occ),
             spin_squared=float(s2),
+            one_rdm_spatial=np.asarray(g1),
         )
 
     def _run_two_dispatch(self, dtype) -> FusedOptOrbResult:
@@ -533,8 +536,8 @@ class FusedOptOrbCASSCF:
                              inner_maxiter=self.inner_maxiter)
         # one-dispatch parity tail: re-solve at the final U
         v, E, _, _ = solve(v, U)
-        occ, s2 = _state_diagnostics(self._sector, jnp.asarray(v),
-                                     sector_tables=self._sector_tables)
+        occ, s2, g1 = _state_diagnostics(self._sector, jnp.asarray(v),
+                                         sector_tables=self._sector_tables)
         return FusedOptOrbResult(
             eigenvalue=float(E),
             optimal_point=np.asarray(v),
@@ -544,6 +547,7 @@ class FusedOptOrbCASSCF:
             optimal_circuit=None,
             natural_occupations=np.asarray(occ),
             spin_squared=float(s2),
+            one_rdm_spatial=np.asarray(g1),
         )
 
 
@@ -853,8 +857,9 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
             if post_cb is not None:
                 post_cb(it, es, V, U, trace)
             trace = np.asarray(trace)[:it]
-            occ, s2 = _states_diagnostics(self._sector, jnp.asarray(V),
-                                          sector_tables=self._sector_tables)
+            occ, s2, g1 = _states_diagnostics(
+                self._sector, jnp.asarray(V),
+                sector_tables=self._sector_tables)
             return FusedOptOrbEigensolverResult(
                 eigenvalues=np.asarray(es),
                 optimal_point=np.asarray(V),
@@ -863,6 +868,7 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
                 outer_iterations=it,
                 natural_occupations=np.asarray(occ),
                 spin_squared=np.asarray(s2),
+                one_rdm_spatial=np.asarray(g1),
             )
 
     def _run_two_dispatch_sa(self, dtype):
@@ -931,8 +937,9 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
                              bb, inner_tol, decay,
                              inner_maxiter=self.inner_maxiter)
         V, es, _, _ = solve(V, U)
-        occ, s2 = _states_diagnostics(self._sector, jnp.asarray(V),
-                                      sector_tables=self._sector_tables)
+        occ, s2, g1 = _states_diagnostics(
+            self._sector, jnp.asarray(V),
+            sector_tables=self._sector_tables)
         return FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(es),
             optimal_point=np.asarray(V),
@@ -941,4 +948,5 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
             outer_iterations=it,
             natural_occupations=np.asarray(occ),
             spin_squared=np.asarray(s2),
+            one_rdm_spatial=np.asarray(g1),
         )

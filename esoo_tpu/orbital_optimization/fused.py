@@ -179,6 +179,11 @@ class FusedOptOrbResult:
     # 0.75 doublet, 2 triplet, ...; populated by casscf.py via
     # spin_squared_from_rdms)
     spin_squared: Optional[float] = None
+    # spin-summed spatial 1-RDM of the optimal state over the ACTIVE
+    # (rotated) orbitals, (n, n) — the input to one-body property
+    # evaluation (chem.properties.dipole_moment with
+    # partial_unitary=optimal_partial_unitary); populated by casscf.py
+    one_rdm_spatial: Optional[np.ndarray] = None
 
     @property
     def optimal_parameters(self):
@@ -518,6 +523,10 @@ class FusedOptOrbEigensolverResult:
     # exact ladder (0 singlet, 0.75 doublet, 2 triplet, ...)
     natural_occupations: Optional[np.ndarray] = None
     spin_squared: Optional[np.ndarray] = None
+    # per-state spin-summed spatial 1-RDMs over the active (rotated)
+    # orbitals, (k, n, n) — inputs to per-state one-body properties
+    # (chem.properties.dipole_moment); populated by casscf.py
+    one_rdm_spatial: Optional[np.ndarray] = None
 
     @property
     def optimal_parameters(self):

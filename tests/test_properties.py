@@ -1,0 +1,199 @@
+"""Molecular properties: multipole integrals + RDM dipole moments.
+
+Validation strategy (no external reference data needed):
+  * origin-shift identity D(origin=a) = D(0) - a*S — an exact algebraic
+    property of the moment integrals, exercised through d shells.
+  * Hellmann-Feynman: every solver here is variational, so for the
+    field-perturbed Hamiltonian h -> h + F*D the energy derivative
+    dE/dF at the optimum equals tr(gamma D).  Central finite differences
+    of fully re-converged SCF / CASSCF energies must match the analytic
+    RDM dipole — this tests the integrals, the RDM plumbing, and the
+    property assembly end to end.
+  * frozen-core consistency: the HF dipole is invariant under
+    active_space() reduction (core folds into dipole_core).
+
+Reference anchor: the reference never evaluates properties (PySCF owns
+the integrals, /root/reference/base_opt_orb_solver.py:87-91 consumes
+energies only); this subsystem fills the PySCF property-integral role
+of SURVEY.md §2.3.
+"""
+
+import numpy as np
+import pytest
+
+from esoo_tpu.chem import MoleculeDriver, dipole_moment
+from esoo_tpu.chem.basis import ATOMIC_NUMBERS, build_shells
+from esoo_tpu.chem.integrals import IntegralEngine
+from esoo_tpu.chem.properties import AU_TO_DEBYE, hf_density_spatial
+from esoo_tpu.chem.scf import rhf
+
+
+def _engine(atom, basis):
+    shells, symbols, coords = build_shells(atom, basis)
+    charges = np.array([ATOMIC_NUMBERS[s] for s in symbols], float)
+    return IntegralEngine(shells, charges, coords), charges, coords
+
+
+class TestMomentIntegrals:
+    def test_origin_shift_identity_sto3g(self):
+        eng, _, _ = _engine("Li 0 0 0; H 0 0 1.6", "sto-3g")
+        S, _, _ = eng.one_electron()
+        a = np.array([0.3, -0.7, 0.2])
+        D0, Da = eng.dipole(), eng.dipole(origin=a)
+        for d in range(3):
+            np.testing.assert_allclose(Da[d], D0[d] - a[d] * S,
+                                       atol=1e-13)
+
+    def test_origin_shift_identity_d_shells(self):
+        # cc-pVDZ carbon/oxygen carry pure d shells — exercises the
+        # spherical transform of the moment blocks
+        eng, _, _ = _engine("C 0.1 -0.2 0.3; O 0 0 2.1", "cc-pvdz")
+        S, _, _ = eng.one_electron()
+        a = np.array([-0.4, 0.9, 0.6])
+        D0, Da = eng.dipole(), eng.dipole(origin=a)
+        for d in range(3):
+            np.testing.assert_allclose(Da[d], D0[d] - a[d] * S,
+                                       atol=1e-12)
+
+    def test_symmetry_and_second_moment(self):
+        eng, _, _ = _engine("H 0 0 0; H 0 0 1.4", "6-31g")
+        D = eng.dipole()
+        for d in range(3):
+            np.testing.assert_allclose(D[d], D[d].T, atol=1e-14)
+        # <mu|x^2|mu> > 0 for every basis function
+        Q = eng.moments([(2, 0, 0), (0, 2, 0), (0, 0, 2)])
+        assert (np.diagonal(Q, axis1=1, axis2=2) > 0).all()
+
+    def test_s_functions_analytic(self):
+        # single normalized s Gaussian at R: <x> = R_x exactly
+        # (geometry strings are Angstrom; integrals live in bohr)
+        from esoo_tpu.chem.basis import ANGSTROM_TO_BOHR
+
+        eng, _, _ = _engine("H 0.5 -0.25 0.75", "sto-3g")
+        S, _, _ = eng.one_electron()
+        D = eng.dipole()
+        np.testing.assert_allclose(
+            [D[0][0, 0], D[1][0, 0], D[2][0, 0]],
+            np.array([0.5, -0.25, 0.75]) * ANGSTROM_TO_BOHR * S[0, 0],
+            atol=1e-12)
+
+
+class TestSCFDipole:
+    def test_h2_zero_dipole(self):
+        problem = MoleculeDriver("H 0 0 0; H 0 0 0.735",
+                                 basis="6-31g").run()
+        mu = dipole_moment(problem)
+        np.testing.assert_allclose(mu, 0.0, atol=1e-10)
+
+    def test_lih_hellmann_feynman(self):
+        # analytic HF dipole == -dE/dF for h -> h + F*D_z (re-converged
+        # SCF at each field; HF is variational so the identity is exact)
+        atom = "Li 0 0 0; H 0 0 3.0139"  # ~1.595 A in bohr units? no:
+        # geometry strings are in ANGSTROM throughout the package
+        atom = "Li 0 0 0; H 0 0 1.595"
+        eng, charges, coords = _engine(atom, "sto-3g")
+        S, T, V = eng.one_electron()
+        eri = eng.eri()
+        hcore = T + V
+        D = eng.dipole()
+        F = 2e-5
+        es = []
+        for sgn in (+1, -1):
+            scf = rhf(S, hcore + sgn * F * D[2], eri, 4, charges, coords)
+            assert scf.converged
+            es.append(scf.energy_electronic)
+        dEdF = (es[0] - es[1]) / (2 * F)
+        problem = MoleculeDriver(atom, basis="sto-3g").run()
+        mu = dipole_moment(problem)
+        mu_nuc_z = float(np.einsum("a,a->", charges, coords[:, 2]))
+        # dE/dF = <z>_elec = mu_nuc_z - mu_z
+        np.testing.assert_allclose(mu_nuc_z - mu[2], dEdF, atol=5e-7)
+        # sanity: LiH dipole points from Li(+) to H(-), a few Debye
+        assert 3.0 < abs(mu[2]) * AU_TO_DEBYE < 8.0
+
+    def test_units(self):
+        problem = MoleculeDriver("Li 0 0 0; H 0 0 1.595",
+                                 basis="sto-3g").run()
+        au = dipole_moment(problem, unit="au")
+        debye = dipole_moment(problem, unit="debye")
+        np.testing.assert_allclose(debye, au * AU_TO_DEBYE)
+        with pytest.raises(ValueError):
+            dipole_moment(problem, unit="coulomb-meters")
+
+    def test_no_dipole_integrals_raises(self):
+        problem = MoleculeDriver("H 0 0 0; H 0 0 0.735",
+                                 basis="sto-3g").run()
+        problem.dipole_mo = None
+        with pytest.raises(ValueError, match="no dipole integrals"):
+            dipole_moment(problem)
+
+    def test_frozen_core_invariance(self):
+        # HF-level dipole is identical computed from the full problem or
+        # from the frozen-core active problem (core in dipole_core)
+        problem = MoleculeDriver("Li 0 0 0; H 0 0 1.595",
+                                 basis="sto-3g").run()
+        mu_full = dipole_moment(problem)
+        act = problem.active_space()          # freezes the Li 1s core
+        mu_act = dipole_moment(act)           # HF density of the rest
+        np.testing.assert_allclose(mu_act, mu_full, atol=1e-12)
+
+    def test_rohf_density_occupations(self):
+        problem = MoleculeDriver("H 0 0 0; H 0 0 1.0; H 0 0 2.0",
+                                 basis="sto-3g", spin=1).run()
+        g = hf_density_spatial(problem)
+        assert np.trace(g) == pytest.approx(3.0)
+        assert g[0, 0] == 2.0 and g[1, 1] == 1.0
+
+
+class TestCASSCFDipole:
+    def test_lih_casscf_hellmann_feynman(self):
+        # full chain: FusedOptOrbCASSCF 1-RDM + optimal U -> dipole,
+        # validated against finite-field CASSCF total energies
+        from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+        atom = "Li 0 0 0; H 0 0 1.595"
+        problem = MoleculeDriver(atom, basis="sto-3g").run()
+        D = problem.dipole_mo
+
+        def solve(field):
+            import dataclasses
+            p = dataclasses.replace(
+                problem, hcore_mo=problem.hcore_mo + field * D[2])
+            solver = FusedOptOrbCASSCF(
+                num_spin_orbitals=8, problem=p, maxiter=30,
+                stopping_tolerance=1e-10,
+                inner_stopping_tolerance=1e-10)
+            return solver.compute_minimum_energy()
+
+        res = solve(0.0)
+        mu = dipole_moment(problem,
+                           gamma_spatial=res.one_rdm_spatial,
+                           partial_unitary=res.optimal_partial_unitary)
+        F = 2e-5
+        dEdF = (solve(+F).eigenvalue - solve(-F).eigenvalue) / (2 * F)
+        mu_nuc_z = float(problem.nuclear_dipole[2])
+        # FD noise floor: 1e-10-converged energies / (2F) ~ a few 1e-6
+        np.testing.assert_allclose(mu_nuc_z - mu[2], dEdF, atol=3e-5)
+        # correlation shifts the dipole off the HF value but not wildly
+        mu_hf = dipole_moment(problem)
+        assert abs(mu[2] - mu_hf[2]) < 1.0
+
+    def test_sa_casscf_per_state_dipoles(self):
+        # per-state RDMs: ground H2 in a stretched asymmetric cage has
+        # zero dipole by symmetry; use LiH so states differ measurably
+        from esoo_tpu.orbital_optimization import FusedOptOrbSACASSCF
+
+        problem = MoleculeDriver("Li 0 0 0; H 0 0 1.595",
+                                 basis="sto-3g").run()
+        solver = FusedOptOrbSACASSCF(
+            num_spin_orbitals=8, k=2, problem=problem, maxiter=8)
+        res = solver.compute_energies()
+        assert res.one_rdm_spatial.shape == (2, 4, 4)
+        mus = [dipole_moment(problem, gamma_spatial=res.one_rdm_spatial[i],
+                             partial_unitary=res.optimal_partial_unitary)
+               for i in range(2)]
+        # traces are the electron count; states have distinct dipoles
+        for i in range(2):
+            assert np.trace(res.one_rdm_spatial[i]) == pytest.approx(4.0,
+                                                                     abs=1e-6)
+        assert abs(mus[0][2] - mus[1][2]) > 1e-3
