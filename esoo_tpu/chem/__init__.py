@@ -1,7 +1,8 @@
 from .basis import BASIS_SETS, Shell, build_shells
 from .driver import ElectronicStructureProblem, MoleculeDriver
 from .integrals import IntegralEngine
-from .properties import AU_TO_DEBYE, dipole_moment, hf_density_spatial
+from .properties import (AU_TO_DEBYE, dipole_moment, hf_density_spatial,
+                         oscillator_strengths, transition_dipoles)
 from .scf import rhf
 
 __all__ = [
@@ -14,5 +15,7 @@ __all__ = [
     "AU_TO_DEBYE",
     "dipole_moment",
     "hf_density_spatial",
+    "oscillator_strengths",
+    "transition_dipoles",
     "rhf",
 ]

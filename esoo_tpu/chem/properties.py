@@ -102,8 +102,66 @@ def dipole_moment(problem,
     elec = np.einsum("dpq,qp->d", D, gamma) + np.asarray(
         problem.dipole_core, dtype=np.float64)
     mu = np.asarray(problem.nuclear_dipole, dtype=np.float64) - elec
+    return _to_unit(mu, unit)
+
+
+def _to_unit(mu: np.ndarray, unit: str) -> np.ndarray:
     if unit.lower() in ("debye", "d"):
         return mu * AU_TO_DEBYE
     if unit.lower() != "au":
         raise ValueError("unit must be 'au' or 'debye'")
     return mu
+
+
+def transition_dipoles(problem,
+                       trdm1_spatial: np.ndarray,
+                       partial_unitary: Optional[np.ndarray] = None,
+                       unit: str = "au") -> np.ndarray:
+    """Dipole-moment matrix (k, k, 3) over the states whose spin-summed
+    spatial (transition) 1-RDMs are given as (k, k, n, n) — the
+    `transition_rdm1_spatial` of an SA-CASSCF result.
+
+    Diagonal entries are state dipole moments (nuclear + frozen-core
+    terms included, identical to `dipole_moment` per state); off-
+    diagonal entries are transition dipole moments μ_IJ = −⟨I|r̂|J⟩
+    (the nuclear and frozen-core terms multiply ⟨I|J⟩ = 0 for
+    orthogonal states).  Combine with the state energies via
+    `oscillator_strengths`.
+    """
+    D = getattr(problem, "dipole_mo", None)
+    if D is None:
+        raise ValueError(
+            "problem carries no dipole integrals (dipole_mo is None); "
+            "build it with chem.MoleculeDriver — problems ingested from "
+            "bare integral tensors cannot evaluate properties")
+    D = np.asarray(D, dtype=np.float64)
+    t = np.asarray(trdm1_spatial, dtype=np.float64)
+    if t.ndim != 4 or t.shape[0] != t.shape[1] or t.shape[2] != t.shape[3]:
+        raise ValueError(
+            f"trdm1_spatial must be (k, k, n, n), got {t.shape}")
+    if partial_unitary is not None:
+        U = np.asarray(partial_unitary, dtype=np.float64)
+        D = np.einsum("dpq,pi,qj->dij", D, U, U, optimize=True)
+    if t.shape[2] != D.shape[1]:
+        raise ValueError(
+            f"transition 1-RDMs live in {t.shape[2]} orbitals but the "
+            f"dipole operator has {D.shape[1]}; pass the "
+            f"partial_unitary for active-space RDMs")
+    mu = -np.einsum("dps,ijps->ijd", D, t, optimize=True)
+    k = t.shape[0]
+    diag = (np.asarray(problem.nuclear_dipole, dtype=np.float64)
+            - np.asarray(problem.dipole_core, dtype=np.float64))
+    mu[np.arange(k), np.arange(k)] += diag
+    return _to_unit(mu, unit)
+
+
+def oscillator_strengths(energies: np.ndarray,
+                         dipole_matrix: np.ndarray) -> np.ndarray:
+    """Length-gauge oscillator strengths f_IJ = (2/3)(E_J − E_I)|μ_IJ|²
+    from state energies (k,) (electronic or total — differences agree)
+    and a `transition_dipoles` matrix in ATOMIC UNITS.  f[i, j] > 0 for
+    an upward transition i → j (antisymmetric in i↔j; diagonal 0)."""
+    e = np.asarray(energies, dtype=np.float64)
+    mu = np.asarray(dipole_matrix, dtype=np.float64)
+    dE = e[None, :] - e[:, None]
+    return (2.0 / 3.0) * dE * np.einsum("ijd,ijd->ij", mu, mu)

@@ -232,6 +232,26 @@ def _states_diagnostics(sector: SectorCI, V: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("sector",))
+def _transition_rdm1s(sector: SectorCI, V: jnp.ndarray,
+                      sector_tables=None):
+    """(k, k, n, n) spin-summed spatial transition 1-RDMs
+    t[i, j, p, s] = <psi_i|E_ps|psi_j> over the active orbitals — the
+    one-body inputs to transition dipoles / oscillator strengths
+    (chem.properties.transition_dipoles).  Sequential over ket states
+    (one T working set live, as in _states_diagnostics); each ket is
+    contracted against the whole bra stack in one batched build."""
+    Vg = V.reshape(-1, sector.nB, sector.nA)
+
+    def one(vj):
+        g = sector.transition_rdm1(Vg, vj, tables=sector_tables)
+        n = g.shape[-1] // 2
+        return g[:, :n, :n] + g[:, n:, n:]
+
+    t = jax.lax.map(one, Vg)          # t[j, i] = <i|E|j>
+    return jnp.swapaxes(t, 0, 1)
+
+
+@partial(jax.jit, static_argnames=("sector",))
 def _state_diagnostics(sector: SectorCI, v: jnp.ndarray,
                        sector_tables=None):
     """(natural occupations, <S^2>) of a sector vector — the standard
@@ -860,6 +880,8 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
             occ, s2, g1 = _states_diagnostics(
                 self._sector, jnp.asarray(V),
                 sector_tables=self._sector_tables)
+            t1 = _transition_rdm1s(self._sector, jnp.asarray(V),
+                                   sector_tables=self._sector_tables)
             return FusedOptOrbEigensolverResult(
                 eigenvalues=np.asarray(es),
                 optimal_point=np.asarray(V),
@@ -869,6 +891,7 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
                 natural_occupations=np.asarray(occ),
                 spin_squared=np.asarray(s2),
                 one_rdm_spatial=np.asarray(g1),
+                transition_rdm1_spatial=np.asarray(t1),
             )
 
     def _run_two_dispatch_sa(self, dtype):
@@ -940,6 +963,8 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
         occ, s2, g1 = _states_diagnostics(
             self._sector, jnp.asarray(V),
             sector_tables=self._sector_tables)
+        t1 = _transition_rdm1s(self._sector, jnp.asarray(V),
+                               sector_tables=self._sector_tables)
         return FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(es),
             optimal_point=np.asarray(V),
@@ -949,4 +974,5 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
             natural_occupations=np.asarray(occ),
             spin_squared=np.asarray(s2),
             one_rdm_spatial=np.asarray(g1),
+            transition_rdm1_spatial=np.asarray(t1),
         )

@@ -527,6 +527,11 @@ class FusedOptOrbEigensolverResult:
     # orbitals, (k, n, n) — inputs to per-state one-body properties
     # (chem.properties.dipole_moment); populated by casscf.py
     one_rdm_spatial: Optional[np.ndarray] = None
+    # spin-summed spatial TRANSITION 1-RDMs t[i, j] = <psi_i|E_ps|psi_j>,
+    # (k, k, n, n) (diagonal slices == one_rdm_spatial) — inputs to
+    # transition dipoles / oscillator strengths
+    # (chem.properties.transition_dipoles); populated by casscf.py
+    transition_rdm1_spatial: Optional[np.ndarray] = None
 
     @property
     def optimal_parameters(self):

@@ -1027,6 +1027,15 @@ class SectorCI:
                 self.num_qubits // 2, q_pad=q_pad)
         return _strings.rdms(V, tabs, maps)
 
+    def transition_rdm1(self, U: jnp.ndarray, V: jnp.ndarray,
+                        tables=None) -> jnp.ndarray:
+        """Spin-orbital transition 1-RDM gamma[p, s] = <u|a+_p a_s|v>
+        between sector states; U may be batched (k, nB, nA) -> (k, N, N)
+        with one T build against the whole bra stack.
+        transition_rdm1(v, v) equals rdms(v)[0] (strings.transition_rdm1;
+        brute-force Slater-Condon oracle: tests/test_properties.py)."""
+        return _strings.transition_rdm1(U, V, self._tabs(tables))
+
     def to_full(self, V: jnp.ndarray) -> jnp.ndarray:
         """Scatter a (nB, nA) string matrix into the 2^N statevector."""
         full = jnp.zeros(2 ** self.num_qubits, dtype=V.dtype)

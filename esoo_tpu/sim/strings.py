@@ -731,6 +731,57 @@ def rdms(V, tabs, maps):
     return gamma, Gamma
 
 
+def transition_rdm1(U, V, tabs):
+    """Spin-orbital transition 1-RDM gamma[p, s] = <u| a+_p a_s |v>
+    between two states on the same string grid — the one-body input to
+    transition dipoles / oscillator strengths (chem.properties).  Only
+    same-spin blocks are nonzero (a cross-spin a+_p a_s leaves the
+    fixed-(na, nb) sector).  transition_rdm1(v, v, tabs) equals
+    rdms(v)[0]; for real states gamma_{uv} = gamma_{vu}^T.
+
+    U may carry a leading batch axis (k, nB, nA) -> (k, N, N): one
+    T build against the whole bra stack (the SA-CASSCF per-state-pair
+    path costs k sigma-half builds total, not k^2).  Compact int8
+    stacks stream operator chunks so only one (c, nd) chunk is live.
+    """
+    dt = V.dtype
+    batched = U.ndim == 3
+    Ub = U if batched else U[None]
+    P_half = tabs["CROSS"].shape[0] // 2
+    nsp = int(round(np.sqrt(P_half)))
+    N = 2 * nsp
+    k = Ub.shape[0]
+    if "MA8" in tabs:
+        MA8, MB8 = tabs["MA8"], tabs["MB8"]
+        q_pad, c = MA8.shape[0], min(_OP_CHUNK, MA8.shape[0])
+
+        def pairs(M8, ein):
+            ns = M8.shape[1]
+
+            def step(_, Mc):
+                Tc = jnp.einsum(ein, Mc.astype(dt), V)
+                return None, jnp.einsum("qba,kba->kq", Tc, Ub)
+
+            _, g = jax.lax.scan(step, None, M8.reshape(-1, c, ns, ns))
+            return g.transpose(1, 0, 2).reshape(k, q_pad)
+
+        ga = pairs(MA8, "qji,bi->qbj")
+        gb = pairs(MB8, "qji,ia->qja")
+    else:
+        MA = jnp.asarray(tabs["MA"], dtype=dt)
+        MB = jnp.asarray(tabs["MB"], dtype=dt)
+        ga = jnp.einsum("qbj,kbj->kq",
+                        jnp.einsum("qji,bi->qbj", MA, V), Ub)
+        gb = jnp.einsum("qja,kja->kq",
+                        jnp.einsum("qji,ia->qja", MB, V), Ub)
+    gamma = jnp.zeros((k, N, N), dtype=dt)
+    gamma = gamma.at[:, :nsp, :nsp].set(
+        ga[:, : nsp * nsp].reshape(k, nsp, nsp))
+    gamma = gamma.at[:, nsp:, nsp:].set(
+        gb[:, : nsp * nsp].reshape(k, nsp, nsp))
+    return gamma if batched else gamma[0]
+
+
 def diagonal(ops, tabs):
     """Exact diagonal of the sector Hamiltonian over the (nB, nA) string
     grid — the Davidson preconditioner for exact sector diagonalization

@@ -145,6 +145,80 @@ class TestSCFDipole:
         assert g[0, 0] == 2.0 and g[1, 1] == 1.0
 
 
+def _trdm1_oracle(dets, N, u, v):
+    """Brute-force <u|a+_p a_s|v> over sorted determinant bitmasks with
+    JW phases — independent of every string/sector kernel."""
+    g = np.zeros((N, N))
+    for p in range(N):
+        for s in range(N):
+            for idx, d in enumerate(dets):
+                if not (d >> s) & 1:
+                    continue
+                ph = (-1) ** bin(int(d) & ((1 << s) - 1)).count("1")
+                d1 = int(d) & ~(1 << s)
+                if (d1 >> p) & 1:
+                    continue
+                ph *= (-1) ** bin(d1 & ((1 << p) - 1)).count("1")
+                j = int(np.searchsorted(dets, d1 | (1 << p)))
+                if j < len(dets) and dets[j] == d1 | (1 << p):
+                    g[p, s] += ph * u[j] * v[idx]
+    return g
+
+
+class TestTransitionRDM1:
+    def _sector_and_vecs(self, N, particles, seed=7):
+        from esoo_tpu.sim.sector import SectorCI
+
+        sec = SectorCI(N, particles)
+        rng = np.random.default_rng(seed)
+        u = rng.normal(size=sec.dim)
+        v = rng.normal(size=sec.dim)
+        u /= np.linalg.norm(u)
+        v /= np.linalg.norm(v)
+        return sec, u, v
+
+    @pytest.mark.parametrize("particles", [(2, 2), (2, 1)])
+    def test_oracle_dense(self, particles):
+        sec, u, v = self._sector_and_vecs(8, particles)
+        ref = _trdm1_oracle(sec.dets, 8, u, v)
+        got = np.asarray(sec.transition_rdm1(
+            u.reshape(sec.nB, sec.nA), v.reshape(sec.nB, sec.nA)))
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    def test_oracle_compact(self):
+        sec, u, v = self._sector_and_vecs(8, (2, 2), seed=3)
+        ref = _trdm1_oracle(sec.dets, 8, u, v)
+        tabs = sec.device_tables(storage="compact")
+        got = np.asarray(sec.transition_rdm1(
+            u.reshape(sec.nB, sec.nA), v.reshape(sec.nB, sec.nA),
+            tables=tabs))
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    def test_diagonal_equals_rdm_and_transpose_symmetry(self):
+        sec, u, v = self._sector_and_vecs(8, (2, 2), seed=11)
+        V = v.reshape(sec.nB, sec.nA)
+        U = u.reshape(sec.nB, sec.nA)
+        gamma, _ = sec.rdms(V)
+        np.testing.assert_allclose(
+            np.asarray(sec.transition_rdm1(V, V)), np.asarray(gamma),
+            atol=1e-12)
+        # real states: gamma_uv = gamma_vu^T
+        np.testing.assert_allclose(
+            np.asarray(sec.transition_rdm1(U, V)),
+            np.asarray(sec.transition_rdm1(V, U)).T, atol=1e-12)
+
+    def test_batched_matches_loop(self):
+        sec, u, v = self._sector_and_vecs(6, (2, 1), seed=5)
+        stack = np.stack([u, v]).reshape(2, sec.nB, sec.nA)
+        batched = np.asarray(sec.transition_rdm1(
+            stack, v.reshape(sec.nB, sec.nA)))
+        for i, w in enumerate(stack):
+            np.testing.assert_allclose(
+                batched[i],
+                np.asarray(sec.transition_rdm1(
+                    w, v.reshape(sec.nB, sec.nA))), atol=1e-13)
+
+
 class TestCASSCFDipole:
     def test_lih_casscf_hellmann_feynman(self):
         # full chain: FusedOptOrbCASSCF 1-RDM + optimal U -> dipole,
@@ -197,3 +271,44 @@ class TestCASSCFDipole:
             assert np.trace(res.one_rdm_spatial[i]) == pytest.approx(4.0,
                                                                      abs=1e-6)
         assert abs(mus[0][2] - mus[1][2]) > 1e-3
+
+    def test_transition_dipoles_oscillator_strengths(self):
+        from esoo_tpu.chem import oscillator_strengths, transition_dipoles
+        from esoo_tpu.orbital_optimization import FusedOptOrbSACASSCF
+
+        problem = MoleculeDriver("Li 0 0 0; H 0 0 1.595",
+                                 basis="sto-3g").run()
+        solver = FusedOptOrbSACASSCF(
+            num_spin_orbitals=8, k=3, problem=problem, maxiter=10)
+        res = solver.compute_energies()
+        t = res.transition_rdm1_spatial
+        assert t.shape == (3, 3, 4, 4)
+        # diagonal slices are the per-state RDMs; real states transpose
+        np.testing.assert_allclose(
+            t[np.arange(3), np.arange(3)], res.one_rdm_spatial,
+            atol=1e-10)
+        np.testing.assert_allclose(t[0, 1], t[1, 0].T, atol=1e-10)
+        mu = transition_dipoles(
+            problem, t, partial_unitary=res.optimal_partial_unitary)
+        # diagonal == per-state dipole_moment
+        for i in range(3):
+            np.testing.assert_allclose(
+                mu[i, i],
+                dipole_moment(problem, gamma_spatial=res.one_rdm_spatial[i],
+                              partial_unitary=res.optimal_partial_unitary),
+                atol=1e-10)
+        f = oscillator_strengths(res.eigenvalues, mu)
+        np.testing.assert_allclose(f, -f.T, atol=1e-12)
+        # spin selection rule: state 1 is the Sz=0 triplet component
+        # (S^2 = 2) — singlet->triplet is dipole-forbidden EXACTLY;
+        # state 2 is the A singlet, strongly allowed (f ~ 0.18)
+        assert res.spin_squared[1] == pytest.approx(2.0, abs=1e-6)
+        assert res.spin_squared[2] == pytest.approx(0.0, abs=1e-6)
+        assert abs(f[0, 1]) < 1e-12
+        assert 0.05 < f[0, 2] < 2.0
+        # units thread through
+        np.testing.assert_allclose(
+            transition_dipoles(problem, t,
+                               partial_unitary=res.optimal_partial_unitary,
+                               unit="debye"),
+            mu * AU_TO_DEBYE)
