@@ -91,3 +91,12 @@ def test_h4_casscf_example():
     energy = float(line.split(":")[1].split("Ha")[0])
     np.testing.assert_allclose(energy, -4.032159, atol=5e-4)
     assert "FusedOptOrbSACASSCF" in out
+
+
+def test_lih_spectrum_properties_example():
+    out = _run("examples/LiH_Spectrum_Properties.py")
+    # the example asserts the exact spin selection rule internally;
+    # anchor the allowed X->A oscillator strength here
+    line = [ln for ln in out.splitlines() if "allowed X->A" in ln][0]
+    f = float(line.split("f =")[1])
+    np.testing.assert_allclose(f, 0.1768, atol=2e-3)
