@@ -1,8 +1,9 @@
 from .basis import BASIS_SETS, Shell, build_shells
 from .driver import ElectronicStructureProblem, MoleculeDriver
 from .integrals import IntegralEngine
-from .properties import (AU_TO_DEBYE, dipole_moment, hf_density_spatial,
-                         oscillator_strengths, transition_dipoles)
+from .properties import (AU_TO_DEBYE, density_ao, dipole_moment,
+                         hf_density_spatial, oscillator_strengths,
+                         populations, transition_dipoles)
 from .scf import rhf
 
 __all__ = [
@@ -13,9 +14,11 @@ __all__ = [
     "MoleculeDriver",
     "IntegralEngine",
     "AU_TO_DEBYE",
+    "density_ao",
     "dipole_moment",
     "hf_density_spatial",
     "oscillator_strengths",
+    "populations",
     "transition_dipoles",
     "rhf",
 ]

@@ -38,6 +38,21 @@ _CORE_ORBITALS = {z: (0 if z <= 2 else 1 if z <= 10 else 5)
 
 
 @dataclasses.dataclass
+class AOBasisInfo:
+    """Atomic-orbital-level metadata for population analysis and AO-basis
+    property evaluation (the `mol` object role PySCF plays for the
+    reference; the reference itself never inspects AO structure).
+    Immutable under active-space reductions — the AO basis never
+    changes, only the MO window does."""
+
+    overlap: np.ndarray          # (nbf, nbf) AO overlap matrix
+    ao_atoms: np.ndarray         # (nbf,) owning-atom index of each AO
+    symbols: list                # (natom,) element symbols
+    atomic_numbers: np.ndarray   # (natom,)
+    coords: np.ndarray           # (natom, 3) in bohr
+
+
+@dataclasses.dataclass
 class ElectronicStructureProblem:
     """Container for the electronic-structure problem in the MO basis."""
 
@@ -60,6 +75,14 @@ class ElectronicStructureProblem:
     nuclear_dipole: Optional[np.ndarray] = None
     dipole_core: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(3))
+    # AO-level metadata for population analysis (chem.properties
+    # mulliken/lowdin): the AO basis itself (shared, never reduced),
+    # the AO coefficients of the problem's CURRENT MO window
+    # (nbf, num_spatial_orbitals), and the accumulated frozen-core AO
+    # density 2 Σ_core c_i c_iᵀ from active_space reductions.
+    ao_basis: Optional[AOBasisInfo] = None
+    mo_coeff_ao: Optional[np.ndarray] = None
+    density_core_ao: Optional[np.ndarray] = None
 
     @property
     def num_spin_orbitals(self) -> int:
@@ -121,6 +144,12 @@ class ElectronicStructureProblem:
             dip_core = self.dipole_core + 2.0 * np.einsum(
                 "dii->d", self.dipole_mo[:, core, core])
             nuc_dip = self.nuclear_dipole
+        c_act, p_core = None, self.density_core_ao
+        if self.mo_coeff_ao is not None:
+            c_act = np.ascontiguousarray(self.mo_coeff_ao[:, act])
+            c_core = self.mo_coeff_ao[:, core]
+            p_core = ((0.0 if p_core is None else p_core)
+                      + 2.0 * c_core @ c_core.T)
         return ElectronicStructureProblem(
             num_particles=(na - nc, nb - nc),
             num_spatial_orbitals=stop - nc,
@@ -134,6 +163,9 @@ class ElectronicStructureProblem:
             dipole_mo=dip_act,
             nuclear_dipole=nuc_dip,
             dipole_core=dip_core,
+            ao_basis=self.ao_basis,
+            mo_coeff_ao=c_act,
+            density_core_ao=p_core,
         )
 
     def one_body_tensor(self) -> np.ndarray:
@@ -234,6 +266,16 @@ class MoleculeDriver:
         dip_ao = engine.dipole()
         dip_mo = np.einsum("dpq,pi,qj->dij", dip_ao, C, C, optimize=True)
         nuc_dip = np.einsum("a,ad->d", charges, coords)
+        # AO -> owning-atom map (shells are emitted per atom; match by
+        # center since Shell carries no atom index)
+        ao_atoms = np.empty(engine.nbf, dtype=np.int64)
+        for sh, off in zip(engine.shells, engine._offsets):
+            a = int(np.argmin(np.linalg.norm(coords - sh.center, axis=1)))
+            ao_atoms[off: off + sh.nfunc] = a
+        ao_basis = AOBasisInfo(overlap=S, ao_atoms=ao_atoms,
+                               symbols=list(symbols),
+                               atomic_numbers=charges.astype(np.int64),
+                               coords=coords)
         return ElectronicStructureProblem(
             num_particles=(n_a, n_b),
             num_spatial_orbitals=n_mo,
@@ -245,4 +287,6 @@ class MoleculeDriver:
             basis=self.basis,
             dipole_mo=dip_mo,
             nuclear_dipole=nuc_dip,
+            ao_basis=ao_basis,
+            mo_coeff_ao=C,
         )

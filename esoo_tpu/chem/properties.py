@@ -155,6 +155,79 @@ def transition_dipoles(problem,
     return _to_unit(mu, unit)
 
 
+def density_ao(problem,
+               gamma_spatial: Optional[np.ndarray] = None,
+               partial_unitary: Optional[np.ndarray] = None) -> np.ndarray:
+    """Total spin-summed AO-basis density matrix P of the state whose
+    MO-basis 1-RDM is `gamma_spatial` (default: the mean-field
+    reference): P = C γ Cᵀ + P_core, with C the AO coefficients of the
+    problem's MO window and P_core the accumulated frozen-core density
+    of `active_space` reductions.  tr(PS) = total electron count."""
+    C = getattr(problem, "mo_coeff_ao", None)
+    if C is None:
+        raise ValueError(
+            "problem carries no AO-basis MO coefficients (mo_coeff_ao "
+            "is None); build it with chem.MoleculeDriver")
+    C = np.asarray(C, dtype=np.float64)
+    if gamma_spatial is None:
+        gamma = hf_density_spatial(problem)
+    else:
+        gamma = np.asarray(gamma_spatial, dtype=np.float64)
+        if gamma.shape[0] == 2 * problem.num_spatial_orbitals:
+            gamma = spin_summed(gamma)
+    if partial_unitary is not None:
+        U = np.asarray(partial_unitary, dtype=np.float64)
+        gamma = U @ gamma @ U.T
+    if gamma.shape[0] != C.shape[1]:
+        raise ValueError(
+            f"1-RDM has {gamma.shape[0]} orbitals but the problem's MO "
+            f"window has {C.shape[1]}; pass the partial_unitary for "
+            f"active-space RDMs")
+    P = C @ gamma @ C.T
+    core = getattr(problem, "density_core_ao", None)
+    if core is not None:
+        P = P + core
+    return P
+
+
+def populations(problem,
+                gamma_spatial: Optional[np.ndarray] = None,
+                partial_unitary: Optional[np.ndarray] = None,
+                method: str = "mulliken"):
+    """Per-atom electron populations and partial charges.
+
+    method='mulliken': pop_μ = (P S)_μμ summed over the AOs of each
+    atom; method='lowdin': (S^½ P S^½)_μμ (basis-orthogonalized, less
+    basis-set pathological).  Charges are q_A = Z_A − pop_A.  The RDM /
+    partial-unitary plumbing matches `dipole_moment` (default:
+    mean-field density; OptOrb results pass their active-space 1-RDM +
+    optimal U).
+
+    Returns (populations (natom,), charges (natom,)).
+    """
+    ao = getattr(problem, "ao_basis", None)
+    if ao is None:
+        raise ValueError(
+            "problem carries no AO basis metadata (ao_basis is None); "
+            "build it with chem.MoleculeDriver")
+    P = density_ao(problem, gamma_spatial, partial_unitary)
+    S = np.asarray(ao.overlap, dtype=np.float64)
+    m = method.lower()
+    if m == "mulliken":
+        per_ao = np.einsum("uv,vu->u", P, S)
+    elif m == "lowdin":
+        w, V = np.linalg.eigh(S)
+        S_half = (V * np.sqrt(w)) @ V.T
+        per_ao = np.einsum("uv,vw,wu->u", S_half, P, S_half,
+                           optimize=True)
+    else:
+        raise ValueError("method must be 'mulliken' or 'lowdin'")
+    natom = len(ao.symbols)
+    pop = np.zeros(natom)
+    np.add.at(pop, np.asarray(ao.ao_atoms), per_ao)
+    return pop, np.asarray(ao.atomic_numbers, dtype=np.float64) - pop
+
+
 def oscillator_strengths(energies: np.ndarray,
                          dipole_matrix: np.ndarray) -> np.ndarray:
     """Length-gauge oscillator strengths f_IJ = (2/3)(E_J − E_I)|μ_IJ|²

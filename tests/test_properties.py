@@ -145,6 +145,90 @@ class TestSCFDipole:
         assert g[0, 0] == 2.0 and g[1, 1] == 1.0
 
 
+class TestPopulations:
+    def test_h2_symmetric_zero_charges(self):
+        from esoo_tpu.chem import populations
+
+        problem = MoleculeDriver("H 0 0 0; H 0 0 0.735",
+                                 basis="6-31g").run()
+        for method in ("mulliken", "lowdin"):
+            pop, q = populations(problem, method=method)
+            np.testing.assert_allclose(pop, [1.0, 1.0], atol=1e-10)
+            np.testing.assert_allclose(q, 0.0, atol=1e-10)
+
+    def test_lih_polarity_and_sum_rules(self):
+        # minimal-basis Mulliken charges are famously unphysical
+        # (sto-3g LiH comes out neutral); 6-31g restores Li(+) H(-)
+        from esoo_tpu.chem import density_ao, populations
+
+        problem = MoleculeDriver("Li 0 0 0; H 0 0 1.595",
+                                 basis="6-31g").run()
+        P = density_ao(problem)
+        S = problem.ao_basis.overlap
+        assert np.trace(P @ S) == pytest.approx(4.0, abs=1e-10)
+        for method in ("mulliken", "lowdin"):
+            pop, q = populations(problem, method=method)
+            assert pop.sum() == pytest.approx(4.0, abs=1e-10)
+            assert q.sum() == pytest.approx(0.0, abs=1e-10)
+            assert q[0] > 0.1 and q[1] < -0.1       # Li(+) H(-)
+
+    def test_h2o_sto3g_literature_anchor(self):
+        # the classic RHF/STO-3G H2O Mulliken charges: q_O ~ -0.365
+        from esoo_tpu.chem import populations
+
+        problem = MoleculeDriver(
+            "O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692",
+            basis="sto-3g").run()
+        _, q = populations(problem)
+        assert q[0] == pytest.approx(-0.3657, abs=5e-3)
+        np.testing.assert_allclose(q[1], q[2], atol=1e-10)
+
+    def test_cation_charge_sum(self):
+        from esoo_tpu.chem import populations
+
+        problem = MoleculeDriver("He 0 0 0; H 0 0 0.772",
+                                 basis="sto-3g", charge=1).run()
+        _, q = populations(problem)
+        assert q.sum() == pytest.approx(1.0, abs=1e-10)
+
+    def test_frozen_core_invariance(self):
+        from esoo_tpu.chem import populations
+
+        problem = MoleculeDriver("Li 0 0 0; H 0 0 1.595",
+                                 basis="sto-3g").run()
+        act = problem.active_space()
+        for method in ("mulliken", "lowdin"):
+            np.testing.assert_allclose(
+                populations(act, method=method)[1],
+                populations(problem, method=method)[1], atol=1e-12)
+
+    def test_casscf_rdm_populations(self):
+        from esoo_tpu.chem import populations
+        from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+        problem = MoleculeDriver("Li 0 0 0; H 0 0 1.595",
+                                 basis="6-31g").run()
+        res = FusedOptOrbCASSCF(num_spin_orbitals=8, problem=problem,
+                                maxiter=20).compute_minimum_energy()
+        pop, q = populations(problem, gamma_spatial=res.one_rdm_spatial,
+                             partial_unitary=res.optimal_partial_unitary)
+        assert pop.sum() == pytest.approx(4.0, abs=1e-8)
+        # correlation reduces the ionicity vs HF but keeps Li(+) H(-)
+        q_hf = populations(problem)[1]
+        assert 0.0 < q[0] < q_hf[0] + 0.05
+
+    def test_errors(self):
+        from esoo_tpu.chem import populations
+
+        problem = MoleculeDriver("H 0 0 0; H 0 0 0.735",
+                                 basis="sto-3g").run()
+        with pytest.raises(ValueError, match="mulliken.*lowdin"):
+            populations(problem, method="hirshfeld")
+        problem.ao_basis = None
+        with pytest.raises(ValueError, match="no AO basis"):
+            populations(problem)
+
+
 def _trdm1_oracle(dets, N, u, v):
     """Brute-force <u|a+_p a_s|v> over sorted determinant bitmasks with
     JW phases — independent of every string/sector kernel."""
