@@ -1,9 +1,10 @@
 from .basis import BASIS_SETS, Shell, build_shells
 from .driver import ElectronicStructureProblem, MoleculeDriver
 from .integrals import IntegralEngine
-from .properties import (AU_TO_DEBYE, density_ao, dipole_moment,
-                         hf_density_spatial, oscillator_strengths,
-                         populations, transition_dipoles)
+from .properties import (AU_TO_BUCKINGHAM, AU_TO_DEBYE, density_ao,
+                         dipole_moment, hf_density_spatial,
+                         oscillator_strengths, populations,
+                         quadrupole_moment, transition_dipoles)
 from .scf import rhf
 
 __all__ = [
@@ -13,8 +14,10 @@ __all__ = [
     "ElectronicStructureProblem",
     "MoleculeDriver",
     "IntegralEngine",
+    "AU_TO_BUCKINGHAM",
     "AU_TO_DEBYE",
     "density_ao",
+    "quadrupole_moment",
     "dipole_moment",
     "hf_density_spatial",
     "oscillator_strengths",

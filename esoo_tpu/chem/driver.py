@@ -75,6 +75,12 @@ class ElectronicStructureProblem:
     nuclear_dipole: Optional[np.ndarray] = None
     dipole_core: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(3))
+    # second-moment ⟨p|(r_a r_b)|q⟩ matrices in the MO basis, (6, n, n)
+    # in IntegralEngine.QUAD_COMPS order (xx, xy, xz, yy, yz, zz), with
+    # the frozen-core accumulation — same lifecycle as dipole_mo
+    quadrupole_mo: Optional[np.ndarray] = None
+    quadrupole_core: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(6))
     # AO-level metadata for population analysis (chem.properties
     # mulliken/lowdin): the AO basis itself (shared, never reduced),
     # the AO coefficients of the problem's CURRENT MO window
@@ -144,6 +150,11 @@ class ElectronicStructureProblem:
             dip_core = self.dipole_core + 2.0 * np.einsum(
                 "dii->d", self.dipole_mo[:, core, core])
             nuc_dip = self.nuclear_dipole
+        quad_act, quad_core = None, self.quadrupole_core
+        if self.quadrupole_mo is not None:
+            quad_act = np.ascontiguousarray(self.quadrupole_mo[:, act, act])
+            quad_core = self.quadrupole_core + 2.0 * np.einsum(
+                "dii->d", self.quadrupole_mo[:, core, core])
         c_act, p_core = None, self.density_core_ao
         if self.mo_coeff_ao is not None:
             c_act = np.ascontiguousarray(self.mo_coeff_ao[:, act])
@@ -163,6 +174,8 @@ class ElectronicStructureProblem:
             dipole_mo=dip_act,
             nuclear_dipole=nuc_dip,
             dipole_core=dip_core,
+            quadrupole_mo=quad_act,
+            quadrupole_core=quad_core,
             ao_basis=self.ao_basis,
             mo_coeff_ao=c_act,
             density_core_ao=p_core,
@@ -266,6 +279,9 @@ class MoleculeDriver:
         dip_ao = engine.dipole()
         dip_mo = np.einsum("dpq,pi,qj->dij", dip_ao, C, C, optimize=True)
         nuc_dip = np.einsum("a,ad->d", charges, coords)
+        quad_ao = engine.quadrupole()
+        quad_mo = np.einsum("dpq,pi,qj->dij", quad_ao, C, C,
+                            optimize=True)
         # AO -> owning-atom map (shells are emitted per atom; match by
         # center since Shell carries no atom index)
         ao_atoms = np.empty(engine.nbf, dtype=np.int64)
@@ -287,6 +303,7 @@ class MoleculeDriver:
             basis=self.basis,
             dipole_mo=dip_mo,
             nuclear_dipole=nuc_dip,
+            quadrupole_mo=quad_mo,
             ao_basis=ao_basis,
             mo_coeff_ao=C,
         )

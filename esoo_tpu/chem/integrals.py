@@ -408,6 +408,16 @@ class IntegralEngine:
         applied at the property level, chem/properties.py.)"""
         return self.moments([(1, 0, 0), (0, 1, 0), (0, 0, 1)], origin)
 
+    # second-moment component order (upper triangle, row-major)
+    QUAD_COMPS = ((2, 0, 0), (1, 1, 0), (1, 0, 1),
+                  (0, 2, 0), (0, 1, 1), (0, 0, 2))
+
+    def quadrupole(self, origin=(0.0, 0.0, 0.0)) -> np.ndarray:
+        """AO second-moment matrices ⟨μ|(r_a−o_a)(r_b−o_b)|ν⟩ for the
+        six unique (a, b) pairs in QUAD_COMPS order (xx, xy, xz, yy,
+        yz, zz), shape (6, nbf, nbf)."""
+        return self.moments(list(self.QUAD_COMPS), origin)
+
     def _global_pure_matrix(self) -> Optional[np.ndarray]:
         """Block-diagonal (nbf_sph, nbf_cart) cartesian->final transform,
         or None if every shell is already in its final representation."""

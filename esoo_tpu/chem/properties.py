@@ -29,6 +29,9 @@ import numpy as np
 
 # 1 atomic unit of electric dipole = ea0 = 2.541746473 Debye (CODATA)
 AU_TO_DEBYE = 2.541746473
+_BOHR_TO_ANGSTROM = 0.52917721092
+# 1 atomic unit of quadrupole = ea0^2 = 1.3450 Buckingham (Debye*Angstrom)
+AU_TO_BUCKINGHAM = AU_TO_DEBYE * _BOHR_TO_ANGSTROM
 
 
 def hf_density_spatial(problem) -> np.ndarray:
@@ -153,6 +156,61 @@ def transition_dipoles(problem,
             - np.asarray(problem.dipole_core, dtype=np.float64))
     mu[np.arange(k), np.arange(k)] += diag
     return _to_unit(mu, unit)
+
+
+def quadrupole_moment(problem,
+                      gamma_spatial: Optional[np.ndarray] = None,
+                      partial_unitary: Optional[np.ndarray] = None,
+                      traceless: bool = True,
+                      unit: str = "au") -> np.ndarray:
+    """Electric quadrupole-moment tensor (3, 3) of the state described
+    by `gamma_spatial` (RDM / partial-unitary plumbing identical to
+    `dipole_moment`; default: the mean-field density).
+
+    Primitive moment (origin at 0): Q_ab = Σ_A Z_A R_a R_b − ⟨r_a r_b⟩;
+    with `traceless=True` (default) the Buckingham convention
+    Θ = (3Q − tr(Q)·I)/2 is returned — origin-independent for neutral
+    molecules with zero dipole.  unit: 'au' (e·a0²) or 'buckingham'
+    (Debye·Å, AU_TO_BUCKINGHAM).
+    """
+    M = getattr(problem, "quadrupole_mo", None)
+    ao = getattr(problem, "ao_basis", None)
+    if M is None or ao is None:
+        raise ValueError(
+            "problem carries no quadrupole integrals (quadrupole_mo / "
+            "ao_basis is None); build it with chem.MoleculeDriver")
+    M = np.asarray(M, dtype=np.float64)
+    if gamma_spatial is None:
+        gamma = hf_density_spatial(problem)
+    else:
+        gamma = np.asarray(gamma_spatial, dtype=np.float64)
+    if partial_unitary is not None:
+        U = np.asarray(partial_unitary, dtype=np.float64)
+        M = np.einsum("dpq,pi,qj->dij", M, U, U, optimize=True)
+    if gamma.shape[0] == 2 * M.shape[1]:
+        gamma = spin_summed(gamma)
+    if gamma.shape != M.shape[1:]:
+        raise ValueError(
+            f"1-RDM shape {gamma.shape} does not match the "
+            f"{M.shape[1]}-orbital quadrupole operator; pass the "
+            f"partial_unitary for active-space RDMs")
+    elec6 = (np.einsum("dpq,qp->d", M, gamma)
+             + np.asarray(problem.quadrupole_core, dtype=np.float64))
+    Z = np.asarray(ao.atomic_numbers, dtype=np.float64)
+    R = np.asarray(ao.coords, dtype=np.float64)
+    nuc = np.einsum("a,ai,aj->ij", Z, R, R)
+    iu = np.triu_indices(3)
+    elec = np.zeros((3, 3))
+    elec[iu] = elec6
+    elec = elec + elec.T - np.diag(np.diagonal(elec))
+    Q = nuc - elec
+    if traceless:
+        Q = 1.5 * Q - 0.5 * np.trace(Q) * np.eye(3)
+    if unit.lower() in ("buckingham", "b", "debye*angstrom"):
+        return Q * AU_TO_BUCKINGHAM
+    if unit.lower() != "au":
+        raise ValueError("unit must be 'au' or 'buckingham'")
+    return Q
 
 
 def density_ao(problem,

@@ -145,6 +145,78 @@ class TestSCFDipole:
         assert g[0, 0] == 2.0 and g[1, 1] == 1.0
 
 
+class TestQuadrupole:
+    def test_second_moment_origin_shift_identity(self):
+        # <(x-ax)(y-ay)> = <xy> - ax<y> - ay<x> + ax ay S, exact through
+        # d shells (cc-pVDZ C/O)
+        eng, _, _ = _engine("C 0.1 -0.2 0.3; O 0 0 2.1", "cc-pvdz")
+        S, _, _ = eng.one_electron()
+        a = np.array([0.5, -0.3, 0.8])
+        D = eng.dipole()
+        Q0 = eng.quadrupole()
+        Qa = eng.quadrupole(origin=a)
+        comps = eng.QUAD_COMPS
+        for c, (ex, ey, ez) in enumerate(comps):
+            (i, j) = [d for d in range(3) for _ in range((ex, ey, ez)[d])]
+            np.testing.assert_allclose(
+                Qa[c],
+                Q0[c] - a[i] * D[j] - a[j] * D[i] + a[i] * a[j] * S,
+                atol=1e-11)
+
+    def test_h2_traceless_origin_independent_and_sign(self):
+        from esoo_tpu.chem import quadrupole_moment
+
+        # neutral, zero dipole: traceless quadrupole origin-independent;
+        # H2 has a positive Theta_zz (prolate charge distribution)
+        p1 = MoleculeDriver("H 0 0 0; H 0 0 0.7414", basis="6-31g").run()
+        p2 = MoleculeDriver("H 1 2 3; H 1 2 3.7414", basis="6-31g").run()
+        Q1 = quadrupole_moment(p1)
+        Q2 = quadrupole_moment(p2)
+        # independently converged SCFs: agreement to the SCF noise floor
+        np.testing.assert_allclose(Q1, Q2, atol=1e-6)
+        assert abs(np.trace(Q1)) < 1e-10
+        assert Q1[2, 2] > 0.1
+        np.testing.assert_allclose(Q1[0, 0], Q1[1, 1], atol=1e-10)
+
+    def test_hellmann_feynman_second_moment(self):
+        # dE/dF for h -> h + F*<z^2> equals the analytic <z^2> at SCF
+        atom = "Li 0 0 0; H 0 0 1.595"
+        eng, charges, coords = _engine(atom, "sto-3g")
+        S, T, V = eng.one_electron()
+        eri = eng.eri()
+        M = eng.quadrupole()           # zz is component 5
+        F = 2e-5
+        es = []
+        for sgn in (+1, -1):
+            scf = rhf(S, T + V + sgn * F * M[5], eri, 4, charges, coords)
+            assert scf.converged
+            es.append(scf.energy_electronic)
+        dEdF = (es[0] - es[1]) / (2 * F)
+        from esoo_tpu.chem import quadrupole_moment
+        problem = MoleculeDriver(atom, basis="sto-3g").run()
+        Q = quadrupole_moment(problem, traceless=False)
+        Z = problem.ao_basis.atomic_numbers
+        R = problem.ao_basis.coords
+        nuc_zz = float(np.einsum("a,a,a->", Z.astype(float),
+                                 R[:, 2], R[:, 2]))
+        # Q_zz = nuc_zz - <z^2>  =>  <z^2> = nuc_zz - Q_zz
+        np.testing.assert_allclose(nuc_zz - Q[2, 2], dEdF, atol=3e-5)
+
+    def test_frozen_core_invariance_and_units(self):
+        from esoo_tpu.chem import AU_TO_BUCKINGHAM, quadrupole_moment
+
+        problem = MoleculeDriver("Li 0 0 0; H 0 0 1.595",
+                                 basis="sto-3g").run()
+        act = problem.active_space()
+        np.testing.assert_allclose(quadrupole_moment(act),
+                                   quadrupole_moment(problem), atol=1e-11)
+        np.testing.assert_allclose(
+            quadrupole_moment(problem, unit="buckingham"),
+            quadrupole_moment(problem) * AU_TO_BUCKINGHAM)
+        with pytest.raises(ValueError):
+            quadrupole_moment(problem, unit="esu")
+
+
 class TestPopulations:
     def test_h2_symmetric_zero_charges(self):
         from esoo_tpu.chem import populations
