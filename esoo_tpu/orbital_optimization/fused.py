@@ -977,12 +977,14 @@ class FusedOptOrbSSVQE:
             energies = _ssvqe_energies_program(
                 self._apply_raw, n_active, self._init_mat, self._weights,
                 theta, U, h_sp, g_sp, **common)
+        t1 = _eigensolver_transition_rdm1s(self, theta, shared_theta=True)
         return FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(energies),
             optimal_point=np.asarray(theta),
             optimal_partial_unitary=np.asarray(U),
             energy_convergence_list=[float(e) for e in trace[:it]],
             outer_iterations=it,
+            transition_rdm1_spatial=t1,
         )
 
     def compute_energies(self) -> FusedOptOrbEigensolverResult:
@@ -1014,6 +1016,7 @@ class FusedOptOrbSSVQE:
         it = int(it)
         if post_cb is not None:
             post_cb(it, energies, theta, U, trace)
+        t1 = _eigensolver_transition_rdm1s(self, theta, shared_theta=True)
         return FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(energies),
             optimal_point=np.asarray(theta),
@@ -1021,6 +1024,7 @@ class FusedOptOrbSSVQE:
             energy_convergence_list=[float(e)
                                      for e in np.asarray(trace)[:it]],
             outer_iterations=it,
+            transition_rdm1_spatial=t1,
         )
 
 
@@ -1118,9 +1122,67 @@ class FusedOptOrbMCVQE(FusedOptOrbSSVQE):
         for idx, (i, j) in enumerate(pairs):
             Hc[i, j] = Hc[j, i] = 0.5 * (E[kk + 2 * idx]
                                          - E[kk + 2 * idx + 1])
-        w = np.linalg.eigvalsh(Hc)
+        w, Cc = np.linalg.eigh(Hc)
         base.eigenvalues = w
+        if base.transition_rdm1_spatial is not None:
+            # the contracted eigenstates are |I> = sum_a Cc[a, I] |raw_a>
+            # (raw = ansatz-pushed CI vectors, orthonormal since the
+            # ansatz is unitary), so the transition RDMs transform
+            # bilinearly into the eigenbasis
+            base.transition_rdm1_spatial = np.einsum(
+                "ai,bj,abps->ijps", Cc, Cc,
+                base.transition_rdm1_spatial, optimize=True)
         return base
+
+
+@partial(jax.jit, static_argnames=("sector", "shared_theta"))
+def _sector_eigenstates_program(sector, init, thetas, shared_theta=False,
+                                tables=None):
+    """(k, nd+1) optimal sector eigenstates: each initial state pushed
+    through the optimized ansatz (SSVQE/MCVQE share one theta; VQD has
+    per-state thetas)."""
+    if shared_theta:
+        return jax.vmap(
+            lambda v0: sector.apply(v0, thetas, tables=tables))(init)
+    return jax.vmap(
+        lambda v0, th: sector.apply(v0, th, tables=tables))(init, thetas)
+
+
+@partial(jax.jit, static_argnames=("sector",))
+def _sector_transition_rdm1s(sector, states, mix=None, tables=None):
+    """(k, k, n, n) spin-summed spatial transition 1-RDMs
+    t[i, j, p, s] = <psi_i|E_ps|psi_j> between sector states (k, nd[+1])
+    — the eigensolver-family analogue of casscf._transition_rdm1s,
+    feeding chem.properties.transition_dipoles.  `mix` (k, k) optionally
+    re-expresses the target eigenstates as mix[:, I]-weighted
+    combinations of the raw states (the MCVQE contracted basis)."""
+    Vg = jnp.asarray(states)[:, : sector.dim]
+    if mix is not None:
+        Vg = jnp.asarray(mix, dtype=Vg.dtype).T @ Vg
+
+    def one(vj):
+        g = sector.transition_rdm1(Vg, vj, tables=tables)
+        n = g.shape[-1] // 2
+        return g[:, :n, :n] + g[:, n:, n:]
+
+    t = jax.lax.map(one, Vg)          # t[j, i] = <i|E|j>
+    return jnp.swapaxes(t, 0, 1)
+
+
+def _eigensolver_transition_rdm1s(solver, thetas, shared_theta):
+    """Post-run transition-RDM extraction for the fused eigensolver
+    family: only possible when the run simulated in the determinant
+    sector with the string kernel (full-space 2^N runs return None —
+    document: rerun with simulation='sector' for transition moments)."""
+    sector = getattr(solver, "_sector", None)
+    if sector is None or getattr(sector, "kernel", None) != "strings":
+        return None
+    tables = getattr(solver, "_sector_tables", None)
+    states = _sector_eigenstates_program(
+        sector, solver._sector_init, jnp.asarray(thetas),
+        shared_theta=shared_theta, tables=tables)
+    return np.asarray(_sector_transition_rdm1s(sector, states,
+                                               tables=tables))
 
 
 @partial(jax.jit, static_argnames=("apply_raw",))
@@ -1491,12 +1553,15 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
             vqe_maxiter=self.vqe_maxiter, sector=self._sector,
             sector_init=self._sector_init,
             sector_tables=getattr(self, "_sector_tables", None))
+        t1 = _eigensolver_transition_rdm1s(self, thetas,
+                                           shared_theta=False)
         result = FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(energies),
             optimal_point=np.asarray(thetas),
             optimal_partial_unitary=np.asarray(U),
             energy_convergence_list=[float(e) for e in trace[:it]],
             outer_iterations=it,
+            transition_rdm1_spatial=t1,
         )
         return result
 
@@ -1533,6 +1598,8 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
         it = int(it)
         if post_cb is not None:
             post_cb(it, energies, thetas, U, trace)
+        t1 = _eigensolver_transition_rdm1s(self, thetas,
+                                           shared_theta=False)
         result = FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(energies),
             optimal_point=np.asarray(thetas),
@@ -1540,6 +1607,7 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
             energy_convergence_list=[float(e)
                                      for e in np.asarray(trace)[:it]],
             outer_iterations=it,
+            transition_rdm1_spatial=t1,
         )
         return result
 

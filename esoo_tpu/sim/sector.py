@@ -915,6 +915,29 @@ class SectorUCC:
                       jnp.zeros((), dtype=dtype)))
         return gamma, Gamma
 
+    def transition_rdm1(self, u: jnp.ndarray, v: jnp.ndarray,
+                        tables=None) -> jnp.ndarray:
+        """Spin-orbital transition 1-RDM gamma[p, s] = <u|a+_p a_s|v>
+        between sector states (e.g. SSVQE/MCVQE eigenstates via
+        self.state(theta_k)) — the one-body input to transition dipoles
+        / oscillator strengths (chem.properties.transition_dipoles).
+        String kernel only (every product-grid sector); u may be
+        batched (k, nd) -> (k, N, N).  Vectors may carry the +1 pad
+        slot of `state`."""
+        if self.kernel != "strings":
+            raise ValueError(
+                "transition_rdm1 requires the string kernel (product-"
+                "grid sector); this sector fell back to 'pairs'")
+        st = self._str_tabs
+        tabs = tables if tables is not None else st._asdict()
+        nB, nA = len(st.B), len(st.A)
+        nd = self.dim
+        u = jnp.asarray(u)
+        U = (u[:, :nd].reshape(-1, nB, nA) if u.ndim == 2
+             else u[:nd].reshape(nB, nA))
+        V = jnp.asarray(v)[:nd].reshape(nB, nA)
+        return _strings.transition_rdm1(U, V, tabs)
+
 
 class SectorCI:
     """Gate-free determinant sector: the string-factorized sigma/RDM/

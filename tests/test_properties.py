@@ -375,6 +375,96 @@ class TestTransitionRDM1:
                     w, v.reshape(sec.nB, sec.nA))), atol=1e-13)
 
 
+class TestEigensolverTransitionRDMs:
+    """Transition RDMs on the fused eigensolver family (sector runs)."""
+
+    def _ssvqe_result(self, h2_631g):
+        from esoo_tpu.sim import HartreeFock, QuantumCircuit, UCCSD
+        from esoo_tpu.orbital_optimization import FusedOptOrbSSVQE
+
+        ansatz = UCCSD(2, (1, 1), reps=2)
+        init0 = HartreeFock(2, (1, 1))
+        init1 = QuantumCircuit(4)
+        init1.x(1)
+        init1.x(2)
+        solver = FusedOptOrbSSVQE(num_spin_orbitals=4, ansatz=ansatz,
+                                  initial_states=[init0, init1],
+                                  weight_vector=[2, 1], problem=h2_631g,
+                                  maxiter=20)
+        return solver, solver.compute_energies()
+
+    def test_ssvqe_trdm_oracle(self, h2_631g):
+        import jax.numpy as jnp
+
+        solver, res = self._ssvqe_result(h2_631g)
+        t = res.transition_rdm1_spatial
+        assert t is not None and t.shape == (2, 2, 2, 2)
+        # electron-count traces on the diagonal; real-state symmetry
+        for i in range(2):
+            assert np.trace(t[i, i]) == pytest.approx(2.0, abs=1e-8)
+        np.testing.assert_allclose(t[0, 1], t[1, 0].transpose(1, 0),
+                                   atol=1e-10)
+        # independent check: rebuild the two optimal sector states and
+        # brute-force <0|a+_p a_s|1> over determinant bitmasks
+        sec = solver._sector
+        theta = jnp.asarray(res.optimal_point)
+        states = [np.asarray(sec.apply(solver._sector_init[j], theta))
+                  for j in range(2)]
+        g_so = _trdm1_oracle(sec.dets, 4, states[0][: sec.dim],
+                             states[1][: sec.dim])
+        np.testing.assert_allclose(t[0, 1],
+                                   g_so[:2, :2] + g_so[2:, 2:], atol=1e-8)
+
+    def test_mcvqe_matches_sa_casscf_oscillator_strength(self, h2_631g):
+        # two completely different pipelines to the same exact states
+        # (MCVQE contracted CIS basis vs exact SA diagonalization): the
+        # X->B oscillator strength must agree
+        from esoo_tpu.chem import oscillator_strengths, transition_dipoles
+        from esoo_tpu.sim import UCCSD
+        from esoo_tpu.orbital_optimization import (FusedOptOrbMCVQE,
+                                                   FusedOptOrbSACASSCF)
+
+        mc = FusedOptOrbMCVQE(num_spin_orbitals=4,
+                              ansatz=UCCSD(2, (1, 1), reps=2),
+                              num_particles=(1, 1), k=2,
+                              problem=h2_631g, maxiter=20).compute_energies()
+        sa = FusedOptOrbSACASSCF(4, k=2, problem=h2_631g,
+                                 maxiter=20).compute_energies()
+        np.testing.assert_allclose(mc.eigenvalues, sa.eigenvalues,
+                                   atol=1e-4)
+
+        def f01(res):
+            mu = transition_dipoles(
+                h2_631g, res.transition_rdm1_spatial,
+                partial_unitary=res.optimal_partial_unitary)
+            return oscillator_strengths(res.eigenvalues, mu)[0, 1]
+
+        assert mc.transition_rdm1_spatial is not None
+        # the k=2 excited state is the spin-forbidden Sz=0 triplet:
+        # both pipelines must agree it carries NO oscillator strength
+        np.testing.assert_allclose(f01(mc), f01(sa), atol=1e-6)
+        assert abs(f01(sa)) < 1e-10
+
+    def test_h2_full_selection_rule_pattern(self, h2_631g):
+        # the complete 2-orbital H2 spectrum: X(g), triplet(u),
+        # B singlet(u), doubly-excited(g) — exactly one transition from
+        # X is allowed (X->B); triplet is spin-forbidden, sigma_u^2 is
+        # parity-forbidden (g->g)
+        from esoo_tpu.chem import oscillator_strengths, transition_dipoles
+        from esoo_tpu.orbital_optimization import FusedOptOrbSACASSCF
+
+        sa = FusedOptOrbSACASSCF(4, k=4, problem=h2_631g,
+                                 maxiter=20).compute_energies()
+        np.testing.assert_allclose(sa.spin_squared, [0, 2, 0, 0],
+                                   atol=1e-6)
+        mu = transition_dipoles(h2_631g, sa.transition_rdm1_spatial,
+                                partial_unitary=sa.optimal_partial_unitary)
+        f = oscillator_strengths(sa.eigenvalues, mu)
+        assert f[0, 2] > 0.3                       # X -> B allowed
+        assert abs(f[0, 1]) < 1e-10                # spin-forbidden
+        assert abs(f[0, 3]) < 1e-10                # parity-forbidden
+
+
 class TestCASSCFDipole:
     def test_lih_casscf_hellmann_feynman(self):
         # full chain: FusedOptOrbCASSCF 1-RDM + optimal U -> dipole,
