@@ -1,9 +1,9 @@
 from .basis import BASIS_SETS, Shell, build_shells
 from .driver import ElectronicStructureProblem, MoleculeDriver
 from .integrals import IntegralEngine
-from .properties import (AU_TO_BUCKINGHAM, AU_TO_DEBYE, density_ao,
-                         dipole_moment, hf_density_spatial,
-                         oscillator_strengths, populations,
+from .properties import (AU_TO_BUCKINGHAM, AU_TO_DEBYE, apply_field,
+                         density_ao, dipole_moment, hf_density_spatial,
+                         oscillator_strengths, polarizability, populations,
                          quadrupole_moment, transition_dipoles)
 from .scf import rhf
 
@@ -16,7 +16,9 @@ __all__ = [
     "IntegralEngine",
     "AU_TO_BUCKINGHAM",
     "AU_TO_DEBYE",
+    "apply_field",
     "density_ao",
+    "polarizability",
     "quadrupole_moment",
     "dipole_moment",
     "hf_density_spatial",

@@ -286,6 +286,64 @@ def populations(problem,
     return pop, np.asarray(ao.atomic_numbers, dtype=np.float64) - pop
 
 
+def apply_field(problem, field: np.ndarray):
+    """The problem in a uniform static electric field F (a.u.):
+    h → h + Σ_d F_d·D_d (the electron-position coupling; the scalar
+    nuclear term −F·μ_nuc shifts all states equally and is omitted —
+    energy DIFFERENCES and derivative-based electronic properties are
+    unaffected).  Returns a new problem; the input is untouched."""
+    import dataclasses
+
+    D = getattr(problem, "dipole_mo", None)
+    if D is None:
+        raise ValueError(
+            "problem carries no dipole integrals (dipole_mo is None); "
+            "build it with chem.MoleculeDriver")
+    field = np.asarray(field, dtype=np.float64)
+    return dataclasses.replace(
+        problem, hcore_mo=problem.hcore_mo + np.einsum(
+            "d,dpq->pq", field, np.asarray(D, dtype=np.float64)))
+
+
+def polarizability(problem, solve_energy, field: float = 2e-3,
+                   components=None) -> np.ndarray:
+    """Static dipole polarizability tensor α_ab = −∂²E/∂F_a∂F_b by
+    central finite fields: 2nd differences on the diagonal, 4-point
+    stencils off it (6 + 12 energy evaluations for the full tensor).
+
+    `solve_energy(problem) -> float` must return the VARIATIONAL ground
+    energy of the field-perturbed problem (e.g.
+    ``lambda p: FusedOptOrbCASSCF(num_spin_orbitals=2*p.num_spatial_orbitals,
+    problem=p).compute_minimum_energy().eigenvalue`` — a full-space
+    U absorbs the orbital response).  `components` restricts to a list
+    of (a, b) pairs (e.g. [(2, 2)] for α_zz only); the rest stay 0.
+
+    The Hellmann-Feynman consistency α_ab = ∂μ_a/∂F_b is enforced by
+    tests/test_properties.py."""
+    F = float(field)
+    e0 = None
+    alpha = np.zeros((3, 3))
+    pairs = ([(a, b) for a in range(3) for b in range(a, 3)]
+             if components is None else list(components))
+
+    def E(fa, fb, a, b):
+        f = np.zeros(3)
+        f[a] += fa
+        f[b] += fb
+        return float(solve_energy(apply_field(problem, f)))
+
+    for a, b in pairs:
+        if a == b:
+            if e0 is None:
+                e0 = float(solve_energy(problem))
+            val = -(E(F, 0, a, a) - 2.0 * e0 + E(-F, 0, a, a)) / F ** 2
+        else:
+            val = -(E(F, F, a, b) - E(F, -F, a, b)
+                    - E(-F, F, a, b) + E(-F, -F, a, b)) / (4.0 * F ** 2)
+        alpha[a, b] = alpha[b, a] = val
+    return alpha
+
+
 def oscillator_strengths(energies: np.ndarray,
                          dipole_matrix: np.ndarray) -> np.ndarray:
     """Length-gauge oscillator strengths f_IJ = (2/3)(E_J − E_I)|μ_IJ|²

@@ -375,6 +375,64 @@ class TestTransitionRDM1:
                     w, v.reshape(sec.nB, sec.nA))), atol=1e-13)
 
 
+class TestPolarizability:
+    def _fci_energy(self, p):
+        from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+        # full-space exact solve: U is square, so the orbital response
+        # to the field is fully absorbed (variational in every d.o.f.)
+        return FusedOptOrbCASSCF(
+            num_spin_orbitals=2 * p.num_spatial_orbitals, problem=p,
+            maxiter=30, stopping_tolerance=1e-11,
+            inner_stopping_tolerance=1e-11).compute_minimum_energy()
+
+    def test_h2_alpha_consistency_and_anisotropy(self, h2_631g):
+        from esoo_tpu.chem import apply_field, dipole_moment, polarizability
+
+        F = 2e-3
+        alpha = polarizability(h2_631g, lambda p: self._fci_energy(
+            p).eigenvalue, field=F,
+            components=[(0, 0), (2, 2), (0, 2)])
+        # 6-31g H carries only s functions: perpendicular polarization
+        # is impossible in this basis — alpha_xx vanishes EXACTLY, while
+        # the parallel component is finite; xz vanishes by symmetry
+        assert alpha[2, 2] > 1.0
+        assert abs(alpha[0, 0]) < 1e-6
+        assert abs(alpha[0, 2]) < 1e-6
+        # Hellmann-Feynman consistency: alpha_zz == d mu_z / dF_z from
+        # the RDM dipoles of the field-perturbed solutions
+        mus = []
+        for sgn in (+1, -1):
+            r = self._fci_energy(apply_field(h2_631g, [0, 0, sgn * F]))
+            mus.append(dipole_moment(
+                h2_631g, gamma_spatial=r.one_rdm_spatial,
+                partial_unitary=r.optimal_partial_unitary)[2])
+        alpha_zz_mu = (mus[0] - mus[1]) / (2 * F)
+        np.testing.assert_allclose(alpha[2, 2], alpha_zz_mu,
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_h2_ccpvdz_anisotropy(self):
+        # with p functions on H the perpendicular response is real:
+        # alpha_zz > alpha_xx > 0 (literature full-CI limit ~6.4 / 4.6)
+        from esoo_tpu.chem import polarizability
+
+        p = MoleculeDriver("H 0 0 0; H 0 0 0.735", basis="cc-pvdz").run()
+        alpha = polarizability(
+            p, lambda q: self._fci_energy(q).eigenvalue,
+            components=[(0, 0), (2, 2)])
+        assert alpha[2, 2] > alpha[0, 0] > 0.5
+        assert alpha[2, 2] < 10.0
+
+    def test_apply_field_requires_dipoles(self, h2_631g):
+        import dataclasses
+
+        from esoo_tpu.chem import apply_field
+
+        bare = dataclasses.replace(h2_631g, dipole_mo=None)
+        with pytest.raises(ValueError, match="no dipole integrals"):
+            apply_field(bare, [0, 0, 1e-3])
+
+
 class TestEigensolverTransitionRDMs:
     """Transition RDMs on the fused eigensolver family (sector runs)."""
 
