@@ -1,5 +1,7 @@
 from .basis import BASIS_SETS, Shell, build_shells
 from .driver import ElectronicStructureProblem, MoleculeDriver
+from .geometry import (casscf_energy_fn, geometry_string, nuclear_gradient,
+                       optimize_geometry)
 from .integrals import IntegralEngine
 from .properties import (AU_TO_BUCKINGHAM, AU_TO_DEBYE, apply_field,
                          density_ao, dipole_moment, hf_density_spatial,
@@ -25,5 +27,9 @@ __all__ = [
     "oscillator_strengths",
     "populations",
     "transition_dipoles",
+    "casscf_energy_fn",
+    "geometry_string",
+    "nuclear_gradient",
+    "optimize_geometry",
     "rhf",
 ]

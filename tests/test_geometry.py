@@ -1,0 +1,65 @@
+"""Nuclear gradients + geometry optimization (chem/geometry.py).
+
+Validation without external reference data: translational invariance of
+the FD gradient (exact identity for any isolated molecule), round-trip
+of the geometry-string assembly, and local-minimum certificates on the
+optimized geometries (zero gradient AND energy rises on displacement in
+both directions).  Reference anchor: the reference has no geometry
+capability (fixed PySCF problem, base_opt_orb_solver.py:87-91)."""
+
+import numpy as np
+import pytest
+
+from esoo_tpu.chem import (casscf_energy_fn, geometry_string,
+                           nuclear_gradient, optimize_geometry)
+from esoo_tpu.chem.basis import parse_geometry
+
+
+class TestGradient:
+    def test_geometry_string_round_trip(self):
+        atom = "Li 0 0 0; H 0.1 -0.2 1.595"
+        symbols, coords = parse_geometry(atom)
+        s2, c2 = parse_geometry(geometry_string(symbols, coords))
+        assert s2 == symbols
+        np.testing.assert_allclose(c2, coords, atol=1e-10)
+
+    def test_translational_invariance_and_direction(self):
+        energy = casscf_energy_fn(basis="sto-3g")
+        # stretched H2: the gradient must pull the atoms together
+        g = nuclear_gradient("H 0 0 0; H 0 0 0.90", energy)
+        np.testing.assert_allclose(g.sum(axis=0), 0.0, atol=1e-7)
+        np.testing.assert_allclose(g[0], -g[1], atol=1e-7)
+        assert g[1, 2] > 1e-3          # dE/dz2 > 0: bond too long
+        g2 = nuclear_gradient("H 0 0 0; H 0 0 0.60", energy)
+        assert g2[1, 2] < -1e-3        # bond too short
+
+
+class TestOptimize:
+    def test_h2_fci_equilibrium(self):
+        energy = casscf_energy_fn(basis="sto-3g")
+        res = optimize_geometry("H 0 0 0; H 0 0 0.90", energy)
+        assert res["converged"]
+        r = np.linalg.norm(res["coords"][1] - res["coords"][0])
+        # FCI/STO-3G H2 equilibrium is ~0.735 A = 1.389 bohr
+        assert 1.30 < r < 1.45
+        assert np.abs(res["gradient"]).max() < 3e-4
+        # independent local-minimum certificate: energy rises both ways
+        symbols, coords = parse_geometry(res["atom"])
+        for d in (+0.02, -0.02):
+            c = coords.copy()
+            c[1, 2] += d
+            assert energy(geometry_string(symbols, c)) > res["energy"]
+
+    def test_lih_active_space_and_callback(self):
+        # frozen-core CAS in a reduced window, with the live callback
+        energy = casscf_energy_fn(basis="sto-3g", num_spin_orbitals=8)
+        seen = []
+        res = optimize_geometry(
+            "Li 0 0 0; H 0 0 1.8", energy, gtol=5e-4,
+            callback=lambda a, e, g: seen.append((a, e)))
+        assert res["converged"]
+        r = np.linalg.norm(res["coords"][1] - res["coords"][0])
+        # LiH equilibrium ~1.5-1.6 A = 2.8-3.1 bohr
+        assert 2.6 < r < 3.3
+        assert len(seen) == res["n_iterations"]
+        assert seen[-1][1] == pytest.approx(res["energy"], abs=1e-8)
