@@ -100,3 +100,13 @@ def test_lih_spectrum_properties_example():
     line = [ln for ln in out.splitlines() if "allowed X->A" in ln][0]
     f = float(line.split("f =")[1])
     np.testing.assert_allclose(f, 0.1768, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_lih_geometry_optimization_example():
+    out = _run("examples/LiH_Geometry_Optimization.py")
+    line = [ln for ln in out.splitlines()
+            if ln.startswith("equilibrium bond length")][0]
+    r_angstrom = float(line.split("=")[1].split("A")[0])
+    # FCI/STO-3G LiH equilibrium ~1.55 A
+    np.testing.assert_allclose(r_angstrom, 1.548, atol=0.02)
