@@ -1,6 +1,7 @@
 from .basis import BASIS_SETS, Shell, build_shells
 from .driver import ElectronicStructureProblem, MoleculeDriver
-from .geometry import (casscf_energy_fn, geometry_string, nuclear_gradient,
+from .geometry import (casscf_energy_fn, geometry_string,
+                       harmonic_frequencies, hessian, nuclear_gradient,
                        optimize_geometry)
 from .integrals import IntegralEngine
 from .properties import (AU_TO_BUCKINGHAM, AU_TO_DEBYE, apply_field,
@@ -29,6 +30,8 @@ __all__ = [
     "transition_dipoles",
     "casscf_energy_fn",
     "geometry_string",
+    "harmonic_frequencies",
+    "hessian",
     "nuclear_gradient",
     "optimize_geometry",
     "rhf",

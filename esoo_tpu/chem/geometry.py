@@ -101,6 +101,106 @@ def optimize_geometry(atom: str, energy_fn: Callable[[str], float],
     }
 
 
+# most-abundant-isotope masses (amu), H-Ar — the standard choice for
+# harmonic analysis (vibrations are isotope-specific)
+ISOTOPE_MASSES = {
+    "H": 1.00782503207, "He": 4.002603254, "Li": 7.01600455,
+    "Be": 9.0121822, "B": 11.0093054, "C": 12.0, "N": 14.0030740048,
+    "O": 15.99491461956, "F": 18.99840322, "Ne": 19.9924401754,
+    "Na": 22.9897692809, "Mg": 23.98504170, "Al": 26.98153863,
+    "Si": 27.9769265325, "P": 30.97376163, "S": 31.97207100,
+    "Cl": 34.96885268, "Ar": 39.9623831225,
+}
+_AMU_TO_ME = 1822.888486209          # electron masses per amu
+_HARTREE_TO_CM1 = 219474.6313705     # wavenumbers per Hartree
+
+
+def hessian(atom: str, energy_fn: Callable[[str], float],
+            step: float = 5e-3) -> np.ndarray:
+    """Nuclear Hessian d²E/dR_i dR_j (Hartree/bohr²), (3N, 3N), by
+    central energy stencils (symmetric by construction): 3-point on the
+    diagonal, 4-point off it — 1 + 6N + 2·3N(3N−1) energy evaluations,
+    every one a fully re-converged total."""
+    symbols, coords = parse_geometry(atom)
+    n = coords.size
+
+    def E(dx):
+        c = coords + dx.reshape(coords.shape)
+        return float(energy_fn(geometry_string(symbols, c)))
+
+    e0 = E(np.zeros(n))
+    H = np.zeros((n, n))
+    for i in range(n):
+        dx = np.zeros(n)
+        dx[i] = step
+        H[i, i] = (E(dx) - 2.0 * e0 + E(-dx)) / step ** 2
+    for i in range(n):
+        for j in range(i + 1, n):
+            dij = np.zeros(n)
+            dij[i] = step
+            dij[j] = step
+            dij_m = np.zeros(n)
+            dij_m[i] = step
+            dij_m[j] = -step
+            H[i, j] = H[j, i] = (E(dij) - E(dij_m) - E(-dij_m)
+                                 + E(-dij)) / (4.0 * step ** 2)
+    return H
+
+
+def harmonic_frequencies(atom: str, energy_fn: Callable[[str], float],
+                         step: float = 5e-3, project: bool = True):
+    """Harmonic vibrational analysis at `atom` (which should be an
+    optimized geometry): mass-weighted FD Hessian, translation/rotation
+    projection, frequencies in cm⁻¹.
+
+    Returns a dict with 'frequencies_cm1' (3N,) ascending — imaginary
+    modes reported as NEGATIVE wavenumbers, projected-out trans/rot
+    modes as (near-)zeros — plus 'modes' (3N, N, 3) mass-weighted
+    normal-mode displacements, 'hessian', and 'n_vibrations'
+    (3N−5 linear / 3N−6 nonlinear).  Cross-validated against an
+    independent reduced-mass diatomic computation in
+    tests/test_geometry.py."""
+    symbols, coords = parse_geometry(atom)
+    natom = len(symbols)
+    H = hessian(atom, energy_fn, step=step)
+    masses = np.array([ISOTOPE_MASSES[s] for s in symbols]) * _AMU_TO_ME
+    m3 = np.repeat(masses, 3)
+    Hw = H / np.sqrt(np.outer(m3, m3))
+
+    # trans/rot null-space basis in mass-weighted coordinates
+    com = (masses @ coords) / masses.sum()
+    rel = coords - com
+    basis = []
+    for d in range(3):
+        t = np.zeros((natom, 3))
+        t[:, d] = np.sqrt(masses)
+        basis.append(t.ravel())
+    for d in range(3):
+        e = np.zeros(3)
+        e[d] = 1.0
+        r = np.cross(rel, e) * np.sqrt(masses)[:, None]
+        basis.append(r.ravel())
+    B = []
+    for v in basis:
+        for u in B:
+            v = v - (u @ v) * u
+        nv = np.linalg.norm(v)
+        if nv > 1e-8:
+            B.append(v / nv)
+    n_tr = len(B)                      # 5 linear / 6 nonlinear
+    if project and n_tr:
+        P = np.eye(3 * natom) - np.array(B).T @ np.array(B)
+        Hw = P @ Hw @ P
+    w, V = np.linalg.eigh(Hw)
+    freqs = np.sign(w) * np.sqrt(np.abs(w)) * _HARTREE_TO_CM1
+    return {
+        "frequencies_cm1": freqs,
+        "modes": V.T.reshape(-1, natom, 3),
+        "hessian": H,
+        "n_vibrations": 3 * natom - n_tr,
+    }
+
+
 def casscf_energy_fn(basis: str = "sto-3g",
                      num_spin_orbitals: Optional[int] = None,
                      charge: int = 0, spin: int = 0,

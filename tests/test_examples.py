@@ -110,3 +110,15 @@ def test_lih_geometry_optimization_example():
     r_angstrom = float(line.split("=")[1].split("A")[0])
     # FCI/STO-3G LiH equilibrium ~1.55 A
     np.testing.assert_allclose(r_angstrom, 1.548, atol=0.02)
+
+
+@pytest.mark.slow
+def test_h2o_geometry_frequencies_example():
+    out = _run("examples/H2O_Geometry_Frequencies.py")
+    # FCI/STO-3G water: r(OH) ~1.028 A, angle ~96.8 deg, three real modes
+    line = [ln for ln in out.splitlines() if ln.startswith("r(OH)")][0]
+    r = float(line.split("=")[1].split("/")[0])
+    np.testing.assert_allclose(r, 1.0285, atol=0.01)
+    bend = float([ln for ln in out.splitlines() if "bend" in ln][0]
+                 .split(":")[1].split("cm")[0])
+    assert 1800 < bend < 2300

@@ -34,6 +34,51 @@ class TestGradient:
         assert g2[1, 2] < -1e-3        # bond too short
 
 
+class TestFrequencies:
+    def test_h2_against_independent_1d_reduced_mass(self):
+        from esoo_tpu.chem import harmonic_frequencies
+        from esoo_tpu.chem.geometry import (_AMU_TO_ME, _HARTREE_TO_CM1,
+                                            ISOTOPE_MASSES,
+                                            optimize_geometry)
+
+        energy = casscf_energy_fn(basis="sto-3g")
+        opt = optimize_geometry("H 0 0 0; H 0 0 0.75", energy, gtol=1e-5)
+        res = harmonic_frequencies(opt["atom"], energy)
+        f = res["frequencies_cm1"]
+        assert res["n_vibrations"] == 1          # linear diatomic: 3N-5
+        # five projected trans/rot near-zeros, one real stretch
+        assert np.abs(f[:-1]).max() < 50.0
+        nu = f[-1]
+        # independent 1-D check: k = d2E/dr2 along the bond, reduced
+        # mass mu -> nu = sqrt(k/mu).  Exercises none of the 3N-Hessian
+        # mass-weighting/projection machinery.
+        symbols, coords = parse_geometry(opt["atom"])
+        h = 5e-3
+        r0 = coords[1, 2] - coords[0, 2]
+
+        def e_at(r):
+            c = coords.copy()
+            c[1, 2] = c[0, 2] + r
+            return energy(geometry_string(symbols, c))
+
+        k = (e_at(r0 + h) - 2 * e_at(r0) + e_at(r0 - h)) / h ** 2
+        mu = ISOTOPE_MASSES["H"] * _AMU_TO_ME / 2.0
+        nu_1d = np.sqrt(k / mu) * _HARTREE_TO_CM1
+        np.testing.assert_allclose(nu, nu_1d, rtol=1e-3)
+        # FCI/STO-3G H2 harmonic stretch is a few thousand cm^-1
+        assert 3500.0 < nu < 6500.0
+
+    def test_imaginary_mode_sign_convention(self):
+        from esoo_tpu.chem import harmonic_frequencies
+
+        # stretched H2 far past equilibrium: the stretch curvature is
+        # NEGATIVE (approaching dissociation) -> imaginary mode reported
+        # as a negative wavenumber
+        energy = casscf_energy_fn(basis="sto-3g")
+        res = harmonic_frequencies("H 0 0 0; H 0 0 1.8", energy)
+        assert res["frequencies_cm1"][0] < -100.0
+
+
 class TestOptimize:
     def test_h2_fci_equilibrium(self):
         energy = casscf_energy_fn(basis="sto-3g")
