@@ -1,8 +1,9 @@
 from .basis import BASIS_SETS, Shell, build_shells
 from .driver import ElectronicStructureProblem, MoleculeDriver
-from .geometry import (casscf_energy_fn, geometry_string,
-                       harmonic_frequencies, hessian, nuclear_gradient,
-                       optimize_geometry)
+from .geometry import (casscf_dipole_fn, casscf_energy_fn,
+                       dipole_derivatives, geometry_string,
+                       harmonic_frequencies, hessian, ir_intensities,
+                       nuclear_gradient, optimize_geometry)
 from .integrals import IntegralEngine
 from .properties import (AU_TO_BUCKINGHAM, AU_TO_DEBYE, apply_field,
                          density_ao, dipole_moment, hf_density_spatial,
@@ -28,7 +29,10 @@ __all__ = [
     "oscillator_strengths",
     "populations",
     "transition_dipoles",
+    "casscf_dipole_fn",
     "casscf_energy_fn",
+    "dipole_derivatives",
+    "ir_intensities",
     "geometry_string",
     "harmonic_frequencies",
     "hessian",

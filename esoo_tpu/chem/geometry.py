@@ -193,12 +193,111 @@ def harmonic_frequencies(atom: str, energy_fn: Callable[[str], float],
         Hw = P @ Hw @ P
     w, V = np.linalg.eigh(Hw)
     freqs = np.sign(w) * np.sqrt(np.abs(w)) * _HARTREE_TO_CM1
+    # vibrational-vs-trans/rot flag per mode (the projected null space
+    # comes out of eigh as an ARBITRARY mix of translations/rotations;
+    # ir_intensities must not attribute rigid-rotation dipole
+    # reorientation to them)
+    if n_tr:
+        Bm = np.array(B)
+        tr_frac = np.linalg.norm(Bm @ V, axis=0)
+        vib_mask = tr_frac < 0.5
+    else:
+        vib_mask = np.ones(3 * natom, dtype=bool)
     return {
         "frequencies_cm1": freqs,
         "modes": V.T.reshape(-1, natom, 3),
         "hessian": H,
         "n_vibrations": 3 * natom - n_tr,
+        "vib_mask": vib_mask,
     }
+
+
+def dipole_derivatives(atom: str, dipole_fn, step: float = 5e-3
+                       ) -> np.ndarray:
+    """Central-FD dipole-derivative matrix ∂μ_a/∂R_i (3, 3N) in a.u.
+    (e; dipole per bohr), from 6N re-converged dipole evaluations.
+    `dipole_fn(atom_string) -> (3,)` returns the dipole vector in a.u.
+    (e.g. `casscf_dipole_fn`)."""
+    symbols, coords = parse_geometry(atom)
+    n = coords.size
+    d = np.zeros((3, n))
+    for i in range(n):
+        mus = []
+        for sgn in (+1.0, -1.0):
+            c = coords.copy()
+            c.ravel()[i] += sgn * step
+            mus.append(np.asarray(
+                dipole_fn(geometry_string(symbols, c)), dtype=np.float64))
+        d[:, i] = (mus[0] - mus[1]) / (2.0 * step)
+    return d
+
+
+# (D/A)^2 amu^-1  ->  km/mol (the standard IR-intensity conversion)
+_DA2_AMU_TO_KM_MOL = 42.2561
+
+
+def ir_intensities(atom: str, dipole_fn, freq_result,
+                   step: float = 5e-3) -> np.ndarray:
+    """Double-harmonic IR intensities (km/mol), one per mode of a
+    `harmonic_frequencies` result (same ordering): the FD dipole-
+    derivative matrix projected onto each mass-weighted normal mode,
+    I_k = 42.2561 · |∂μ/∂Q_k|² with ∂μ/∂Q in (D/Å)·amu^(−1/2).
+
+    Trans/rot modes are reported as exactly 0 (a rigid rotation of a
+    polar molecule reorients μ — microwave, not vibrational, activity —
+    and eigh mixes the projected null space arbitrarily, so those rows
+    are masked via the result's `vib_mask`).  Exact zeros for
+    homonuclear diatomics are enforced by tests/test_geometry.py."""
+    from .properties import AU_TO_DEBYE
+
+    symbols, coords = parse_geometry(atom)
+    dmu = dipole_derivatives(atom, dipole_fn, step=step)     # (3, 3N)
+    masses = np.array([ISOTOPE_MASSES[s] for s in symbols]) * _AMU_TO_ME
+    m3 = np.repeat(masses, 3)
+    modes = np.asarray(freq_result["modes"]).reshape(-1, coords.size)
+    vib = np.asarray(freq_result.get(
+        "vib_mask", np.ones(modes.shape[0], dtype=bool)))
+    conv = (AU_TO_DEBYE / (1.0 / ANGSTROM_TO_BOHR)) * np.sqrt(_AMU_TO_ME)
+    out = np.zeros(modes.shape[0])
+    for k, v in enumerate(modes):
+        if not vib[k]:
+            continue
+        dmu_dq = dmu @ (v / np.sqrt(m3)) * conv   # (D/A) amu^-1/2
+        out[k] = _DA2_AMU_TO_KM_MOL * float(dmu_dq @ dmu_dq)
+    return out
+
+
+def casscf_dipole_fn(basis: str = "sto-3g",
+                     num_spin_orbitals: Optional[int] = None,
+                     charge: int = 0, spin: int = 0,
+                     n_frozen: Optional[int] = 0,
+                     custom_basis=None, **solver_kwargs):
+    """`atom_string -> (3,) dipole (a.u.)` from the exact-CASSCF 1-RDM
+    (the `casscf_energy_fn` analogue for dipole surfaces / IR
+    intensities)."""
+    from ..orbital_optimization import FusedOptOrbCASSCF
+    from .driver import MoleculeDriver
+    from .properties import dipole_moment
+
+    defaults = dict(maxiter=30, stopping_tolerance=1e-10,
+                    inner_stopping_tolerance=1e-10)
+    defaults.update(solver_kwargs)
+
+    def dipole(atom: str) -> np.ndarray:
+        problem = MoleculeDriver(atom, basis=basis, charge=charge,
+                                 spin=spin,
+                                 custom_basis=custom_basis).run()
+        target = problem
+        if n_frozen:
+            target = problem.active_space(n_frozen=n_frozen)
+        nso = (2 * target.num_spatial_orbitals
+               if num_spin_orbitals is None else num_spin_orbitals)
+        r = FusedOptOrbCASSCF(num_spin_orbitals=nso, problem=target,
+                              **defaults).compute_minimum_energy()
+        return dipole_moment(target, gamma_spatial=r.one_rdm_spatial,
+                             partial_unitary=r.optimal_partial_unitary)
+
+    return dipole
 
 
 def casscf_energy_fn(basis: str = "sto-3g",

@@ -79,6 +79,38 @@ class TestFrequencies:
         assert res["frequencies_cm1"][0] < -100.0
 
 
+class TestIRIntensities:
+    def test_h2_exactly_dark(self):
+        # homonuclear diatomic: no dipole anywhere on the surface ->
+        # every mode (incl. the real stretch) has EXACTLY zero intensity
+        from esoo_tpu.chem import (casscf_dipole_fn, harmonic_frequencies,
+                                   ir_intensities)
+
+        energy = casscf_energy_fn(basis="sto-3g")
+        dip = casscf_dipole_fn(basis="sto-3g")
+        atom = "H 0 0 0; H 0 0 0.735"
+        vib = harmonic_frequencies(atom, energy)
+        inten = ir_intensities(atom, dip, vib)
+        np.testing.assert_allclose(inten, 0.0, atol=1e-8)
+
+    @pytest.mark.slow
+    def test_h2o_bend_is_bright(self):
+        from esoo_tpu.chem import (casscf_dipole_fn, harmonic_frequencies,
+                                   ir_intensities, optimize_geometry)
+
+        energy = casscf_energy_fn(basis="sto-3g")
+        dip = casscf_dipole_fn(basis="sto-3g")
+        opt = optimize_geometry(
+            "O 0 0 0.12; H 0 0.76 -0.47; H 0 -0.76 -0.47", energy)
+        vib = harmonic_frequencies(opt["atom"], energy)
+        inten = ir_intensities(opt["atom"], dip, vib)
+        # trans/rot modes carry no intensity; all three vibrations of
+        # water are IR-active, the bend prominently so
+        assert inten[:-3].max() < 1e-4
+        assert (inten[-3:] > 0.1).all()
+        assert inten[-3] > 1.0          # bend (lowest real mode)
+
+
 class TestOptimize:
     def test_h2_fci_equilibrium(self):
         energy = casscf_energy_fn(basis="sto-3g")
