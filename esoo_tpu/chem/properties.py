@@ -215,12 +215,15 @@ def quadrupole_moment(problem,
 
 def density_ao(problem,
                gamma_spatial: Optional[np.ndarray] = None,
-               partial_unitary: Optional[np.ndarray] = None) -> np.ndarray:
+               partial_unitary: Optional[np.ndarray] = None,
+               include_core: bool = True) -> np.ndarray:
     """Total spin-summed AO-basis density matrix P of the state whose
     MO-basis 1-RDM is `gamma_spatial` (default: the mean-field
     reference): P = C γ Cᵀ + P_core, with C the AO coefficients of the
     problem's MO window and P_core the accumulated frozen-core density
-    of `active_space` reductions.  tr(PS) = total electron count."""
+    of `active_space` reductions.  tr(PS) = total electron count.
+    include_core=False skips P_core — required when γ is a SPIN density
+    (γ_αα − γ_ββ; the closed-shell core carries none)."""
     C = getattr(problem, "mo_coeff_ao", None)
     if C is None:
         raise ValueError(
@@ -243,7 +246,7 @@ def density_ao(problem,
             f"active-space RDMs")
     P = C @ gamma @ C.T
     core = getattr(problem, "density_core_ao", None)
-    if core is not None:
+    if include_core and core is not None:
         P = P + core
     return P
 
@@ -251,7 +254,8 @@ def density_ao(problem,
 def populations(problem,
                 gamma_spatial: Optional[np.ndarray] = None,
                 partial_unitary: Optional[np.ndarray] = None,
-                method: str = "mulliken"):
+                method: str = "mulliken",
+                include_core: bool = True):
     """Per-atom electron populations and partial charges.
 
     method='mulliken': pop_μ = (P S)_μμ summed over the AOs of each
@@ -261,6 +265,11 @@ def populations(problem,
     mean-field density; OptOrb results pass their active-space 1-RDM +
     optimal U).
 
+    With a SPIN density (γ_αα − γ_ββ, e.g. a result's
+    `spin_density_spatial`) pass include_core=False: 'populations' are
+    then atomic spin populations summing to 2·S_z, and the returned
+    'charges' Z − pop are not meaningful.
+
     Returns (populations (natom,), charges (natom,)).
     """
     ao = getattr(problem, "ao_basis", None)
@@ -268,7 +277,8 @@ def populations(problem,
         raise ValueError(
             "problem carries no AO basis metadata (ao_basis is None); "
             "build it with chem.MoleculeDriver")
-    P = density_ao(problem, gamma_spatial, partial_unitary)
+    P = density_ao(problem, gamma_spatial, partial_unitary,
+                   include_core=include_core)
     S = np.asarray(ao.overlap, dtype=np.float64)
     m = method.lower()
     if m == "mulliken":

@@ -224,9 +224,11 @@ def _states_diagnostics(sector: SectorCI, V: jnp.ndarray,
         gamma, Gamma = sector.rdms(v.reshape(sector.nB, sector.nA),
                                    tables=sector_tables)
         gamma_s, _ = spin_reduce_rdms(gamma, Gamma)
+        n = gamma.shape[0] // 2
+        spin_dens = gamma[:n, :n] - gamma[n:, n:]
         return (jnp.linalg.eigvalsh(gamma_s)[::-1],
                 spin_squared_from_rdms(gamma, Gamma),
-                gamma_s)
+                gamma_s, spin_dens)
 
     return jax.lax.map(one, V)
 
@@ -261,9 +263,10 @@ def _state_diagnostics(sector: SectorCI, v: jnp.ndarray,
     gamma, Gamma = sector.rdms(v.reshape(sector.nB, sector.nA),
                                tables=sector_tables)
     gamma_s, _ = spin_reduce_rdms(gamma, Gamma)
+    n = gamma.shape[0] // 2
     return (jnp.linalg.eigvalsh(gamma_s)[::-1],
             spin_squared_from_rdms(gamma, Gamma),
-            gamma_s)
+            gamma_s, gamma[:n, :n] - gamma[n:, n:])
 
 
 class FusedOptOrbCASSCF:
@@ -473,8 +476,9 @@ class FusedOptOrbCASSCF:
         if post_cb is not None:
             post_cb(it, E, v, U, trace)
         trace = np.asarray(trace)[:it]
-        occ, s2, g1 = _state_diagnostics(self._sector, jnp.asarray(v),
-                                         sector_tables=self._sector_tables)
+        occ, s2, g1, sd = _state_diagnostics(
+            self._sector, jnp.asarray(v),
+            sector_tables=self._sector_tables)
         return FusedOptOrbResult(
             eigenvalue=float(E),
             optimal_point=np.asarray(v),
@@ -485,6 +489,7 @@ class FusedOptOrbCASSCF:
             natural_occupations=np.asarray(occ),
             spin_squared=float(s2),
             one_rdm_spatial=np.asarray(g1),
+            spin_density_spatial=np.asarray(sd),
         )
 
     def _run_two_dispatch(self, dtype) -> FusedOptOrbResult:
@@ -556,8 +561,9 @@ class FusedOptOrbCASSCF:
                              inner_maxiter=self.inner_maxiter)
         # one-dispatch parity tail: re-solve at the final U
         v, E, _, _ = solve(v, U)
-        occ, s2, g1 = _state_diagnostics(self._sector, jnp.asarray(v),
-                                         sector_tables=self._sector_tables)
+        occ, s2, g1, sd = _state_diagnostics(
+            self._sector, jnp.asarray(v),
+            sector_tables=self._sector_tables)
         return FusedOptOrbResult(
             eigenvalue=float(E),
             optimal_point=np.asarray(v),
@@ -568,6 +574,7 @@ class FusedOptOrbCASSCF:
             natural_occupations=np.asarray(occ),
             spin_squared=float(s2),
             one_rdm_spatial=np.asarray(g1),
+            spin_density_spatial=np.asarray(sd),
         )
 
 
@@ -877,7 +884,7 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
             if post_cb is not None:
                 post_cb(it, es, V, U, trace)
             trace = np.asarray(trace)[:it]
-            occ, s2, g1 = _states_diagnostics(
+            occ, s2, g1, sd = _states_diagnostics(
                 self._sector, jnp.asarray(V),
                 sector_tables=self._sector_tables)
             t1 = _transition_rdm1s(self._sector, jnp.asarray(V),
@@ -891,6 +898,7 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
                 natural_occupations=np.asarray(occ),
                 spin_squared=np.asarray(s2),
                 one_rdm_spatial=np.asarray(g1),
+                spin_density_spatial=np.asarray(sd),
                 transition_rdm1_spatial=np.asarray(t1),
             )
 
@@ -960,7 +968,7 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
                              bb, inner_tol, decay,
                              inner_maxiter=self.inner_maxiter)
         V, es, _, _ = solve(V, U)
-        occ, s2, g1 = _states_diagnostics(
+        occ, s2, g1, sd = _states_diagnostics(
             self._sector, jnp.asarray(V),
             sector_tables=self._sector_tables)
         t1 = _transition_rdm1s(self._sector, jnp.asarray(V),
@@ -974,5 +982,6 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
             natural_occupations=np.asarray(occ),
             spin_squared=np.asarray(s2),
             one_rdm_spatial=np.asarray(g1),
+            spin_density_spatial=np.asarray(sd),
             transition_rdm1_spatial=np.asarray(t1),
         )

@@ -184,6 +184,10 @@ class FusedOptOrbResult:
     # evaluation (chem.properties.dipole_moment with
     # partial_unitary=optimal_partial_unitary); populated by casscf.py
     one_rdm_spatial: Optional[np.ndarray] = None
+    # spatial SPIN density gamma_aa - gamma_bb, (n, n) — zero for
+    # singlets; feed chem.properties.populations(include_core=False)
+    # for atomic spin populations; populated by casscf.py
+    spin_density_spatial: Optional[np.ndarray] = None
 
     @property
     def optimal_parameters(self):
@@ -532,6 +536,9 @@ class FusedOptOrbEigensolverResult:
     # transition dipoles / oscillator strengths
     # (chem.properties.transition_dipoles); populated by casscf.py
     transition_rdm1_spatial: Optional[np.ndarray] = None
+    # per-state spatial spin densities gamma_aa - gamma_bb, (k, n, n);
+    # populated by casscf.py
+    spin_density_spatial: Optional[np.ndarray] = None
 
     @property
     def optimal_parameters(self):

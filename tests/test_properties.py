@@ -301,6 +301,46 @@ class TestPopulations:
             populations(problem)
 
 
+class TestSpinDensity:
+    def test_h2_singlet_zero(self, h2_631g):
+        from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+        res = FusedOptOrbCASSCF(num_spin_orbitals=4, problem=h2_631g,
+                                maxiter=15).compute_minimum_energy()
+        np.testing.assert_allclose(res.spin_density_spatial, 0.0,
+                                   atol=1e-8)
+
+    def test_h3_doublet_spin_populations(self):
+        from esoo_tpu.chem import populations
+        from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+        problem = MoleculeDriver("H 0 0 0; H 0 0 0.95; H 0 0 1.90",
+                                 basis="sto-3g", spin=1).run()
+        res = FusedOptOrbCASSCF(num_spin_orbitals=6, problem=problem,
+                                maxiter=20).compute_minimum_energy()
+        sd = res.spin_density_spatial
+        assert np.trace(sd) == pytest.approx(1.0, abs=1e-8)  # 2 S_z
+        spin_pop, _ = populations(problem, gamma_spatial=sd,
+                                  partial_unitary=res.optimal_partial_unitary,
+                                  include_core=False)
+        assert spin_pop.sum() == pytest.approx(1.0, abs=1e-8)
+        # symmetric linear H3 doublet: classic spin polarization —
+        # positive on the ends, NEGATIVE on the central atom
+        np.testing.assert_allclose(spin_pop[0], spin_pop[2], atol=1e-6)
+        assert spin_pop[0] > 0.3
+        assert spin_pop[1] < -0.01
+
+    def test_sa_sz0_states_sum_zero(self, h2_631g):
+        from esoo_tpu.orbital_optimization import FusedOptOrbSACASSCF
+
+        res = FusedOptOrbSACASSCF(4, k=3, problem=h2_631g,
+                                  maxiter=10).compute_energies()
+        assert res.spin_density_spatial.shape == (3, 2, 2)
+        # every state in the (1,1) sector has S_z = 0
+        traces = np.trace(res.spin_density_spatial, axis1=1, axis2=2)
+        np.testing.assert_allclose(traces, 0.0, atol=1e-8)
+
+
 def _trdm1_oracle(dets, N, u, v):
     """Brute-force <u|a+_p a_s|v> over sorted determinant bitmasks with
     JW phases — independent of every string/sector kernel."""
