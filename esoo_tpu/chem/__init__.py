@@ -10,6 +10,7 @@ from .properties import (AU_TO_BUCKINGHAM, AU_TO_DEBYE, apply_field,
                          oscillator_strengths, polarizability, populations,
                          quadrupole_moment, transition_dipoles)
 from .scf import rhf
+from .thermo import thermochemistry
 
 __all__ = [
     "BASIS_SETS",
@@ -39,4 +40,5 @@ __all__ = [
     "nuclear_gradient",
     "optimize_geometry",
     "rhf",
+    "thermochemistry",
 ]
