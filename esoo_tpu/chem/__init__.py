@@ -1,6 +1,7 @@
 from .basis import BASIS_SETS, Shell, build_shells
 from .driver import ElectronicStructureProblem, MoleculeDriver
 from .geometry import (casscf_dipole_fn, casscf_energy_fn,
+                       casscf_state_energy_fn,
                        dipole_derivatives, geometry_string,
                        harmonic_frequencies, hessian, ir_intensities,
                        nuclear_gradient, optimize_geometry)
@@ -32,6 +33,7 @@ __all__ = [
     "transition_dipoles",
     "casscf_dipole_fn",
     "casscf_energy_fn",
+    "casscf_state_energy_fn",
     "dipole_derivatives",
     "ir_intensities",
     "geometry_string",

@@ -300,6 +300,50 @@ def casscf_dipole_fn(basis: str = "sto-3g",
     return dipole
 
 
+def casscf_state_energy_fn(basis: str = "sto-3g", state: int = 1,
+                           k: Optional[int] = None, weight_vector=None,
+                           num_spin_orbitals: Optional[int] = None,
+                           charge: int = 0, spin: int = 0,
+                           n_frozen: Optional[int] = 0,
+                           custom_basis=None, **solver_kwargs):
+    """`atom_string -> total energy of excited state `state`` from an
+    SA-CASSCF solve (FusedOptOrbSACASSCF over k states, orbitals
+    optimized for the weighted average) — the excited-state potential
+    energy surface.  Feeding it to `nuclear_gradient` /
+    `optimize_geometry` / `harmonic_frequencies` gives excited-state
+    gradients, relaxed excited-state geometries (hence ADIABATIC vs
+    vertical excitation energies), and excited-state frequencies; every
+    FD point is an independent fully re-converged solve, so no response
+    terms are needed.  k defaults to state+1; state=0, k=1 reduces
+    exactly to `casscf_energy_fn`."""
+    from ..orbital_optimization import FusedOptOrbSACASSCF
+    from .driver import MoleculeDriver
+
+    kk = (state + 1) if k is None else int(k)
+    if not 0 <= state < kk:
+        raise ValueError(f"state={state} out of range for k={kk}")
+    defaults = dict(maxiter=30, stopping_tolerance=1e-10,
+                    inner_stopping_tolerance=1e-10)
+    defaults.update(solver_kwargs)
+
+    def energy(atom: str) -> float:
+        problem = MoleculeDriver(atom, basis=basis, charge=charge,
+                                 spin=spin,
+                                 custom_basis=custom_basis).run()
+        if n_frozen:
+            problem = problem.active_space(n_frozen=n_frozen)
+        nso = (2 * problem.num_spatial_orbitals
+               if num_spin_orbitals is None else num_spin_orbitals)
+        r = FusedOptOrbSACASSCF(num_spin_orbitals=nso, k=kk,
+                                weight_vector=weight_vector,
+                                problem=problem,
+                                **defaults).compute_energies()
+        return (float(r.eigenvalues[state]) + problem.core_energy
+                + problem.nuclear_repulsion_energy)
+
+    return energy
+
+
 def casscf_energy_fn(basis: str = "sto-3g",
                      num_spin_orbitals: Optional[int] = None,
                      charge: int = 0, spin: int = 0,

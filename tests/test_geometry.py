@@ -140,3 +140,54 @@ class TestOptimize:
         assert 2.6 < r < 3.3
         assert len(seen) == res["n_iterations"]
         assert seen[-1][1] == pytest.approx(res["energy"], abs=1e-8)
+
+
+class TestExcitedStateSurfaces:
+    """casscf_state_energy_fn: SA-CASSCF excited-state potential energy
+    surfaces driving the same FD gradient / optimizer machinery."""
+
+    def test_state0_k1_reduces_to_ground_fn(self):
+        from esoo_tpu.chem import casscf_state_energy_fn
+
+        atom = "Li 0 0 0; H 0 0 1.60"
+        e_ground = casscf_energy_fn("sto-3g")(atom)
+        e_sa = casscf_state_energy_fn("sto-3g", state=0, k=1)(atom)
+        assert e_sa == pytest.approx(e_ground, abs=1e-10)
+
+    def test_s1_force_points_outward_at_s0_geometry(self):
+        from esoo_tpu.chem import casscf_state_energy_fn
+
+        # LiH near the S0 equilibrium: the A-state surface still slopes
+        # DOWN with increasing bond length (its minimum is much longer),
+        # so dE1/dz on the outer H is negative — and two direct solves
+        # confirm the excursion
+        e1 = casscf_state_energy_fn("sto-3g", state=1, k=2)
+        atom = "Li 0 0 0; H 0 0 1.55"
+        g = nuclear_gradient(atom, e1)
+        assert g[1, 2] < -1e-3
+        assert g[0, 2] > 1e-3          # equal and opposite on Li
+        assert e1("Li 0 0 0; H 0 0 2.5") < e1(atom)
+
+    def test_state_out_of_range(self):
+        from esoo_tpu.chem import casscf_state_energy_fn
+
+        with pytest.raises(ValueError, match="state"):
+            casscf_state_energy_fn("sto-3g", state=2, k=2)
+
+    @pytest.mark.slow
+    def test_lih_adiabatic_below_vertical(self):
+        from esoo_tpu.chem import casscf_state_energy_fn
+
+        e0 = casscf_energy_fn("sto-3g")
+        e1 = casscf_state_energy_fn("sto-3g", state=1, k=2)
+        r0 = optimize_geometry("Li 0 0 0; H 0 0 1.60", e0, maxiter=20)
+        assert r0["converged"]
+        vertical = e1(r0["atom"]) - r0["energy"]
+        r1 = optimize_geometry(r0["atom"], e1, maxiter=25)
+        adiabatic = r1["energy"] - r0["energy"]
+        assert 0.0 < adiabatic < vertical
+        # the relaxed A-state bond is much longer than X-state's
+        _, c0 = parse_geometry(r0["atom"])
+        _, c1 = parse_geometry(r1["atom"])
+        assert (np.linalg.norm(c1[1] - c1[0])
+                > 1.3 * np.linalg.norm(c0[1] - c0[0]))
