@@ -1,10 +1,11 @@
 from .basis import BASIS_SETS, Shell, build_shells
 from .driver import ElectronicStructureProblem, MoleculeDriver
 from .geometry import (casscf_dipole_fn, casscf_energy_fn,
-                       casscf_state_energy_fn,
+                       casscf_polarizability_fn, casscf_state_energy_fn,
                        dipole_derivatives, geometry_string,
                        harmonic_frequencies, hessian, ir_intensities,
-                       nuclear_gradient, optimize_geometry)
+                       nuclear_gradient, optimize_geometry,
+                       raman_activities)
 from .integrals import IntegralEngine
 from .properties import (AU_TO_BUCKINGHAM, AU_TO_DEBYE, apply_field,
                          density_ao, dipole_moment, hf_density_spatial,
@@ -33,6 +34,7 @@ __all__ = [
     "transition_dipoles",
     "casscf_dipole_fn",
     "casscf_energy_fn",
+    "casscf_polarizability_fn",
     "casscf_state_energy_fn",
     "dipole_derivatives",
     "ir_intensities",
@@ -41,6 +43,7 @@ __all__ = [
     "hessian",
     "nuclear_gradient",
     "optimize_geometry",
+    "raman_activities",
     "rhf",
     "thermochemistry",
 ]

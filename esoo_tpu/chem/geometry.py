@@ -267,6 +267,103 @@ def ir_intensities(atom: str, dipole_fn, freq_result,
     return out
 
 
+# a.u. polarizability volume -> Angstrom^3, per (bohr -> Angstrom) of
+# displacement: (a0[A])^3 * (1/a0[A]) combined below as a0^2
+_BOHR_ANG = 1.0 / ANGSTROM_TO_BOHR
+
+
+def raman_activities(atom: str, alpha_fn, freq_result,
+                     step: float = 0.01):
+    """Raman scattering activities (Å⁴/amu) per mode of a
+    `harmonic_frequencies` result, by finite differences of the
+    polarizability tensor ALONG each mass-weighted normal mode (2 α
+    evaluations per vibration — far cheaper than a full 3×3×3N Cartesian
+    derivative when every α is itself a finite-field calculation).
+
+    `alpha_fn(atom_string) -> (3, 3)` returns the static polarizability
+    in a.u. (e.g. `casscf_polarizability_fn`).  `step` is the
+    normal-coordinate displacement in bohr·√amu.
+
+    Activity per mode: S_k = 45·ā′² + 7·γ′² with ā′ = tr(α′)/3 and
+    γ′² = ½Σ(α′_aa−α′_bb)² + 3Σ_{a<b}α′_ab², α′ = ∂α/∂Q_k in
+    Å²·amu^(−1/2) — the standard Gaussian-style double-harmonic
+    convention.  Returns (activities (3N,), depolarization ratios (3N,)
+    — ρ_k = 3γ′²/(45ā′²+4γ′²), NaN where the activity vanishes);
+    trans/rot rows (vib_mask False) are exact zeros.
+
+    The centrosymmetric mutual-exclusion rule (H2: IR-dark but
+    Raman-ACTIVE) is enforced by tests/test_geometry.py."""
+    symbols, coords = parse_geometry(atom)
+    masses_amu = np.array([ISOTOPE_MASSES[s] for s in symbols])
+    m3 = np.repeat(masses_amu, 3)
+    modes = np.asarray(freq_result["modes"]).reshape(-1, coords.size)
+    vib = np.asarray(freq_result.get(
+        "vib_mask", np.ones(modes.shape[0], dtype=bool)))
+    conv = _BOHR_ANG ** 2                 # a.u./(bohr √amu) -> Å²/√amu
+    acts = np.zeros(modes.shape[0])
+    depol = np.full(modes.shape[0], np.nan)
+    for k, v in enumerate(modes):
+        if not vib[k]:
+            continue
+        u = (v / np.sqrt(m3)).reshape(coords.shape)   # bohr per √amu·Q
+        alphas = []
+        for sgn in (+1.0, -1.0):
+            c = coords + sgn * step * u
+            alphas.append(np.asarray(
+                alpha_fn(geometry_string(symbols, c)), dtype=np.float64))
+        ap = (alphas[0] - alphas[1]) / (2.0 * step) * conv
+        ap = 0.5 * (ap + ap.T)
+        abar = np.trace(ap) / 3.0
+        d = np.diag(ap)
+        gamma2 = (0.5 * ((d[0] - d[1]) ** 2 + (d[1] - d[2]) ** 2
+                         + (d[2] - d[0]) ** 2)
+                  + 3.0 * (ap[0, 1] ** 2 + ap[1, 2] ** 2
+                           + ap[0, 2] ** 2))
+        acts[k] = 45.0 * abar ** 2 + 7.0 * gamma2
+        if acts[k] > 1e-14:
+            depol[k] = 3.0 * gamma2 / (45.0 * abar ** 2 + 4.0 * gamma2)
+    return acts, depol
+
+
+def casscf_polarizability_fn(basis: str = "sto-3g",
+                             num_spin_orbitals: Optional[int] = None,
+                             charge: int = 0, spin: int = 0,
+                             n_frozen: Optional[int] = 0,
+                             custom_basis=None, field: float = 2e-3,
+                             components=None, **solver_kwargs):
+    """`atom_string -> (3,3) static polarizability (a.u.)` by finite
+    fields over exact-CASSCF solves (the `casscf_dipole_fn` analogue for
+    Raman activities / polarizability surfaces).  The field is applied
+    to the FULL-space problem before any frozen-core reduction so the
+    core sees it too."""
+    from ..orbital_optimization import FusedOptOrbCASSCF
+    from .driver import MoleculeDriver
+    from .properties import polarizability
+
+    defaults = dict(maxiter=30, stopping_tolerance=1e-10,
+                    inner_stopping_tolerance=1e-10)
+    defaults.update(solver_kwargs)
+
+    def solve_energy(p) -> float:
+        target = p.active_space(n_frozen=n_frozen) if n_frozen else p
+        nso = (2 * target.num_spatial_orbitals
+               if num_spin_orbitals is None else num_spin_orbitals)
+        r = FusedOptOrbCASSCF(num_spin_orbitals=nso, problem=target,
+                              **defaults).compute_minimum_energy()
+        # core_energy varies with the field when cores are frozen — it
+        # carries the frozen-core contribution to the response
+        return r.eigenvalue + target.core_energy
+
+    def alpha(atom: str) -> np.ndarray:
+        problem = MoleculeDriver(atom, basis=basis, charge=charge,
+                                 spin=spin,
+                                 custom_basis=custom_basis).run()
+        return polarizability(problem, solve_energy, field=field,
+                              components=components)
+
+    return alpha
+
+
 def casscf_dipole_fn(basis: str = "sto-3g",
                      num_spin_orbitals: Optional[int] = None,
                      charge: int = 0, spin: int = 0,

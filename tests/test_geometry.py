@@ -191,3 +191,71 @@ class TestExcitedStateSurfaces:
         _, c1 = parse_geometry(r1["atom"])
         assert (np.linalg.norm(c1[1] - c1[0])
                 > 1.3 * np.linalg.norm(c0[1] - c0[0]))
+
+
+class TestRamanActivities:
+    def test_h2_raman_active_depol_third(self):
+        # mutual exclusion in a centrosymmetric molecule: the H2 stretch
+        # is IR-dark (TestIRIntensities) but Raman-ACTIVE.  STO-3G is
+        # s-only, so the derivative tensor is pure alpha'_zz, for which
+        # rho = 3*g2/(45*a2+4*g2) = 3/(5+4) = 1/3 EXACTLY
+        from esoo_tpu.chem import (casscf_polarizability_fn,
+                                   harmonic_frequencies,
+                                   raman_activities)
+
+        atom = "H 0 0 0; H 0 0 0.735"
+        fr = harmonic_frequencies(atom, casscf_energy_fn("sto-3g"))
+        acts, depol = raman_activities(
+            atom, casscf_polarizability_fn("sto-3g"), fr)
+        vib = fr["vib_mask"]
+        assert acts[vib][-1] > 1.0
+        assert depol[vib][-1] == pytest.approx(1.0 / 3.0, abs=1e-6)
+        # trans/rot rows are exact zeros with NaN depolarization
+        np.testing.assert_array_equal(acts[~vib], 0.0)
+        assert np.all(np.isnan(depol[~vib]))
+
+    def test_invariants_against_analytic_linear_alpha(self):
+        # fake alpha(R) = diag(b*r, 0, 0) with r the H-H distance: the
+        # activity/units chain is then fully analytic
+        from esoo_tpu.chem import raman_activities
+        from esoo_tpu.chem.basis import ANGSTROM_TO_BOHR
+        from esoo_tpu.chem.geometry import ISOTOPE_MASSES
+
+        b = 0.7
+
+        def alpha_fn(atom):
+            _, c = parse_geometry(atom)
+            r = np.linalg.norm(c[1] - c[0])
+            return np.diag([b * r, 0.0, 0.0])
+
+        m = ISOTOPE_MASSES["H"]
+        v = np.array([0, 0, -1, 0, 0, 1]) / np.sqrt(2.0)
+        fr = {"modes": v.reshape(1, 2, 3),
+              "vib_mask": np.array([True]),
+              "frequencies_cm1": np.array([4000.0])}
+        acts, depol = raman_activities("H 0 0 0; H 0 0 0.75",
+                                       alpha_fn, fr)
+        # dr/dQ = sqrt(2/m); alpha'_xx in A^2/amu^(1/2) adds the
+        # bohr->Angstrom^2 volume-per-displacement factor
+        apx = b * np.sqrt(2.0 / m) * (1.0 / ANGSTROM_TO_BOHR) ** 2
+        expected = 45.0 * (apx / 3.0) ** 2 + 7.0 * apx ** 2
+        assert acts[0] == pytest.approx(expected, rel=1e-7)
+        # single-diagonal-component derivative: rho = 1/3 again
+        assert depol[0] == pytest.approx(1.0 / 3.0, abs=1e-9)
+
+    def test_isotropic_derivative_fully_polarized(self):
+        # alpha' proportional to the identity => gamma'^2 = 0 => rho = 0
+        from esoo_tpu.chem import raman_activities
+
+        def alpha_fn(atom):
+            _, c = parse_geometry(atom)
+            r = np.linalg.norm(c[1] - c[0])
+            return np.eye(3) * r
+
+        v = np.array([0, 0, -1, 0, 0, 1]) / np.sqrt(2.0)
+        fr = {"modes": v.reshape(1, 2, 3), "vib_mask": np.array([True]),
+              "frequencies_cm1": np.array([4000.0])}
+        acts, depol = raman_activities("H 0 0 0; H 0 0 0.75",
+                                       alpha_fn, fr)
+        assert acts[0] > 0.0
+        assert depol[0] == pytest.approx(0.0, abs=1e-12)
