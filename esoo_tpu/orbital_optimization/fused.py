@@ -45,7 +45,8 @@ from ..sim.circuit import QuantumCircuit
 from ..sim.rdm import one_rdm, rdm_energy, two_rdm
 from ..sim.statevector import compile_circuit
 from .kernels import (expand_spin_tensors, rotate_one_body, rotate_two_body,
-                      rotated_energy_spatial, spin_reduce_rdms)
+                      rotated_energy_spatial, spin_reduce_rdms,
+                      spin_squared_from_rdms)
 from .stiefel import orth
 
 # single source of truth for the orbital objective across all fused loops
@@ -420,6 +421,56 @@ def _rdm_only_program(state_fn: Callable, n_active: int,
     return spin_reduce_rdms(gamma, Gamma)
 
 
+def _rdm_diagnostics(gamma, Gamma):
+    """(natural occupations desc, <S^2>, spatial 1-RDM, spin density)
+    from spin-orbital RDMs — the wavefunction diagnostics every fused
+    result carries (casscf.py computes the same four for the exact
+    family)."""
+    gamma_s, _ = spin_reduce_rdms(gamma, Gamma)
+    n = gamma.shape[0] // 2
+    return (jnp.linalg.eigvalsh(gamma_s)[::-1],
+            spin_squared_from_rdms(gamma, Gamma),
+            gamma_s,
+            gamma[:n, :n] - gamma[n:, n:])
+
+
+@partial(jax.jit, static_argnames=("state_fn", "n_active", "sector"))
+def _vqe_diagnostics_program(state_fn: Callable, n_active: int,
+                             theta: jnp.ndarray, sector=None,
+                             sector_tables=None):
+    """One post-run dispatch: spin-orbital RDMs at the optimal theta →
+    wavefunction diagnostics (same content as casscf._state_diagnostics
+    for the exact family)."""
+    N = 2 * n_active
+    if sector is None:
+        state = state_fn(theta)
+        gamma, Gamma = one_rdm(state, N), two_rdm(state, N)
+    else:
+        gamma, Gamma = sector.rdms(
+            sector.state(theta, tables=sector_tables),
+            tables=sector_tables)
+    return _rdm_diagnostics(gamma, Gamma)
+
+
+def _attach_vqe_diagnostics(result, solver, theta):
+    """Populate the ground-state diagnostics fields (natural
+    occupations, <S^2>, spatial 1-RDM for chem.properties, spin
+    density) on a FusedOptOrbResult — works on both the full 2^N and
+    sector simulations."""
+    if not getattr(solver, "diagnostics", True):
+        return result
+    occ, s2, g1, sd = _vqe_diagnostics_program(
+        solver._compiled.state_fn, solver.num_spin_orbitals // 2,
+        jnp.asarray(theta),
+        sector=solver._sector,
+        sector_tables=getattr(solver, "_sector_tables", None))
+    result.natural_occupations = np.asarray(occ)
+    result.spin_squared = float(s2)
+    result.one_rdm_spatial = np.asarray(g1)
+    result.spin_density_spatial = np.asarray(sd)
+    return result
+
+
 @partial(jax.jit, static_argnames=("inner_maxiter",))
 def _orb_program(U: jnp.ndarray,
                  gamma_s: jnp.ndarray,
@@ -769,7 +820,9 @@ class FusedOptOrbSSVQE:
                  outer_loop_callback=None,
                  checkpoint_dir=None,
                  resume_from=None,
+                 diagnostics: bool = True,
                  _spatial_tensors=None):
+        self.diagnostics = bool(diagnostics)
         from .kernels import spatial_blocks, spin_blocks_consistent
         from ..interop import adapt as _interop_adapt
         problem, _ = _interop_adapt(problem, None)
@@ -985,14 +1038,14 @@ class FusedOptOrbSSVQE:
                 self._apply_raw, n_active, self._init_mat, self._weights,
                 theta, U, h_sp, g_sp, **common)
         t1 = _eigensolver_transition_rdm1s(self, theta, shared_theta=True)
-        return FusedOptOrbEigensolverResult(
+        return _attach_eigensolver_diagnostics(FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(energies),
             optimal_point=np.asarray(theta),
             optimal_partial_unitary=np.asarray(U),
             energy_convergence_list=[float(e) for e in trace[:it]],
             outer_iterations=it,
             transition_rdm1_spatial=t1,
-        )
+        ), self, theta, shared_theta=True)
 
     def compute_energies(self) -> FusedOptOrbEigensolverResult:
         from ..utils.config import precision_mode
@@ -1024,7 +1077,7 @@ class FusedOptOrbSSVQE:
         if post_cb is not None:
             post_cb(it, energies, theta, U, trace)
         t1 = _eigensolver_transition_rdm1s(self, theta, shared_theta=True)
-        return FusedOptOrbEigensolverResult(
+        return _attach_eigensolver_diagnostics(FusedOptOrbEigensolverResult(
             eigenvalues=np.asarray(energies),
             optimal_point=np.asarray(theta),
             optimal_partial_unitary=np.asarray(U),
@@ -1032,7 +1085,7 @@ class FusedOptOrbSSVQE:
                                      for e in np.asarray(trace)[:it]],
             outer_iterations=it,
             transition_rdm1_spatial=t1,
-        )
+        ), self, theta, shared_theta=True)
 
 
 class FusedOptOrbMCVQE(FusedOptOrbSSVQE):
@@ -1139,6 +1192,11 @@ class FusedOptOrbMCVQE(FusedOptOrbSSVQE):
             base.transition_rdm1_spatial = np.einsum(
                 "ai,bj,abps->ijps", Cc, Cc,
                 base.transition_rdm1_spatial, optimize=True)
+        # per-state diagnostics likewise belong to the CONTRACTED
+        # eigenstates |I> = sum_a Cc[a, I]|raw_a>, not the raw states
+        # the SSVQE core reported — recompute with the mix
+        _attach_eigensolver_diagnostics(base, self, theta,
+                                        shared_theta=True, mix=Cc)
         return base
 
 
@@ -1174,6 +1232,57 @@ def _sector_transition_rdm1s(sector, states, mix=None, tables=None):
 
     t = jax.lax.map(one, Vg)          # t[j, i] = <i|E|j>
     return jnp.swapaxes(t, 0, 1)
+
+
+@partial(jax.jit, static_argnames=("sector",))
+def _sector_states_diagnostics(sector, states, mix=None, tables=None):
+    """Per-state wavefunction diagnostics of (k, nd[+1]) sector states:
+    (natural occupations (k, n), <S^2> (k,), spatial 1-RDMs (k, n, n),
+    spin densities (k, n, n)).  `mix` (k, k) optionally re-expresses the
+    states as mix[:, I]-weighted combinations first (the MCVQE
+    contracted eigenbasis) — the pad slot is rebuilt as zero, which is
+    exact (rdms never reads it)."""
+    V = jnp.asarray(states)
+    if mix is not None:
+        Vg = jnp.asarray(mix, dtype=V.dtype).T @ V[:, : sector.dim]
+        V = jnp.pad(Vg, ((0, 0), (0, V.shape[1] - sector.dim)))
+
+    def one(v):
+        gamma, Gamma = sector.rdms(v, tables=tables)
+        return _rdm_diagnostics(gamma, Gamma)
+
+    return jax.lax.map(one, V)
+
+
+def _eigensolver_diagnostics(solver, thetas, shared_theta, mix=None):
+    """Post-run per-state diagnostics for the fused eigensolver family —
+    like _eigensolver_transition_rdm1s, only available when the run
+    simulated in the determinant sector (full-space 2^N runs return
+    None; rerun with simulation='sector' for per-state RDM
+    diagnostics)."""
+    sector = getattr(solver, "_sector", None)
+    if sector is None or getattr(sector, "kernel", None) != "strings":
+        return None
+    tables = getattr(solver, "_sector_tables", None)
+    states = _sector_eigenstates_program(
+        sector, solver._sector_init, jnp.asarray(thetas),
+        shared_theta=shared_theta, tables=tables)
+    occ, s2, g1, sd = _sector_states_diagnostics(
+        sector, states,
+        mix=None if mix is None else jnp.asarray(mix), tables=tables)
+    return (np.asarray(occ), np.asarray(s2), np.asarray(g1),
+            np.asarray(sd))
+
+
+def _attach_eigensolver_diagnostics(result, solver, thetas, shared_theta,
+                                    mix=None):
+    if not getattr(solver, "diagnostics", True):
+        return result
+    d = _eigensolver_diagnostics(solver, thetas, shared_theta, mix=mix)
+    if d is not None:
+        (result.natural_occupations, result.spin_squared,
+         result.one_rdm_spatial, result.spin_density_spatial) = d
+    return result
 
 
 def _eigensolver_transition_rdm1s(solver, thetas, shared_theta):
@@ -1570,7 +1679,8 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
             outer_iterations=it,
             transition_rdm1_spatial=t1,
         )
-        return result
+        return _attach_eigensolver_diagnostics(result, self, thetas,
+                                               shared_theta=False)
 
     def compute_energies(self) -> FusedOptOrbEigensolverResult:
         from ..utils.config import precision_mode
@@ -1616,7 +1726,8 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
             outer_iterations=it,
             transition_rdm1_spatial=t1,
         )
-        return result
+        return _attach_eigensolver_diagnostics(result, self, thetas,
+                                               shared_theta=False)
 
 
 def _adapt_stage_fns(state_fn, n_active, R, P, sector, vqe_maxiter, dtype,
@@ -1840,7 +1951,9 @@ class FusedOptOrbVQE:
                  vqe_chunk: Optional[int] = None,
                  outer_loop_callback=None,
                  checkpoint_dir=None,
-                 resume_from=None):
+                 resume_from=None,
+                 diagnostics: bool = True):
+        self.diagnostics = bool(diagnostics)
         from .kernels import spatial_blocks, spin_blocks_consistent
         from ..interop import adapt as _interop_adapt
         problem, _ = _interop_adapt(problem, None)
@@ -2076,14 +2189,14 @@ class FusedOptOrbVQE:
         # the tail's RDMs are never consumed
         theta, E = solve_energy(theta, U)
         E_f = float(E)
-        return FusedOptOrbResult(
+        return _attach_vqe_diagnostics(FusedOptOrbResult(
             eigenvalue=E_f,
             optimal_point=np.asarray(theta),
             optimal_partial_unitary=np.asarray(U),
             energy_convergence_list=[float(e) for e in trace[:it]],
             outer_iterations=it,
             optimal_circuit=self.ansatz,
-        )
+        ), self, theta)
 
     def _run(self, dtype) -> FusedOptOrbResult:
         live_cb, post_cb = _cached_callbacks(self)
@@ -2106,14 +2219,14 @@ class FusedOptOrbVQE:
         if post_cb is not None:
             post_cb(it, E, theta, U, trace)
         trace = np.asarray(trace)[:it]
-        return FusedOptOrbResult(
+        return _attach_vqe_diagnostics(FusedOptOrbResult(
             eigenvalue=float(E),
             optimal_point=np.asarray(theta),
             optimal_partial_unitary=np.asarray(U),
             energy_convergence_list=[float(e) for e in trace],
             outer_iterations=it,
             optimal_circuit=self.ansatz,
-        )
+        ), self, theta)
 
 
 class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
@@ -2224,7 +2337,7 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
             optimal_circuit=self.ansatz,
         )
         result.selection_mask = np.asarray(mask)
-        return result
+        return _attach_vqe_diagnostics(result, self, theta * mask)
 
     def _run(self, dtype) -> FusedOptOrbResult:
         live_cb, post_cb = _cached_callbacks(self)
@@ -2259,4 +2372,4 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
             optimal_circuit=self.ansatz,
         )
         result.selection_mask = np.asarray(mask)
-        return result
+        return _attach_vqe_diagnostics(result, self, theta * mask)

@@ -305,3 +305,23 @@ def expand_spin_tensors(h_sp: jnp.ndarray, g_sp: jnp.ndarray
             sq = slice(tau * n, tau * n + n)
             g = g.at[sp, sq, sp, sq].add(g_sp)
     return h, g
+
+
+def spin_squared_from_rdms(gamma: jnp.ndarray,
+                           Gamma: jnp.ndarray) -> jnp.ndarray:
+    """<S^2> from spin-orbital RDMs in the package convention
+    (gamma_pq = <a+_p a_q>, Gamma_pqrs = <a+_p a+_q a_s a_r>, alpha
+    block first): S^2 = S_- S_+ + S_z (S_z + 1), and with
+    S_+ = sum_i a+_{i alpha} a_{i beta},
+
+        <S_- S_+> = N_beta - sum_ij Gamma[i_b, j_a, j_b, i_a].
+
+    Exact for fixed-(n_alpha, n_beta) states (S_z eigenstates — every
+    sector/UCC state here), where <S_z^2> = S_z^2.  Standard spin
+    diagnostic (0 singlet, 0.75 doublet, 2 triplet, ...)."""
+    n = gamma.shape[0] // 2
+    n_a = jnp.trace(gamma[:n, :n])
+    n_b = jnp.trace(gamma[n:, n:])
+    sz = 0.5 * (n_a - n_b)
+    cross = jnp.einsum("ijji->", Gamma[n:, :n, n:, :n])
+    return n_b - cross + sz * (sz + 1.0)

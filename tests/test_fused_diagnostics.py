@@ -1,0 +1,196 @@
+"""Wavefunction diagnostics on the fused UCC solver family results
+(natural occupations, <S^2>, spatial 1-RDM, spin density) — the same
+result surface the exact-CASSCF family carries, now populated by
+FusedOptOrbVQE/AdaptVQE (both simulations) and the sector-run
+SSVQE/MCVQE/VQD eigensolvers.  Reference: the reference's results carry
+no RDM diagnostics at all (opt_orb_minimum_eigensolver.py:248-252)."""
+
+import numpy as np
+import pytest
+
+from esoo_tpu.chem import MoleculeDriver
+from esoo_tpu.orbital_optimization import (FusedOptOrbAdaptVQE,
+                                           FusedOptOrbCASSCF,
+                                           FusedOptOrbMCVQE,
+                                           FusedOptOrbSACASSCF,
+                                           FusedOptOrbSSVQE,
+                                           FusedOptOrbVQD,
+                                           FusedOptOrbVQE)
+from esoo_tpu.sim import UCCSD, HartreeFock, QuantumCircuit
+
+
+@pytest.fixture(scope="module")
+def h2_631g():
+    return MoleculeDriver("H 0 0 0; H 0 0 0.735", basis="6-31g").run()
+
+
+@pytest.fixture(scope="module")
+def casscf_result(h2_631g):
+    return FusedOptOrbCASSCF(num_spin_orbitals=4, problem=h2_631g,
+                             maxiter=20).compute_minimum_energy()
+
+
+class TestGroundStateFamily:
+    @pytest.mark.parametrize("simulation", ["sector", "full"])
+    def test_vqe_diagnostics_match_exact_casscf(self, h2_631g,
+                                                casscf_result, simulation):
+        ans = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+        r = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ans,
+                           problem=h2_631g, maxiter=20,
+                           simulation=simulation).compute_minimum_energy()
+        assert np.trace(r.one_rdm_spatial) == pytest.approx(2.0, abs=1e-6)
+        assert r.spin_squared == pytest.approx(0.0, abs=1e-6)
+        np.testing.assert_allclose(r.spin_density_spatial, 0.0, atol=1e-8)
+        # UCCSD is exact for 2 electrons: natural occupations agree with
+        # the exact-CASSCF solve through a disjoint pipeline
+        np.testing.assert_allclose(r.natural_occupations,
+                                   casscf_result.natural_occupations,
+                                   atol=2e-4)
+        # occupations are a descending probability-like spectrum
+        assert np.all(np.diff(r.natural_occupations) <= 1e-12)
+        assert np.all(r.natural_occupations > -1e-8)
+
+    def test_adapt_diagnostics(self, h2_631g, casscf_result):
+        ans = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+        r = FusedOptOrbAdaptVQE(num_spin_orbitals=4, ansatz=ans,
+                                problem=h2_631g,
+                                maxiter=15).compute_minimum_energy()
+        assert np.trace(r.one_rdm_spatial) == pytest.approx(2.0, abs=1e-6)
+        assert r.spin_squared == pytest.approx(0.0, abs=1e-6)
+        np.testing.assert_allclose(r.natural_occupations,
+                                   casscf_result.natural_occupations,
+                                   atol=2e-4)
+
+
+class TestEigensolverFamily:
+    def test_ssvqe_per_state(self, h2_631g):
+        ans = UCCSD(2, (1, 1), reps=2)
+        init1 = QuantumCircuit(4)
+        init1.x(1)
+        init1.x(2)
+        r = FusedOptOrbSSVQE(num_spin_orbitals=4, ansatz=ans,
+                             initial_states=[HartreeFock(2, (1, 1)),
+                                             init1],
+                             weight_vector=[2, 1], problem=h2_631g,
+                             maxiter=10).compute_energies()
+        assert r.one_rdm_spatial.shape == (2, 2, 2)
+        np.testing.assert_allclose(
+            np.trace(r.one_rdm_spatial, axis1=1, axis2=2), 2.0,
+            atol=1e-6)
+        # per-state 1-RDMs are exactly the transition-RDM diagonal
+        np.testing.assert_allclose(
+            r.one_rdm_spatial,
+            np.stack([r.transition_rdm1_spatial[i, i] for i in range(2)]),
+            atol=1e-10)
+        # the x(1)x(2) determinant is a 50/50 singlet-triplet mix:
+        # <S^2> = 1 exactly, and UCCSD preserves it here
+        assert r.spin_squared[0] == pytest.approx(0.0, abs=1e-6)
+        assert r.spin_squared[1] == pytest.approx(1.0, abs=1e-6)
+        # both states have n_alpha = n_beta: spin-density TRACES vanish
+        np.testing.assert_allclose(
+            np.trace(r.spin_density_spatial, axis1=1, axis2=2), 0.0,
+            atol=1e-8)
+        # the singlet's spin density is identically zero; the mixed
+        # S^2 = 1 state's is NOT (alpha in orbital 1, beta in orbital 0)
+        np.testing.assert_allclose(r.spin_density_spatial[0], 0.0,
+                                   atol=1e-6)
+        assert np.abs(r.spin_density_spatial[1]).max() > 0.5
+
+    def test_mcvqe_contracted_matches_sa_casscf(self, h2_631g):
+        # MCVQE's contracted eigenstates are spin-PURE (CIS states are
+        # spin eigenfunctions) — S^2 = [0, 2] — and the full diagnostics
+        # agree with the exact SA-CASSCF ladder through a completely
+        # disjoint pipeline
+        ans = UCCSD(2, (1, 1))
+        mc = FusedOptOrbMCVQE(num_spin_orbitals=4, ansatz=ans,
+                              num_particles=(1, 1), k=2, excitations="s",
+                              weight_vector=[2, 1], problem=h2_631g,
+                              maxiter=15).compute_energies()
+        sa = FusedOptOrbSACASSCF(4, k=2, weight_vector=[2, 1],
+                                 problem=h2_631g,
+                                 maxiter=15).compute_energies()
+        assert mc.spin_squared[0] == pytest.approx(0.0, abs=1e-5)
+        assert mc.spin_squared[1] == pytest.approx(2.0, abs=1e-5)
+        np.testing.assert_allclose(mc.natural_occupations,
+                                   sa.natural_occupations, atol=2e-3)
+        np.testing.assert_allclose(
+            np.trace(mc.one_rdm_spatial, axis1=1, axis2=2), 2.0,
+            atol=1e-6)
+
+    def test_vqd_per_state_thetas(self, h2_631g):
+        ans = UCCSD(2, (1, 1), reps=2)
+        init1 = QuantumCircuit(4)
+        init1.x(1)
+        init1.x(2)
+        r = FusedOptOrbVQD(num_spin_orbitals=4, ansatz=ans,
+                           initial_states=[HartreeFock(2, (1, 1)), init1],
+                           betas=[2.0], weight_vector=[2, 1],
+                           problem=h2_631g, maxiter=10).compute_energies()
+        assert r.natural_occupations.shape == (2, 2)
+        np.testing.assert_allclose(
+            r.one_rdm_spatial,
+            np.stack([r.transition_rdm1_spatial[i, i] for i in range(2)]),
+            atol=1e-10)
+
+    def test_full_space_eigensolver_returns_none(self, h2_631g):
+        # per-state diagnostics (like transition RDMs) need the sector
+        # simulation; a forced full-space run leaves them None
+        ans = UCCSD(2, (1, 1), reps=2)
+        init1 = QuantumCircuit(4)
+        init1.x(1)
+        init1.x(2)
+        r = FusedOptOrbSSVQE(num_spin_orbitals=4, ansatz=ans,
+                             initial_states=[HartreeFock(2, (1, 1)),
+                                             init1],
+                             weight_vector=[2, 1], problem=h2_631g,
+                             maxiter=5,
+                             simulation="full").compute_energies()
+        assert r.natural_occupations is None
+        assert r.one_rdm_spatial is None
+        assert r.transition_rdm1_spatial is None
+
+
+class TestPropertiesFromVQE:
+    def test_dipole_from_fused_vqe_rdm(self):
+        # the VQE family's one_rdm_spatial now feeds chem.properties
+        # directly: LiH dipole from FusedOptOrbVQE == from exact CASSCF
+        from esoo_tpu.chem import dipole_moment
+
+        p = MoleculeDriver("Li 0 0 0; H 0 0 1.60", basis="sto-3g").run()
+        ans = UCCSD(3, (2, 2), initial_state=HartreeFock(3, (2, 2)))
+        r = FusedOptOrbVQE(num_spin_orbitals=6, ansatz=ans, problem=p,
+                           maxiter=20).compute_minimum_energy()
+        cas = FusedOptOrbCASSCF(num_spin_orbitals=6, problem=p,
+                                maxiter=20).compute_minimum_energy()
+        mu_vqe = dipole_moment(p, gamma_spatial=r.one_rdm_spatial,
+                               partial_unitary=r.optimal_partial_unitary)
+        mu_cas = dipole_moment(p, gamma_spatial=cas.one_rdm_spatial,
+                               partial_unitary=cas.optimal_partial_unitary)
+        np.testing.assert_allclose(mu_vqe, mu_cas, atol=5e-3)
+        assert abs(mu_vqe[2]) > 0.5   # LiH is strongly polar
+
+
+class TestDiagnosticsFlag:
+    def test_diagnostics_false_skips_the_extra_dispatch(self, h2_631g):
+        # the bench programs keep strict round-2 semantics vs the
+        # reference-faithful baseline (which computes no diagnostics)
+        ans = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+        r = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ans,
+                           problem=h2_631g, maxiter=10,
+                           diagnostics=False).compute_minimum_energy()
+        assert r.one_rdm_spatial is None
+        assert r.natural_occupations is None
+        assert r.spin_squared is None
+        init1 = QuantumCircuit(4)
+        init1.x(1)
+        init1.x(2)
+        rs = FusedOptOrbSSVQE(num_spin_orbitals=4,
+                              ansatz=UCCSD(2, (1, 1), reps=2),
+                              initial_states=[HartreeFock(2, (1, 1)),
+                                              init1],
+                              weight_vector=[2, 1], problem=h2_631g,
+                              maxiter=5,
+                              diagnostics=False).compute_energies()
+        assert rs.one_rdm_spatial is None
+        # transition RDMs are governed by the simulation, not the flag
+        assert rs.transition_rdm1_spatial is not None
