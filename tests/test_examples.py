@@ -122,3 +122,16 @@ def test_h2o_geometry_frequencies_example():
     bend = float([ln for ln in out.splitlines() if "bend" in ln][0]
                  .split(":")[1].split("cm")[0])
     assert 1800 < bend < 2300
+
+
+def test_h2_spectroscopy_thermo_example():
+    out = _run("examples/H2_Spectroscopy_Thermo.py")
+    # Raman-active (mutual exclusion asserted inside the example), and
+    # the RRHO standard entropy lands by the JANAF value
+    raman = float([ln for ln in out.splitlines()
+                   if "Raman activity" in ln][0]
+                  .split(":")[1].split("A^4")[0])
+    assert raman > 1.0
+    s = float([ln for ln in out.splitlines() if "S(total)" in ln][0]
+              .split("=")[1].split("J")[0])
+    np.testing.assert_allclose(s, 130.68, atol=1.5)
