@@ -8,9 +8,11 @@ from .geometry import (casscf_dipole_fn, casscf_energy_fn,
                        raman_activities)
 from .integrals import IntegralEngine
 from .properties import (AU_TO_BUCKINGHAM, AU_TO_DEBYE, apply_field,
-                         density_ao, dipole_moment, hf_density_spatial,
-                         oscillator_strengths, polarizability, populations,
-                         quadrupole_moment, transition_dipoles)
+                         bond_orders, density_ao, dipole_moment,
+                         hf_density_spatial, natural_orbitals,
+                         oscillator_strengths, polarizability,
+                         populations, quadrupole_moment,
+                         transition_dipoles)
 from .scf import rhf
 from .thermo import thermochemistry
 
@@ -24,11 +26,13 @@ __all__ = [
     "AU_TO_BUCKINGHAM",
     "AU_TO_DEBYE",
     "apply_field",
+    "bond_orders",
     "density_ao",
     "polarizability",
     "quadrupole_moment",
     "dipole_moment",
     "hf_density_spatial",
+    "natural_orbitals",
     "oscillator_strengths",
     "populations",
     "transition_dipoles",

@@ -296,6 +296,71 @@ def populations(problem,
     return pop, np.asarray(ao.atomic_numbers, dtype=np.float64) - pop
 
 
+def bond_orders(problem,
+                gamma_spatial: Optional[np.ndarray] = None,
+                partial_unitary: Optional[np.ndarray] = None,
+                spin_density_spatial: Optional[np.ndarray] = None
+                ) -> np.ndarray:
+    """Mayer bond-order matrix B (natom, natom):
+
+        B_AB = Σ_{μ∈A, ν∈B} [ (P S)_μν (P S)_νμ + (Pˢ S)_μν (Pˢ S)_νμ ]
+
+    with P the total AO density (density_ao of the given MO-basis 1-RDM,
+    default mean-field) and Pˢ the AO spin density (pass the result's
+    `spin_density_spatial` for open shells; closed shells omit it).
+    Classic anchors (enforced by tests): RHF/STO-3G gives exactly 1 for
+    H2 and exactly 3 for N2; a dissociating FCI H2 decays toward 0
+    (Mayer, Chem. Phys. Lett. 97, 270 (1983))."""
+    ao = getattr(problem, "ao_basis", None)
+    if ao is None:
+        raise ValueError(
+            "problem carries no AO basis metadata (ao_basis is None); "
+            "build it with chem.MoleculeDriver")
+    S = np.asarray(ao.overlap, dtype=np.float64)
+    PS = density_ao(problem, gamma_spatial, partial_unitary) @ S
+    M = PS * PS.T
+    if spin_density_spatial is not None:
+        PsS = density_ao(problem, spin_density_spatial, partial_unitary,
+                         include_core=False) @ S
+        M = M + PsS * PsS.T
+    natom = len(ao.symbols)
+    atoms = np.asarray(ao.ao_atoms)
+    B = np.zeros((natom, natom))
+    np.add.at(B, (atoms[:, None], atoms[None, :]), M)
+    np.fill_diagonal(B, 0.0)
+    return B
+
+
+def natural_orbitals(problem,
+                     gamma_spatial: np.ndarray,
+                     partial_unitary: Optional[np.ndarray] = None):
+    """Natural orbitals of an MO-basis 1-RDM in the AO basis.
+
+    Diagonalizes `gamma_spatial` (n, n) and back-transforms the
+    eigenvectors through the (optionally U-rotated) MO window to AO
+    coefficients: C_NO = C_act V with C_act = mo_coeff_ao [@ U].
+
+    Returns (occupations (n,) descending, coefficients (nbf, n)) —
+    S-orthonormal (C_NOᵀ S C_NO = 1, tested), ready for visualization
+    or as a correlated-orbital initial guess."""
+    C = getattr(problem, "mo_coeff_ao", None)
+    if C is None:
+        raise ValueError(
+            "problem carries no AO coefficients (mo_coeff_ao is None); "
+            "build it with chem.MoleculeDriver")
+    C = np.asarray(C, dtype=np.float64)
+    gamma = np.asarray(gamma_spatial, dtype=np.float64)
+    if partial_unitary is not None:
+        C = C @ np.asarray(partial_unitary, dtype=np.float64)
+    if C.shape[1] != gamma.shape[0]:
+        raise ValueError(
+            f"1-RDM is {gamma.shape[0]} orbitals but the (rotated) MO "
+            f"window has {C.shape[1]}")
+    occ, V = np.linalg.eigh(0.5 * (gamma + gamma.T))
+    order = np.argsort(occ)[::-1]
+    return occ[order], C @ V[:, order]
+
+
 def apply_field(problem, field: np.ndarray):
     """The problem in a uniform static electric field F (a.u.):
     h → h + Σ_d F_d·D_d (the electron-position coupling; the scalar

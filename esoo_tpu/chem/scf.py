@@ -40,6 +40,20 @@ def nuclear_repulsion(charges, centers) -> float:
     return float(e)
 
 
+def _gwh_fock(S, hcore, k: float = 1.75) -> np.ndarray:
+    """Generalized Wolfsberg-Helmholz initial Fock:
+    F0_ij = k/2 (h_ii + h_jj) S_ij, F0_ii = h_ii.  Unlike the bare-core
+    guess it sees the overlap structure, which keeps pi-degenerate
+    systems (N2, CO, ...) out of symmetry-broken SCF saddles — the core
+    guess converges N2/STO-3G to a state 0.73 Ha ABOVE the literature
+    RHF energy (-106.766 vs -107.4959, caught by the Mayer bond-order
+    anchor B(N2) = 3)."""
+    hd = np.diag(hcore)
+    F0 = 0.5 * k * S * (hd[:, None] + hd[None, :])
+    np.fill_diagonal(F0, hd)
+    return F0
+
+
 def rhf(S, hcore, eri, n_electrons, charges, centers,
         max_iter: int = 100, conv_tol: float = 1e-10,
         diis_size: int = 8) -> SCFResult:
@@ -72,7 +86,7 @@ def rhf(S, hcore, eri, n_electrons, charges, centers,
         C = X @ Cp
         return eps, C
 
-    eps, C = solve(hcore)
+    eps, C = solve(_gwh_fock(S, hcore))
     D = C[:, :nocc] @ C[:, :nocc].T
 
     diis_F, diis_err = [], []
@@ -209,7 +223,7 @@ def rohf(S, hcore, eri, n_alpha, n_beta, charges, centers,
                     max_iter=60, conv_tol=1e-8,
                     diis_size=diis_size).mo_coeff_a
         except Exception:
-            eps, C = np.linalg.eigh(X.T @ hcore @ X)
+            eps, C = np.linalg.eigh(X.T @ _gwh_fock(S, hcore) @ X)
             C = X @ C
     Da, Db = densities(C)
 
@@ -329,7 +343,7 @@ def uhf(S, hcore, eri, n_alpha, n_beta, charges, centers,
         eps, Cp = np.linalg.eigh(X.T @ F @ X)
         return eps, X @ Cp
 
-    eps_a, Ca = solve(hcore)
+    eps_a, Ca = solve(_gwh_fock(S, hcore))
     eps_b, Cb = eps_a.copy(), Ca.copy()
     if guess_mix and n_alpha < Ca.shape[1]:
         h_, l_ = n_alpha - 1, n_alpha

@@ -656,3 +656,95 @@ class TestCASSCFDipole:
                                partial_unitary=res.optimal_partial_unitary,
                                unit="debye"),
             mu * AU_TO_DEBYE)
+
+
+class TestBondOrders:
+    def test_h2_rhf_exactly_one(self):
+        from esoo_tpu.chem import bond_orders
+
+        p = MoleculeDriver("H 0 0 0; H 0 0 0.735", basis="sto-3g").run()
+        B = bond_orders(p)
+        assert B[0, 1] == pytest.approx(1.0, abs=1e-10)
+        assert B[0, 0] == 0.0
+
+    def test_n2_rhf_exactly_three(self):
+        # the anchor that CAUGHT a real SCF bug: the bare-core guess
+        # converged N2/STO-3G to a symmetry-broken saddle 0.73 Ha above
+        # the literature RHF energy (B came out 2.28); the GWH guess
+        # lands the true solution with a clean triple bond
+        from esoo_tpu.chem import bond_orders
+
+        p = MoleculeDriver("N 0 0 0; N 0 0 1.0977", basis="sto-3g").run()
+        total = p.scf.energy_electronic + p.nuclear_repulsion_energy
+        assert total == pytest.approx(-107.495893, abs=1e-4)  # literature
+        assert bond_orders(p)[0, 1] == pytest.approx(3.0, abs=1e-8)
+
+    def test_fci_h2_dissociation_kills_the_bond(self):
+        from esoo_tpu.chem import bond_orders
+        from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+        def b(r):
+            p = MoleculeDriver(f"H 0 0 0; H 0 0 {r}",
+                               basis="sto-3g").run()
+            res = FusedOptOrbCASSCF(num_spin_orbitals=4, problem=p,
+                                    maxiter=15).compute_minimum_energy()
+            return bond_orders(
+                p, gamma_spatial=res.one_rdm_spatial,
+                partial_unitary=res.optimal_partial_unitary)[0, 1]
+
+        b_eq, b_far = b(0.735), b(6.0)
+        assert 0.9 < b_eq < 1.0     # correlation shaves the RHF 1.0
+        assert b_far < 1e-3          # covalent bond fully broken
+
+    def test_open_shell_h3_spin_contribution(self):
+        from esoo_tpu.chem import bond_orders
+        from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+        p = MoleculeDriver("H 0 0 0; H 0 0 0.95; H 0 0 1.90",
+                           basis="sto-3g", spin=1).run()
+        r = FusedOptOrbCASSCF(num_spin_orbitals=6, problem=p,
+                              maxiter=20).compute_minimum_energy()
+        B = bond_orders(p, gamma_spatial=r.one_rdm_spatial,
+                        partial_unitary=r.optimal_partial_unitary,
+                        spin_density_spatial=r.spin_density_spatial)
+        # symmetric 3c-3e chain: two equal half-ish bonds, weak 1-3
+        assert B[0, 1] == pytest.approx(B[1, 2], abs=1e-6)
+        assert 0.3 < B[0, 1] < 0.7
+        assert B[0, 2] < B[0, 1]
+
+    def test_requires_ao_metadata(self, h2_631g):
+        import dataclasses
+
+        from esoo_tpu.chem import bond_orders
+
+        bare = dataclasses.replace(h2_631g, ao_basis=None)
+        with pytest.raises(ValueError, match="ao_basis"):
+            bond_orders(bare)
+
+
+class TestNaturalOrbitals:
+    def test_orthonormal_and_consistent(self, h2_631g):
+        from esoo_tpu.chem import natural_orbitals
+        from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+
+        res = FusedOptOrbCASSCF(num_spin_orbitals=4, problem=h2_631g,
+                                maxiter=20).compute_minimum_energy()
+        occ, C = natural_orbitals(h2_631g, res.one_rdm_spatial,
+                                  res.optimal_partial_unitary)
+        S = np.asarray(h2_631g.ao_basis.overlap)
+        np.testing.assert_allclose(C.T @ S @ C, np.eye(C.shape[1]),
+                                   atol=1e-10)
+        np.testing.assert_allclose(occ, res.natural_occupations,
+                                   atol=1e-10)
+        assert occ.sum() == pytest.approx(2.0, abs=1e-10)
+        # reconstructing the AO density from the NOs matches density_ao
+        from esoo_tpu.chem import density_ao
+        P = density_ao(h2_631g, res.one_rdm_spatial,
+                       res.optimal_partial_unitary)
+        np.testing.assert_allclose((C * occ) @ C.T, P, atol=1e-10)
+
+    def test_shape_mismatch_raises(self, h2_631g):
+        from esoo_tpu.chem import natural_orbitals
+
+        with pytest.raises(ValueError, match="window"):
+            natural_orbitals(h2_631g, np.eye(3))
