@@ -1,5 +1,6 @@
 from .basis import BASIS_SETS, Shell, build_shells
 from .driver import ElectronicStructureProblem, MoleculeDriver
+from .fcidump import read_fcidump, write_fcidump
 from .geometry import (casscf_dipole_fn, casscf_energy_fn,
                        casscf_polarizability_fn, casscf_state_energy_fn,
                        dipole_derivatives, geometry_string,
@@ -22,6 +23,8 @@ __all__ = [
     "build_shells",
     "ElectronicStructureProblem",
     "MoleculeDriver",
+    "read_fcidump",
+    "write_fcidump",
     "IntegralEngine",
     "AU_TO_BUCKINGHAM",
     "AU_TO_DEBYE",

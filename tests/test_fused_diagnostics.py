@@ -184,12 +184,17 @@ class TestDiagnosticsFlag:
         init1 = QuantumCircuit(4)
         init1.x(1)
         init1.x(2)
+        # identical static+dynamic config to test_ssvqe_per_state, so
+        # this run REUSES its compiled program (the only difference —
+        # the post-run diagnostics attach — is host-side); a fresh
+        # maxiter=5 variant here reproducibly segfaulted the XLA:CPU
+        # compiler late in the full tier (LLVM fragility, 2/2)
         rs = FusedOptOrbSSVQE(num_spin_orbitals=4,
                               ansatz=UCCSD(2, (1, 1), reps=2),
                               initial_states=[HartreeFock(2, (1, 1)),
                                               init1],
                               weight_vector=[2, 1], problem=h2_631g,
-                              maxiter=5,
+                              maxiter=10,
                               diagnostics=False).compute_energies()
         assert rs.one_rdm_spatial is None
         # transition RDMs are governed by the simulation, not the flag
