@@ -42,7 +42,6 @@ def write_fcidump(problem, path: str, threshold: float = 1e-14) -> None:
         # canonical 8-fold-unique (ij|kl): i>=j, k>=l, (i,j)>=(k,l)
         for i in range(n):
             for j in range(i + 1):
-                ij = i * (i + 1) // 2 + j
                 for k in range(i + 1):
                     for l in range(k + 1):
                         if i * (i + 1) // 2 + j < k * (k + 1) // 2 + l:
@@ -76,7 +75,9 @@ def read_fcidump(path: str):
         lines = f.readlines()
     for idx, ln in enumerate(lines):
         header += " " + ln.strip()
-        if "&END" in ln.upper() or ln.strip() == "/":
+        # Fortran namelists end with '&END' or a '/' — the slash may
+        # share the line with the last fields (' ISYM=1 /')
+        if "&END" in ln.upper() or ln.rstrip().endswith("/"):
             body_start = idx + 1
             break
     else:
@@ -112,6 +113,12 @@ def read_fcidump(path: str):
         i, j, k, l = (int(x) for x in parts[1:5])
         if i == 0:
             const = v
+        elif j == 0:
+            # 'value i 0 0 0' records are ORBITAL ENERGIES (Molpro
+            # writes them before the core line); they are not part of
+            # the Hamiltonian — treating them as one-body elements
+            # would silently corrupt hcore via the j-1 = -1 wraparound
+            continue
         elif k == 0:
             h[i - 1, j - 1] = h[j - 1, i - 1] = v
         else:

@@ -1154,7 +1154,11 @@ class FusedOptOrbMCVQE(FusedOptOrbSSVQE):
                          _spatial_tensors=(h_sp, g_sp), **kwargs)
 
     def compute_energies(self) -> FusedOptOrbEigensolverResult:
-        base = super().compute_energies()
+        self._defer_diagnostics = True
+        try:
+            base = super().compute_energies()
+        finally:
+            self._defer_diagnostics = False
         # contracted Hamiltonian: H_ii = E_i; H_ij = (E_plus - E_minus)/2
         # with (|i> +/- |j>)/sqrt(2) pushed through the optimized ansatz at
         # the final rotated Hamiltonian.
@@ -1254,6 +1258,26 @@ def _sector_states_diagnostics(sector, states, mix=None, tables=None):
     return jax.lax.map(one, V)
 
 
+def _postrun_eigenstates(solver, thetas, shared_theta):
+    """The (k, nd[+1]) optimal sector eigenstates at `thetas`, computed
+    ONCE per result: transition RDMs and the per-state diagnostics both
+    consume them, and the per-state ansatz push is the dominant
+    post-run device cost at larger N — a one-slot cache on the solver
+    keyed by the theta bytes collapses the (previously duplicated)
+    dispatches."""
+    sector = solver._sector
+    tables = getattr(solver, "_sector_tables", None)
+    key = (np.asarray(thetas).tobytes(), bool(shared_theta))
+    hit = getattr(solver, "_postrun_states_cache", None)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    states = _sector_eigenstates_program(
+        sector, solver._sector_init, jnp.asarray(thetas),
+        shared_theta=shared_theta, tables=tables)
+    solver._postrun_states_cache = (key, states)
+    return states
+
+
 def _eigensolver_diagnostics(solver, thetas, shared_theta, mix=None):
     """Post-run per-state diagnostics for the fused eigensolver family —
     like _eigensolver_transition_rdm1s, only available when the run
@@ -1264,9 +1288,7 @@ def _eigensolver_diagnostics(solver, thetas, shared_theta, mix=None):
     if sector is None or getattr(sector, "kernel", None) != "strings":
         return None
     tables = getattr(solver, "_sector_tables", None)
-    states = _sector_eigenstates_program(
-        sector, solver._sector_init, jnp.asarray(thetas),
-        shared_theta=shared_theta, tables=tables)
+    states = _postrun_eigenstates(solver, thetas, shared_theta)
     occ, s2, g1, sd = _sector_states_diagnostics(
         sector, states,
         mix=None if mix is None else jnp.asarray(mix), tables=tables)
@@ -1277,6 +1299,10 @@ def _eigensolver_diagnostics(solver, thetas, shared_theta, mix=None):
 def _attach_eigensolver_diagnostics(result, solver, thetas, shared_theta,
                                     mix=None):
     if not getattr(solver, "diagnostics", True):
+        return result
+    if mix is None and getattr(solver, "_defer_diagnostics", False):
+        # MCVQE recomputes these in the contracted eigenbasis right
+        # after super().compute_energies(); skip the raw-basis pass
         return result
     d = _eigensolver_diagnostics(solver, thetas, shared_theta, mix=mix)
     if d is not None:
@@ -1294,9 +1320,7 @@ def _eigensolver_transition_rdm1s(solver, thetas, shared_theta):
     if sector is None or getattr(sector, "kernel", None) != "strings":
         return None
     tables = getattr(solver, "_sector_tables", None)
-    states = _sector_eigenstates_program(
-        sector, solver._sector_init, jnp.asarray(thetas),
-        shared_theta=shared_theta, tables=tables)
+    states = _postrun_eigenstates(solver, thetas, shared_theta)
     return np.asarray(_sector_transition_rdm1s(sector, states,
                                                tables=tables))
 

@@ -116,3 +116,32 @@ class TestForeignFormats:
         f.write_text("&FCI NORB=1,NELEC=2,MS2=1 &END\n 1.0 0 0 0 0\n")
         with pytest.raises(ValueError, match="inconsistent"):
             read_fcidump(str(f))
+
+    def test_orbital_energy_records_ignored(self, tmp_path):
+        # Molpro writes orbital energies as 'eps_i  i 0 0 0' before the
+        # core line; they are NOT Hamiltonian elements (this silently
+        # corrupted hcore's last row/column before the fix)
+        f = tmp_path / "molpro.fcidump"
+        f.write_text(
+            "&FCI NORB=2,NELEC=2,MS2=0, ISYM=1 /\n"
+            " 5.0E-01 1 1 1 1\n"
+            "-1.2528E+00 1 1 0 0\n"
+            "-4.759E-01 2 2 0 0\n"
+            "-5.782E-01 1 0 0 0\n"   # orbital energy eps_1
+            " 6.702E-01 2 0 0 0\n"   # orbital energy eps_2
+            " 7.1E-01 0 0 0 0\n")
+        p = read_fcidump(str(f))
+        np.testing.assert_allclose(
+            p.hcore_mo, np.diag([-1.2528, -0.4759]), atol=1e-12)
+        assert p.nuclear_repulsion_energy == pytest.approx(0.71)
+
+    def test_inline_slash_terminator(self, tmp_path):
+        # Fortran allows the terminating '/' after the last field
+        f = tmp_path / "inline.fcidump"
+        f.write_text(
+            "&FCI NORB=1,NELEC=2,MS2=0, ISYM=1 /\n"
+            " 6.0E-01 1 1 1 1\n"
+            "-1.25E+00 1 1 0 0\n"
+            " 7.1E-01 0 0 0 0\n")
+        p = read_fcidump(str(f))
+        assert p.hcore_mo[0, 0] == pytest.approx(-1.25)

@@ -199,3 +199,58 @@ class TestDiagnosticsFlag:
         assert rs.one_rdm_spatial is None
         # transition RDMs are governed by the simulation, not the flag
         assert rs.transition_rdm1_spatial is not None
+
+
+class TestPostRunDispatchDedup:
+    def test_eigenstates_pushed_once_per_result(self, h2_631g,
+                                                monkeypatch):
+        # transition RDMs AND per-state diagnostics consume the same
+        # optimal eigenstates; the ansatz push (the dominant post-run
+        # device cost at larger N) must run ONCE per result
+        import esoo_tpu.orbital_optimization.fused as fused
+
+        calls = []
+        real = fused._sector_eigenstates_program
+
+        def counting(*args, **kwargs):
+            calls.append(1)
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(fused, "_sector_eigenstates_program",
+                            counting)
+        ans = UCCSD(2, (1, 1), reps=2)
+        init1 = QuantumCircuit(4)
+        init1.x(1)
+        init1.x(2)
+        r = FusedOptOrbSSVQE(num_spin_orbitals=4, ansatz=ans,
+                             initial_states=[HartreeFock(2, (1, 1)),
+                                             init1],
+                             weight_vector=[2, 1], problem=h2_631g,
+                             maxiter=10).compute_energies()
+        assert len(calls) == 1
+        assert r.transition_rdm1_spatial is not None
+        assert r.one_rdm_spatial is not None
+
+    def test_mcvqe_single_push_and_contracted_diagnostics(
+            self, h2_631g, monkeypatch):
+        import esoo_tpu.orbital_optimization.fused as fused
+
+        calls = []
+        real = fused._sector_eigenstates_program
+
+        def counting(*args, **kwargs):
+            calls.append(1)
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(fused, "_sector_eigenstates_program",
+                            counting)
+        ans = UCCSD(2, (1, 1))
+        mc = FusedOptOrbMCVQE(num_spin_orbitals=4, ansatz=ans,
+                              num_particles=(1, 1), k=2, excitations="s",
+                              weight_vector=[2, 1], problem=h2_631g,
+                              maxiter=15).compute_energies()
+        # one push total: t1 computes the states, the mixed-basis
+        # diagnostics reuse them through the one-slot cache (and the
+        # raw-basis diagnostics pass is skipped entirely)
+        assert len(calls) == 1
+        assert mc.spin_squared[1] == pytest.approx(2.0, abs=1e-5)
