@@ -1,0 +1,184 @@
+"""Real-space evaluation + Gaussian cube-file export.
+
+Evaluate the contracted-Gaussian AO basis, molecular orbitals, and RDM
+densities on arbitrary point grids, and write standard cube files
+(readable by VMD/PyMOL/Avogadro/...).  The visualization capability
+every quantum-chemistry package ships; the reference computes no
+real-space quantities at all.
+
+The AO values here are EXACTLY the functions the integral engine
+integrates: per-cartesian-component norms (`_cart_norm_factors`) and
+the solid-harmonic pure transform (`cart_to_pure_matrix`) are reused
+from the same machinery, and tests/test_cube.py closes the loop by
+quadrature — the numerically integrated ⟨φ_μ|φ_ν⟩ reproduces the
+engine's analytic overlap matrix through d shells.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .basis import cart_to_pure_matrix, cartesian_components
+from .integrals import _cart_norm_factors, overlap_kinetic_block
+
+
+def evaluate_aos(shells, points: np.ndarray) -> np.ndarray:
+    """AO values φ_μ(r) at `points` (npts, 3) bohr → (npts, nbf),
+    columns in the integral engine's AO order (pure components for
+    l ≥ 2 shells with pure=True)."""
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+    cols = []
+    for sh in shells:
+        d = pts - sh.center                       # (npts, 3)
+        r2 = np.einsum("pd,pd->p", d, d)
+        # component-independent radial contraction
+        radial = np.exp(-np.outer(r2, sh.exps)) @ sh.cnorm   # (npts,)
+        comps = cartesian_components(sh.l)
+        f = _cart_norm_factors(sh)
+        cart = np.empty((pts.shape[0], len(comps)))
+        for i, (lx, ly, lz) in enumerate(comps):
+            cart[:, i] = (f[i] * d[:, 0] ** lx * d[:, 1] ** ly
+                          * d[:, 2] ** lz) * radial
+        if sh.pure and sh.l >= 2:
+            Scc, _ = overlap_kinetic_block(sh, sh)
+            M = cart_to_pure_matrix(sh.l, Scc, f)   # (2l+1, ncart)
+            cart = cart @ M.T
+        cols.append(cart)
+    return np.concatenate(cols, axis=1)
+
+
+def _require_shells(problem):
+    ao = getattr(problem, "ao_basis", None)
+    if ao is None or getattr(ao, "shells", None) is None:
+        raise ValueError(
+            "problem carries no basis shells (ao_basis.shells is None); "
+            "build it with chem.MoleculeDriver")
+    return ao
+
+
+def density_values(problem, points: np.ndarray,
+                   gamma_spatial: Optional[np.ndarray] = None,
+                   partial_unitary: Optional[np.ndarray] = None,
+                   spin: bool = False) -> np.ndarray:
+    """Electron density ρ(r) (or the SPIN density with spin=True and a
+    γ_αα − γ_ββ `gamma_spatial`) at `points` (npts, 3) bohr, from the
+    same AO density matrix the population analysis uses.  Default γ is
+    the mean-field density; OptOrb results pass their 1-RDM + U."""
+    from .properties import density_ao
+
+    ao = _require_shells(problem)
+    P = density_ao(problem, gamma_spatial, partial_unitary,
+                   include_core=not spin)
+    phi = evaluate_aos(ao.shells, points)
+    return np.einsum("pu,uv,pv->p", phi, P, phi, optimize=True)
+
+
+def orbital_values(problem, points: np.ndarray,
+                   coeff_ao: np.ndarray) -> np.ndarray:
+    """Molecular-orbital value(s) at `points`: `coeff_ao` is (nbf,) or
+    (nbf, k) AO coefficients (e.g. columns of chem.natural_orbitals'
+    output) → (npts,) or (npts, k)."""
+    ao = _require_shells(problem)
+    return evaluate_aos(ao.shells, points) @ np.asarray(coeff_ao,
+                                                        dtype=np.float64)
+
+
+def _default_grid(coords: np.ndarray, spacing: float, margin: float):
+    lo = coords.min(axis=0) - margin
+    hi = coords.max(axis=0) + margin
+    shape = np.maximum(np.ceil((hi - lo) / spacing).astype(int) + 1, 2)
+    axes = np.diag([spacing] * 3)
+    return lo, axes, shape
+
+
+def grid_points(origin, axes, shape) -> np.ndarray:
+    """The (n1*n2*n3, 3) cube-ordered point list (z fastest) for an
+    origin + 3 step vectors + per-axis counts."""
+    i, j, k = [np.arange(n) for n in shape]
+    I, J, K = np.meshgrid(i, j, k, indexing="ij")
+    idx = np.stack([I.ravel(), J.ravel(), K.ravel()], axis=1)
+    return np.asarray(origin) + idx @ np.asarray(axes)
+
+
+def write_cube(path: str, problem, values: np.ndarray, origin, axes,
+               shape, comment: str = "esoo_tpu") -> None:
+    """Write a Gaussian cube file: `values` must be cube-ordered
+    (z fastest), length prod(shape)."""
+    ao = getattr(problem, "ao_basis", None)
+    if ao is None:
+        raise ValueError("problem carries no AO metadata (ao_basis)")
+    shape = [int(n) for n in shape]
+    vals = np.asarray(values, dtype=np.float64).reshape(-1)
+    if vals.size != shape[0] * shape[1] * shape[2]:
+        raise ValueError(f"values has {vals.size} entries for shape "
+                         f"{shape}")
+    axes = np.asarray(axes, dtype=np.float64)
+    with open(path, "w") as f:
+        f.write(f"{comment}\n")
+        f.write("electron density (bohr grid)\n")
+        natom = len(ao.symbols)
+        f.write(f"{natom:5d} {origin[0]:11.6f} {origin[1]:11.6f} "
+                f"{origin[2]:11.6f}\n")
+        for n, ax in zip(shape, axes):
+            f.write(f"{n:5d} {ax[0]:11.6f} {ax[1]:11.6f} "
+                    f"{ax[2]:11.6f}\n")
+        for z, r in zip(ao.atomic_numbers, ao.coords):
+            f.write(f"{int(z):5d} {float(z):11.6f} {r[0]:11.6f} "
+                    f"{r[1]:11.6f} {r[2]:11.6f}\n")
+        per_row = 6
+        nz = shape[2]
+        flat = vals.reshape(shape[0] * shape[1], nz)
+        for row in flat:
+            for s in range(0, nz, per_row):
+                f.write(" ".join(f"{v:12.5E}"
+                                 for v in row[s: s + per_row]) + "\n")
+
+
+def read_cube(path: str):
+    """Parse a cube file → dict(origin, axes, shape, values (flat,
+    z fastest), atomic_numbers, coords).  For tests/round trips."""
+    with open(path) as f:
+        f.readline()
+        f.readline()
+        parts = f.readline().split()
+        natom = int(parts[0])
+        origin = np.array([float(x) for x in parts[1:4]])
+        shape, axes = [], []
+        for _ in range(3):
+            parts = f.readline().split()
+            shape.append(int(parts[0]))
+            axes.append([float(x) for x in parts[1:4]])
+        zs, coords = [], []
+        for _ in range(natom):
+            parts = f.readline().split()
+            zs.append(int(parts[0]))
+            coords.append([float(x) for x in parts[2:5]])
+        values = np.fromstring(f.read(), sep=" ")
+    return {"origin": origin, "axes": np.array(axes),
+            "shape": tuple(shape), "values": values,
+            "atomic_numbers": np.array(zs), "coords": np.array(coords)}
+
+
+def cube_density(problem, path: str,
+                 gamma_spatial: Optional[np.ndarray] = None,
+                 partial_unitary: Optional[np.ndarray] = None,
+                 spacing: float = 0.25, margin: float = 4.0,
+                 spin: bool = False) -> dict:
+    """Batteries-included density cube: builds a rectangular grid
+    `margin` bohr beyond the molecule at `spacing` bohr, evaluates the
+    (spin-)density of the given MO-basis 1-RDM, writes `path`, and
+    returns {n_electrons (the grid integral — a built-in sanity check),
+    origin, axes, shape}."""
+    ao = _require_shells(problem)
+    origin, axes, shape = _default_grid(np.asarray(ao.coords),
+                                        spacing, margin)
+    pts = grid_points(origin, axes, shape)
+    rho = density_values(problem, pts, gamma_spatial, partial_unitary,
+                         spin=spin)
+    write_cube(path, problem, rho, origin, axes, shape,
+               comment=f"esoo_tpu {'spin ' if spin else ''}density")
+    dv = float(abs(np.linalg.det(axes)))
+    return {"n_electrons": float(rho.sum() * dv), "origin": origin,
+            "axes": axes, "shape": tuple(shape)}

@@ -50,6 +50,8 @@ class AOBasisInfo:
     symbols: list                # (natom,) element symbols
     atomic_numbers: np.ndarray   # (natom,)
     coords: np.ndarray           # (natom, 3) in bohr
+    shells: Optional[list] = None  # the Shell objects (AO order) — for
+    # real-space evaluation (chem.cube); None for bare-tensor problems
 
 
 @dataclasses.dataclass
@@ -291,7 +293,7 @@ class MoleculeDriver:
         ao_basis = AOBasisInfo(overlap=S, ao_atoms=ao_atoms,
                                symbols=list(symbols),
                                atomic_numbers=charges.astype(np.int64),
-                               coords=coords)
+                               coords=coords, shells=list(engine.shells))
         return ElectronicStructureProblem(
             num_particles=(n_a, n_b),
             num_spatial_orbitals=n_mo,
