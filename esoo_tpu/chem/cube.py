@@ -182,3 +182,121 @@ def cube_density(problem, path: str,
     dv = float(abs(np.linalg.det(axes)))
     return {"n_electrons": float(rho.sum() * dv), "origin": origin,
             "axes": axes, "shape": tuple(shape)}
+
+
+def _point_potential_matrix(shells, r0: np.ndarray) -> np.ndarray:
+    """⟨μ| 1/|r−r0| |ν⟩ over the AO basis (pure components), via the
+    engine's nuclear_block with a unit NEGATIVE charge at r0 (its blocks
+    carry the −Z convention)."""
+    from .integrals import nuclear_block
+
+    mats = []
+    pures = []
+    for sh in shells:
+        if sh.pure and sh.l >= 2:
+            Scc, _ = overlap_kinetic_block(sh, sh)
+            pures.append(cart_to_pure_matrix(
+                sh.l, Scc, _cart_norm_factors(sh)))
+        else:
+            pures.append(None)
+    nbf = sum(sh.nfunc for sh in shells)
+    V = np.zeros((nbf, nbf))
+    offs = np.cumsum([0] + [sh.nfunc for sh in shells])
+    for a, sha in enumerate(shells):
+        for b in range(a + 1):
+            shb = shells[b]
+            blk = nuclear_block(sha, shb, [-1.0], [np.asarray(r0)])
+            if pures[a] is not None:
+                blk = pures[a] @ blk
+            if pures[b] is not None:
+                blk = blk @ pures[b].T
+            V[offs[a]: offs[a + 1], offs[b]: offs[b + 1]] = blk
+            V[offs[b]: offs[b + 1], offs[a]: offs[a + 1]] = blk.T
+    return V
+
+
+def esp_values(problem, points: np.ndarray,
+               gamma_spatial: Optional[np.ndarray] = None,
+               partial_unitary: Optional[np.ndarray] = None
+               ) -> np.ndarray:
+    """Molecular electrostatic potential V(r0) = Σ_A Z_A/|r0−R_A| −
+    Σ_μν P_μν ⟨μ|1/|r−r0||ν⟩ at `points` (npts, 3) bohr, in a.u.  The
+    electron term is an ANALYTIC Coulomb integral per point (Boys-
+    function machinery, no quadrature) — cost is one one-electron
+    matrix per point, so use surface/line grids rather than full cubes."""
+    from .properties import density_ao
+
+    ao = _require_shells(problem)
+    P = density_ao(problem, gamma_spatial, partial_unitary)
+    Z = np.asarray(ao.atomic_numbers, dtype=np.float64)
+    R = np.asarray(ao.coords, dtype=np.float64)
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+    out = np.empty(pts.shape[0])
+    for ip, r0 in enumerate(pts):
+        d = np.linalg.norm(R - r0, axis=1)
+        if np.any(d < 1e-10):
+            out[ip] = np.inf
+            continue
+        nuc = float((Z / d).sum())
+        out[ip] = nuc - float(np.sum(
+            P * _point_potential_matrix(ao.shells, r0)))
+    return out
+
+
+# Bondi-ish van der Waals radii (bohr) for the MK-style ESP surface
+_VDW_BOHR = {"H": 2.27, "He": 2.65, "Li": 3.44, "Be": 2.89, "B": 3.63,
+             "C": 3.21, "N": 2.93, "O": 2.87, "F": 2.78, "Ne": 2.91,
+             "Na": 4.29, "Mg": 3.27, "Al": 3.48, "Si": 3.97, "P": 3.40,
+             "S": 3.40, "Cl": 3.31, "Ar": 3.55}
+
+
+def _fibonacci_sphere(n: int) -> np.ndarray:
+    i = np.arange(n) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    theta = np.pi * (1.0 + np.sqrt(5.0)) * i
+    return np.stack([np.sin(phi) * np.cos(theta),
+                     np.sin(phi) * np.sin(theta),
+                     np.cos(phi)], axis=1)
+
+
+def esp_charges(problem,
+                gamma_spatial: Optional[np.ndarray] = None,
+                partial_unitary: Optional[np.ndarray] = None,
+                scales=(1.4, 1.6, 1.8, 2.0),
+                points_per_shell: int = 80):
+    """ESP-fitted atomic point charges (Merz–Kollman-style): sample the
+    potential on scaled-vdW-radius shells (keeping only points outside
+    every scaled sphere), then least-squares fit Σ_A q_A/|r−R_A| with
+    the total charge constrained exactly (Lagrange).  Returns
+    (charges (natom,), rrms — the relative RMS fit residual)."""
+    ao = _require_shells(problem)
+    R = np.asarray(ao.coords, dtype=np.float64)
+    radii = np.array([_VDW_BOHR.get(s, 3.4) for s in ao.symbols])
+    pts = []
+    for scale in scales:
+        for A in range(len(R)):
+            cand = R[A] + scale * radii[A] * _fibonacci_sphere(
+                points_per_shell)
+            d = np.linalg.norm(cand[:, None, :] - R[None, :, :], axis=2)
+            keep = np.all(d >= scale * radii[None, :] - 1e-8, axis=1)
+            pts.append(cand[keep])
+    pts = np.concatenate(pts)
+    from .properties import density_ao
+
+    V = esp_values(problem, pts, gamma_spatial, partial_unitary)
+    A_mat = 1.0 / np.linalg.norm(pts[:, None, :] - R[None, :, :], axis=2)
+    natom = len(R)
+    # total molecular charge = sum(Z) - tr(PS), the constraint value
+    PS = density_ao(problem, gamma_spatial, partial_unitary) @ \
+        np.asarray(ao.overlap, dtype=np.float64)
+    total = float(np.asarray(ao.atomic_numbers).sum() - np.trace(PS))
+    # KKT system: [2AᵀA, 1; 1ᵀ, 0] [q; λ] = [2AᵀV; Q_total]
+    K = np.zeros((natom + 1, natom + 1))
+    K[:natom, :natom] = 2.0 * (A_mat.T @ A_mat)
+    K[:natom, natom] = 1.0
+    K[natom, :natom] = 1.0
+    rhs = np.concatenate([2.0 * A_mat.T @ V, [total]])
+    q = np.linalg.solve(K, rhs)[:natom]
+    resid = A_mat @ q - V
+    rrms = float(np.sqrt((resid ** 2).sum() / (V ** 2).sum()))
+    return q, rrms

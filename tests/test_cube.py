@@ -132,3 +132,63 @@ class TestCubeIO:
         bare = dataclasses.replace(h2, ao_basis=None)
         with pytest.raises(ValueError, match="shells"):
             density_values(bare, np.zeros((1, 3)))
+
+
+class TestESP:
+    def test_far_field_matches_dipole_law(self):
+        # LiH on-axis far field: V -> mu_z/z^2, with the remaining
+        # deviation (the quadrupole term) decaying like 1/z
+        from esoo_tpu.chem import dipole_moment, esp_values
+
+        p = MoleculeDriver("Li 0 0 0; H 0 0 1.5949",
+                           basis="sto-3g").run()
+        mu = dipole_moment(p)
+        v15 = esp_values(p, [[0, 0, 15.0]])[0]
+        v20 = esp_values(p, [[0, 0, 20.0]])[0]
+        r15, r20 = v15 / (mu[2] / 15.0 ** 2), v20 / (mu[2] / 20.0 ** 2)
+        assert abs(r15 - 1.0) < 0.15
+        assert abs(r20 - 1.0) < abs(r15 - 1.0)   # converging
+        np.testing.assert_allclose((r20 - 1.0) / (r15 - 1.0),
+                                   15.0 / 20.0, atol=0.05)
+
+    def test_cation_monopole(self):
+        # H2+ far field is dominated by the +1 monopole: V ~ 1/r
+        from esoo_tpu.chem import esp_values
+
+        p = MoleculeDriver("H 0 0 0; H 0 0 1.057", basis="sto-3g",
+                           charge=1, spin=1).run()
+        v = esp_values(p, [[0, 14.0, 0.5]])[0]
+        r = np.linalg.norm([0, 14.0, 0.5 - 0.5285 * 1.8897259886 / 2])
+        np.testing.assert_allclose(v, 1.0 / 14.0, rtol=0.03)
+
+    def test_neutral_atom_penetration(self):
+        # outside a neutral spherical atom V > 0 (nucleus less shielded
+        # than a point charge would be) and far below the bare 2/r
+        from esoo_tpu.chem import esp_values
+
+        p = MoleculeDriver("He 0 0 0", basis="6-31g").run()
+        for r in (1.0, 2.0, 4.0):
+            v = esp_values(p, [[r, 0, 0]])[0]
+            assert 0.0 < v < 2.0 / r
+        # decays faster than 1/r (exponential shielding)
+        v1, v4 = esp_values(p, [[1.0, 0, 0], [4.0, 0, 0]])
+        assert v4 < v1 / 4.0
+
+    def test_esp_charges_lih(self):
+        from esoo_tpu.chem import esp_charges
+
+        p = MoleculeDriver("Li 0 0 0; H 0 0 1.5949",
+                           basis="sto-3g").run()
+        q, rrms = esp_charges(p)
+        assert q.sum() == pytest.approx(0.0, abs=1e-10)
+        assert q[0] > 0.3          # Li is the cationic end
+        assert rrms < 0.5
+
+    def test_esp_charges_total_charge_constraint(self):
+        from esoo_tpu.chem import esp_charges
+
+        p = MoleculeDriver("H 0 0 0; H 0 0 1.057", basis="sto-3g",
+                           charge=1, spin=1).run()
+        q, _ = esp_charges(p)
+        assert q.sum() == pytest.approx(1.0, abs=1e-10)
+        np.testing.assert_allclose(q[0], q[1], atol=1e-6)  # symmetric
