@@ -135,3 +135,14 @@ def test_h2_spectroscopy_thermo_example():
     s = float([ln for ln in out.splitlines() if "S(total)" in ln][0]
               .split("=")[1].split("J")[0])
     np.testing.assert_allclose(s, 130.68, atol=1.5)
+
+
+def test_mp2_activespace_example():
+    out = _run("examples/MP2_ActiveSpace_OptOrbVQE.py")
+    # the MP2-selected compressed space must beat MP2 itself
+    # (asserted inside the example); check the printed recovery
+    pct = float([ln for ln in out.splitlines()
+                 if "correlation recovered" in ln][0]
+                .split("(")[1].split("%")[0])
+    assert pct > 100.0
+    assert "selected active space: 6 spatial" in out
