@@ -23,6 +23,23 @@ import numpy as np
 from .basis import cart_to_pure_matrix, cartesian_components
 from .integrals import _cart_norm_factors, overlap_kinetic_block
 
+_PURE_CACHE = {}
+
+
+def _shell_pure_matrix(sh):
+    """The engine's (2l+1, ncart) pure transform for one shell (None
+    when cartesian is kept), cached by shell identity — the ONE place
+    this module derives it; the quadrature-closure tests pin it against
+    the IntegralEngine's own matrices."""
+    if not (sh.pure and sh.l >= 2):
+        return None
+    key = id(sh)
+    if key not in _PURE_CACHE:
+        Scc, _ = overlap_kinetic_block(sh, sh)
+        _PURE_CACHE[key] = (sh, cart_to_pure_matrix(
+            sh.l, Scc, _cart_norm_factors(sh)))
+    return _PURE_CACHE[key][1]
+
 
 def evaluate_aos(shells, points: np.ndarray) -> np.ndarray:
     """AO values φ_μ(r) at `points` (npts, 3) bohr → (npts, nbf),
@@ -41,9 +58,8 @@ def evaluate_aos(shells, points: np.ndarray) -> np.ndarray:
         for i, (lx, ly, lz) in enumerate(comps):
             cart[:, i] = (f[i] * d[:, 0] ** lx * d[:, 1] ** ly
                           * d[:, 2] ** lz) * radial
-        if sh.pure and sh.l >= 2:
-            Scc, _ = overlap_kinetic_block(sh, sh)
-            M = cart_to_pure_matrix(sh.l, Scc, f)   # (2l+1, ncart)
+        M = _shell_pure_matrix(sh)
+        if M is not None:
             cart = cart @ M.T
         cols.append(cart)
     return np.concatenate(cols, axis=1)
@@ -69,6 +85,22 @@ def density_values(problem, points: np.ndarray,
     from .properties import density_ao
 
     ao = _require_shells(problem)
+    if spin:
+        if gamma_spatial is None:
+            raise ValueError(
+                "spin=True needs an explicit SPIN density gamma_spatial "
+                "(gamma_aa - gamma_bb, e.g. a result's "
+                "spin_density_spatial) — the default mean-field gamma "
+                "is the spin-SUMMED density")
+        g = np.asarray(gamma_spatial)
+        n_act = (np.asarray(problem.mo_coeff_ao).shape[1]
+                 if partial_unitary is None
+                 else np.asarray(partial_unitary).shape[1])
+        if g.shape[0] != n_act:
+            raise ValueError(
+                f"spin=True needs the SPATIAL spin density "
+                f"({n_act}x{n_act}); got {g.shape} — a spin-orbital RDM "
+                f"would be silently spin-SUMMED here")
     P = density_ao(problem, gamma_spatial, partial_unitary,
                    include_core=not spin)
     phi = evaluate_aos(ao.shells, points)
@@ -184,41 +216,62 @@ def cube_density(problem, path: str,
             "axes": axes, "shape": tuple(shape)}
 
 
-def _point_potential_matrix(shells, r0: np.ndarray) -> np.ndarray:
-    """⟨μ| 1/|r−r0| |ν⟩ over the AO basis (pure components), via the
-    engine's nuclear_block with a unit NEGATIVE charge at r0 (its blocks
-    carry the −Z convention)."""
-    from .integrals import nuclear_block
+def _esp_pair_data(shells):
+    """Point-INDEPENDENT setup for the per-point potential matrices:
+    per shell pair, the primitive (p, P, cc, E3) Hermite data (the
+    expensive part of nuclear_block) plus pure transforms and offsets —
+    computed once per shell list and cached by identity."""
+    from .integrals import _shell_pair_blocks
 
-    mats = []
-    pures = []
-    for sh in shells:
-        if sh.pure and sh.l >= 2:
-            Scc, _ = overlap_kinetic_block(sh, sh)
-            pures.append(cart_to_pure_matrix(
-                sh.l, Scc, _cart_norm_factors(sh)))
-        else:
-            pures.append(None)
-    nbf = sum(sh.nfunc for sh in shells)
-    V = np.zeros((nbf, nbf))
+    key = tuple(id(sh) for sh in shells)
+    hit = _ESP_PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pures = [_shell_pure_matrix(sh) for sh in shells]
     offs = np.cumsum([0] + [sh.nfunc for sh in shells])
+    pairs = []
     for a, sha in enumerate(shells):
         for b in range(a + 1):
             shb = shells[b]
-            blk = nuclear_block(sha, shb, [-1.0], [np.asarray(r0)])
-            if pures[a] is not None:
-                blk = pures[a] @ blk
-            if pures[b] is not None:
-                blk = blk @ pures[b].T
-            V[offs[a]: offs[a + 1], offs[b]: offs[b + 1]] = blk
-            V[offs[b]: offs[b + 1], offs[a]: offs[a + 1]] = blk.T
+            pairs.append((a, b, sha.l + shb.l,
+                          list(_shell_pair_blocks(sha, shb))))
+    data = (shells, pures, offs, pairs, int(offs[-1]))
+    _ESP_PAIR_CACHE[key] = data
+    return data
+
+
+_ESP_PAIR_CACHE = {}
+
+
+def _point_potential_matrix(shells, r0: np.ndarray) -> np.ndarray:
+    """⟨μ| 1/|r−r0| |ν⟩ over the AO basis (pure components): only the
+    Boys-function R tensor depends on the point; everything else comes
+    from the cached pair data."""
+    from .integrals import hermite_coulomb
+
+    _, pures, offs, pairs, nbf = _esp_pair_data(shells)
+    r0 = np.asarray(r0, dtype=np.float64)
+    V = np.zeros((nbf, nbf))
+    for a, b, L, prim in pairs:
+        blk = 0.0
+        for p, P, cc, E3 in prim:
+            R = hermite_coulomb(L, L, L, p, P - r0)
+            blk = blk + cc * (2.0 * np.pi / p) * np.einsum(
+                "abtuv,tuv->ab", E3, R[: L + 1, : L + 1, : L + 1],
+                optimize=True)
+        if pures[a] is not None:
+            blk = pures[a] @ blk
+        if pures[b] is not None:
+            blk = blk @ pures[b].T
+        V[offs[a]: offs[a + 1], offs[b]: offs[b + 1]] = blk
+        V[offs[b]: offs[b + 1], offs[a]: offs[a + 1]] = blk.T
     return V
 
 
 def esp_values(problem, points: np.ndarray,
                gamma_spatial: Optional[np.ndarray] = None,
-               partial_unitary: Optional[np.ndarray] = None
-               ) -> np.ndarray:
+               partial_unitary: Optional[np.ndarray] = None,
+               _P: Optional[np.ndarray] = None) -> np.ndarray:
     """Molecular electrostatic potential V(r0) = Σ_A Z_A/|r0−R_A| −
     Σ_μν P_μν ⟨μ|1/|r−r0||ν⟩ at `points` (npts, 3) bohr, in a.u.  The
     electron term is an ANALYTIC Coulomb integral per point (Boys-
@@ -227,7 +280,8 @@ def esp_values(problem, points: np.ndarray,
     from .properties import density_ao
 
     ao = _require_shells(problem)
-    P = density_ao(problem, gamma_spatial, partial_unitary)
+    P = _P if _P is not None else density_ao(problem, gamma_spatial,
+                                             partial_unitary)
     Z = np.asarray(ao.atomic_numbers, dtype=np.float64)
     R = np.asarray(ao.coords, dtype=np.float64)
     pts = np.asarray(points, dtype=np.float64).reshape(-1, 3)
@@ -283,12 +337,12 @@ def esp_charges(problem,
     pts = np.concatenate(pts)
     from .properties import density_ao
 
-    V = esp_values(problem, pts, gamma_spatial, partial_unitary)
+    P = density_ao(problem, gamma_spatial, partial_unitary)
+    V = esp_values(problem, pts, _P=P)
     A_mat = 1.0 / np.linalg.norm(pts[:, None, :] - R[None, :, :], axis=2)
     natom = len(R)
     # total molecular charge = sum(Z) - tr(PS), the constraint value
-    PS = density_ao(problem, gamma_spatial, partial_unitary) @ \
-        np.asarray(ao.overlap, dtype=np.float64)
+    PS = P @ np.asarray(ao.overlap, dtype=np.float64)
     total = float(np.asarray(ao.atomic_numbers).sum() - np.trace(PS))
     # KKT system: [2AᵀA, 1; 1ᵀ, 0] [q; λ] = [2AᵀV; Q_total]
     K = np.zeros((natom + 1, natom + 1))

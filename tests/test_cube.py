@@ -126,6 +126,15 @@ class TestCubeIO:
             write_cube("/tmp/x.cube", h2, np.zeros(5), [0, 0, 0],
                        np.eye(3), (2, 2, 2))
 
+    def test_spin_true_requires_explicit_spin_gamma(self, h2):
+        from esoo_tpu.chem import density_values as dv
+
+        with pytest.raises(ValueError, match="spin-SUMMED"):
+            dv(h2, np.zeros((1, 3)), spin=True)
+        with pytest.raises(ValueError, match="SPATIAL"):
+            dv(h2, np.zeros((1, 3)), gamma_spatial=np.zeros((8, 8)),
+               spin=True)
+
     def test_requires_shells(self, h2):
         import dataclasses
 
@@ -158,8 +167,9 @@ class TestESP:
         p = MoleculeDriver("H 0 0 0; H 0 0 1.057", basis="sto-3g",
                            charge=1, spin=1).run()
         v = esp_values(p, [[0, 14.0, 0.5]])[0]
-        r = np.linalg.norm([0, 14.0, 0.5 - 0.5285 * 1.8897259886 / 2])
-        np.testing.assert_allclose(v, 1.0 / 14.0, rtol=0.03)
+        r = np.linalg.norm(np.array([0, 14.0, 0.5])
+                           - np.array([0, 0, 1.057 * 1.8897259886 / 2]))
+        np.testing.assert_allclose(v, 1.0 / r, rtol=0.01)
 
     def test_neutral_atom_penetration(self):
         # outside a neutral spherical atom V > 0 (nucleus less shielded
