@@ -161,8 +161,15 @@ def harmonic_frequencies(atom: str, energy_fn: Callable[[str], float],
     independent reduced-mass diatomic computation in
     tests/test_geometry.py."""
     symbols, coords = parse_geometry(atom)
-    natom = len(symbols)
     H = hessian(atom, energy_fn, step=step)
+    return _frequencies_from_hessian(symbols, coords, H, project=project)
+
+
+def _frequencies_from_hessian(symbols, coords, H, project: bool = True):
+    """Mass-weighting + trans/rot projection + frequencies for a
+    precomputed Cartesian Hessian (the harmonic_frequencies core,
+    shared with optimize_transition_state)."""
+    natom = len(symbols)
     masses = np.array([ISOTOPE_MASSES[s] for s in symbols]) * _AMU_TO_ME
     m3 = np.repeat(masses, 3)
     Hw = H / np.sqrt(np.outer(m3, m3))
@@ -473,3 +480,63 @@ def casscf_energy_fn(basis: str = "sto-3g",
                 + problem.nuclear_repulsion_energy)
 
     return energy
+
+
+def optimize_transition_state(atom: str, energy_fn, gtol: float = 3e-4,
+                              maxiter: int = 15, step: float = 1e-3,
+                              hessian_step: float = 5e-3,
+                              max_step: float = 0.3, callback=None):
+    """First-order saddle-point (transition-state) search: full Newton
+    steps on the central-FD gradient and Hessian, taken in the
+    non-translational/rotational eigenbasis (|λ| < 1e-8 modes are
+    excluded, so rigid motions never pollute the step).  Plain Newton
+    converges to the saddle whose basin contains the starting guess —
+    start near the expected TS.
+
+    Returns a dict like optimize_geometry's plus 'hessian' and
+    'n_negative' (negative non-trans/rot eigenvalues at the solution —
+    1 for a true TS, certified by tests on the H+H2 exchange barrier).
+    `max_step` caps the per-iteration displacement norm (bohr)."""
+    symbols, coords = parse_geometry(atom)
+    x = coords.ravel().copy()
+    nev = [0]
+    g = None
+    H = None
+    for it in range(maxiter):
+        at = geometry_string(symbols, x.reshape(coords.shape))
+        g = nuclear_gradient(at, energy_fn, step=step).ravel()
+        nev[0] += 2 * x.size
+        if np.abs(g).max() < gtol:
+            break
+        H = hessian(at, energy_fn, step=hessian_step)
+        nev[0] += 1 + 2 * x.size + 2 * x.size * (x.size - 1)
+        w, V = np.linalg.eigh(H)
+        keep = np.abs(w) > 1e-8
+        dx = -(V[:, keep] @ ((V[:, keep].T @ g) / w[keep]))
+        norm = np.linalg.norm(dx)
+        if norm > max_step:
+            dx *= max_step / norm
+        x = x + dx
+        if callback is not None:
+            callback(geometry_string(symbols, x.reshape(coords.shape)),
+                     float(energy_fn(geometry_string(
+                         symbols, x.reshape(coords.shape)))), g)
+    at = geometry_string(symbols, x.reshape(coords.shape))
+    e = float(energy_fn(at))
+    nev[0] += 1
+    if H is None:
+        H = hessian(at, energy_fn, step=hessian_step)
+        nev[0] += 1 + 2 * x.size + 2 * x.size * (x.size - 1)
+    fr = _frequencies_from_hessian(symbols, x.reshape(coords.shape), H)
+    f = fr["frequencies_cm1"][fr["vib_mask"]]
+    n_neg = int(np.sum(f < -50.0))   # projected vibrational negatives
+    return {
+        "atom": at,
+        "coords": x.reshape(coords.shape),
+        "energy": e,
+        "gradient": g.reshape(coords.shape),
+        "converged": bool(np.abs(g).max() < gtol),
+        "hessian": H,
+        "n_negative": n_neg,
+        "n_evaluations": nev[0],
+    }

@@ -176,3 +176,19 @@ def thermochemistry(atom: str,
         out["enthalpy"] = e0 + enthalpy_corr
         out["gibbs_free_energy"] = e0 + gibbs_corr
     return out
+
+
+def eyring_rate(delta_g_activation: float,
+                temperature: float = 298.15) -> float:
+    """Transition-state-theory rate constant (transmission coefficient
+    1): k(T) = (k_B T / h)·exp(−ΔG‡ / k_B T), with ΔG‡ in Hartree (the
+    Gibbs free energy of activation from two `thermochemistry` calls —
+    the TS one computed from a `harmonic_frequencies` result whose
+    imaginary mode is automatically excluded).  Returns 1/s for a
+    unimolecular step; for bimolecular reactions multiply by the
+    standard-state volume factor of your ΔG‡ convention."""
+    if temperature <= 0.0:
+        raise ValueError("temperature must be positive (Kelvin)")
+    kT = _KB * temperature
+    return (kT / _H) * float(np.exp(-float(delta_g_activation)
+                                    * _HARTREE_J / kT))

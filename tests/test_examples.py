@@ -146,3 +146,14 @@ def test_mp2_activespace_example():
                 .split("(")[1].split("%")[0])
     assert pct > 100.0
     assert "selected active space: 6 spatial" in out
+
+
+@pytest.mark.slow
+def test_h3_reaction_barrier_example():
+    out = _run("examples/H3_Reaction_Barrier.py")
+    b = float([ln for ln in out.splitlines()
+               if ln.startswith("classical barrier")][0]
+              .split(":")[1].split("kcal")[0])
+    np.testing.assert_allclose(b, 20.57, atol=0.3)
+    assert "1 negative mode" in out
+    assert "imaginary (reaction coordinate)" in out

@@ -259,3 +259,50 @@ class TestRamanActivities:
                                        alpha_fn, fr)
         assert acts[0] > 0.0
         assert depol[0] == pytest.approx(0.0, abs=1e-12)
+
+
+class TestTransitionState:
+    def test_h_plus_h2_exchange_saddle(self):
+        # the classic H + H2 exchange TS: symmetric linear H3, exactly
+        # one imaginary mode (the antisymmetric stretch), barrier above
+        # the H2 + H asymptote
+        from esoo_tpu.chem import (harmonic_frequencies,
+                                   optimize_transition_state)
+
+        e = casscf_energy_fn(basis="sto-3g", spin=1)
+        ts = optimize_transition_state("H 0 0 0; H 0 0 0.90; H 0 0 1.85",
+                                       e)
+        assert ts["converged"]
+        assert ts["n_negative"] == 1
+        c = ts["coords"]
+        r1 = np.linalg.norm(c[1] - c[0])
+        r2 = np.linalg.norm(c[2] - c[1])
+        np.testing.assert_allclose(r1, r2, atol=1e-3)   # symmetric
+        assert 0.90 < r1 / 1.8897259886 < 0.96          # ~0.937 A
+
+        # barrier vs the H2 + H asymptote (both fully optimized/free)
+        e2 = casscf_energy_fn(basis="sto-3g")
+        r0 = optimize_geometry("H 0 0 0; H 0 0 0.735", e2)
+        eh = e("H 0 0 0")
+        barrier = ts["energy"] - (r0["energy"] + eh)
+        assert 0.02 < barrier < 0.05    # 20.6 kcal/mol at FCI/STO-3G
+
+        fr = harmonic_frequencies(ts["atom"], e)
+        vib = fr["frequencies_cm1"][fr["vib_mask"]]
+        assert int(np.sum(vib < -50)) == 1
+        # the degenerate bend pair of a linear symmetric TS
+        pos = np.sort(vib[vib > 50])
+        np.testing.assert_allclose(pos[0], pos[1], rtol=1e-4)
+
+    def test_eyring_rate_analytic(self):
+        from esoo_tpu.chem import eyring_rate
+
+        # independent arithmetic: 20 kcal/mol at 298.15 K
+        dg = 20.0 / 627.5094740631
+        k = eyring_rate(dg)
+        kB, h, Eh = 1.380649e-23, 6.62607015e-34, 4.3597447222071e-18
+        expected = (kB * 298.15 / h) * np.exp(-dg * Eh / (kB * 298.15))
+        assert k == pytest.approx(expected, rel=1e-12)
+        assert 1e-3 < k < 1e-1          # ~0.01 1/s ballpark
+        # Arrhenius-like growth with T
+        assert eyring_rate(dg, 400.0) > 1e3 * k
