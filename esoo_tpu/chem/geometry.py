@@ -540,3 +540,45 @@ def optimize_transition_state(atom: str, energy_fn, gtol: float = 3e-4,
         "n_negative": n_neg,
         "n_evaluations": nev[0],
     }
+
+
+def reaction_path(atom: str, energy_fn, mode, direction: int = +1,
+                  step: float = 0.05, max_steps: int = 40,
+                  gtol: float = 3e-4, grad_step: float = 1e-3,
+                  callback=None):
+    """IRC-style reaction path: mass-weighted steepest descent from a
+    transition state.  The first displacement follows ±`mode` (the
+    imaginary-frequency mass-weighted normal mode from
+    `harmonic_frequencies` at the TS); every further step follows
+    −∇E in mass-weighted coordinates (damped Euler), `step` bohr·√amu
+    per step, until max|∇E| < gtol (a minimum basin) or `max_steps`.
+
+    Returns a dict: 'atoms' (list of geometry strings, TS first),
+    'energies' (matching list), 'converged' (reached gtol).  Energies
+    decrease monotonically along a correct descent path — certified by
+    the H+H2 exchange test, whose two directions end in the two
+    (equivalent) H2 + H valleys."""
+    symbols, coords = parse_geometry(atom)
+    m_amu = np.repeat(np.array([ISOTOPE_MASSES[s] for s in symbols]), 3)
+    x = coords.ravel().copy()
+    v = np.asarray(mode, dtype=np.float64).ravel()
+    v = v / np.linalg.norm(v)
+    # initial kick off the saddle along the transition mode
+    x = x + direction * step * v / np.sqrt(m_amu)
+    atoms = [atom]
+    energies = [float(energy_fn(atom))]
+    converged = False
+    for _ in range(max_steps):
+        at = geometry_string(symbols, x.reshape(coords.shape))
+        e = float(energy_fn(at))
+        atoms.append(at)
+        energies.append(e)
+        if callback is not None:
+            callback(at, e)
+        g = nuclear_gradient(at, energy_fn, step=grad_step).ravel()
+        if np.abs(g).max() < gtol:
+            converged = True
+            break
+        g_mw = g / np.sqrt(m_amu)
+        x = x - step * (g_mw / np.linalg.norm(g_mw)) / np.sqrt(m_amu)
+    return {"atoms": atoms, "energies": energies, "converged": converged}

@@ -474,3 +474,22 @@ def test_sa_sequential_predicate():
     assert _sa_sequential(big, 3, dense_tabs)
     assert not _sa_sequential(big, 1, dense_tabs)    # ground keeps vmap
     assert _sa_sequential(big, 1, compact_tabs)
+
+
+class TestStateSpecificExcited:
+    def test_zero_weight_optimizes_excited_orbitals(self):
+        # weight_vector=[0, 1] makes the orbital update purely
+        # state-1-driven: true state-specific excited CASSCF through
+        # the existing weighted machinery — E1 drops below the SA
+        # value, E0 (no longer favored) rises above SA's
+        from esoo_tpu.chem import MoleculeDriver
+        from esoo_tpu.orbital_optimization import FusedOptOrbSACASSCF
+
+        p = MoleculeDriver("Li 0 0 0; H 0 0 1.5949",
+                           basis="sto-3g").run()
+        sa = FusedOptOrbSACASSCF(8, k=2, problem=p,
+                                 maxiter=20).compute_energies()
+        ss = FusedOptOrbSACASSCF(8, k=2, weight_vector=[0, 1],
+                                 problem=p, maxiter=20).compute_energies()
+        assert ss.eigenvalues[1] < sa.eigenvalues[1] - 1e-3
+        assert ss.eigenvalues[0] > sa.eigenvalues[0] + 1e-3

@@ -306,3 +306,38 @@ class TestTransitionState:
         assert 1e-3 < k < 1e-1          # ~0.01 1/s ballpark
         # Arrhenius-like growth with T
         assert eyring_rate(dg, 400.0) > 1e3 * k
+
+
+class TestReactionPath:
+    def test_h3_irc_descends_into_both_valleys(self):
+        # mass-weighted steepest descent from the exchange TS: both
+        # directions descend MONOTONICALLY and end in the two
+        # mirror-image H2 + H valleys (short bond -> H2's r_e, long
+        # bond growing)
+        from esoo_tpu.chem import (harmonic_frequencies,
+                                   optimize_transition_state,
+                                   reaction_path)
+
+        e = casscf_energy_fn(basis="sto-3g", spin=1)
+        ts = optimize_transition_state("H 0 0 0; H 0 0 0.90; H 0 0 1.85",
+                                       e)
+        fr = harmonic_frequencies(ts["atom"], e)
+        mode = fr["modes"][int(np.argmin(fr["frequencies_cm1"]))]
+        ends = []
+        for d in (+1, -1):
+            path = reaction_path(ts["atom"], e, mode, direction=d,
+                                 max_steps=15)
+            E = np.array(path["energies"])
+            assert np.all(np.diff(E) < 1e-8)        # monotone descent
+            assert E[-1] < E[0] - 0.01
+            _, c = parse_geometry(path["atoms"][-1])
+            r1 = np.linalg.norm(c[1] - c[0]) / 1.8897259886
+            r2 = np.linalg.norm(c[2] - c[1]) / 1.8897259886
+            ends.append((r1, r2))
+        (a1, a2), (b1, b2) = ends
+        # mirror symmetry of the two branches
+        np.testing.assert_allclose(a1, b2, atol=5e-3)
+        np.testing.assert_allclose(a2, b1, atol=5e-3)
+        # one bond shortens toward H2, the other breaks
+        assert min(a1, a2) < 0.85
+        assert max(a1, a2) > 1.3
