@@ -487,49 +487,92 @@ def optimize_transition_state(atom: str, energy_fn, gtol: float = 3e-4,
                               hessian_step: float = 5e-3,
                               max_step: float = 0.3, callback=None):
     """First-order saddle-point (transition-state) search: full Newton
-    steps on the central-FD gradient and Hessian, taken in the
-    non-translational/rotational eigenbasis (|λ| < 1e-8 modes are
-    excluded, so rigid motions never pollute the step).  Plain Newton
-    converges to the saddle whose basin contains the starting guess —
-    start near the expected TS.
+    steps on the central-FD gradient and Hessian with rigid-body
+    motions PROJECTED OUT (Eckart-style Cartesian trans/rot basis —
+    noisy near-zero FD eigenvalues would otherwise amplify gradient
+    noise into large rigid displacements; a spectrum-relative cutoff
+    drops the projected null modes).  Plain Newton converges to the
+    saddle whose basin contains the starting guess — start near the
+    expected TS.
 
-    Returns a dict like optimize_geometry's plus 'hessian' and
-    'n_negative' (negative non-trans/rot eigenvalues at the solution —
-    1 for a true TS, certified by tests on the H+H2 exchange barrier).
-    `max_step` caps the per-iteration displacement norm (bohr)."""
+    Returns a dict like optimize_geometry's plus:
+      'hessian'     — the FD Hessian at the FINAL geometry (always
+                      freshly evaluated there),
+      'frequencies' — the `harmonic_frequencies`-style dict from that
+                      Hessian (callers need no second Hessian pass),
+      'n_negative'  — negative projected vibrational frequencies at the
+                      solution (1 certifies a true TS).
+    callback(atom, energy, gradient) fires once per iterate with all
+    three evaluated at the SAME geometry.  `max_step` caps the
+    per-iteration displacement norm (bohr)."""
     symbols, coords = parse_geometry(atom)
+    natom = len(symbols)
     x = coords.ravel().copy()
     nev = [0]
+
+    def _rigid_basis(xc):
+        c = xc.reshape(coords.shape)
+        rel = c - c.mean(axis=0)
+        basis = []
+        for d in range(3):
+            t = np.zeros_like(c)
+            t[:, d] = 1.0
+            basis.append(t.ravel())
+        for d in range(3):
+            e = np.zeros(3)
+            e[d] = 1.0
+            basis.append(np.cross(rel, e).ravel())
+        B = []
+        for v in basis:
+            for u in B:
+                v = v - (u @ v) * u
+            nv = np.linalg.norm(v)
+            if nv > 1e-8:
+                B.append(v / nv)
+        return np.array(B)
+
+    def _grad(at):
+        nev[0] += 6 * natom
+        return nuclear_gradient(at, energy_fn, step=step).ravel()
+
     g = None
-    H = None
-    for it in range(maxiter):
+    g_is_current = False
+    converged = False
+    for _ in range(maxiter):
         at = geometry_string(symbols, x.reshape(coords.shape))
-        g = nuclear_gradient(at, energy_fn, step=step).ravel()
-        nev[0] += 2 * x.size
+        g = _grad(at)
+        g_is_current = True
+        if callback is not None:
+            nev[0] += 1
+            callback(at, float(energy_fn(at)), g.reshape(coords.shape))
         if np.abs(g).max() < gtol:
+            converged = True
             break
         H = hessian(at, energy_fn, step=hessian_step)
-        nev[0] += 1 + 2 * x.size + 2 * x.size * (x.size - 1)
-        w, V = np.linalg.eigh(H)
-        keep = np.abs(w) > 1e-8
-        dx = -(V[:, keep] @ ((V[:, keep].T @ g) / w[keep]))
+        nev[0] += 1 + 6 * natom + 2 * 3 * natom * (3 * natom - 1)
+        B = _rigid_basis(x)
+        P = np.eye(3 * natom) - B.T @ B
+        Hp = P @ H @ P
+        gp = P @ g
+        w, V = np.linalg.eigh(Hp)
+        keep = np.abs(w) > 1e-6 * np.abs(w).max()
+        dx = -(V[:, keep] @ ((V[:, keep].T @ gp) / w[keep]))
         norm = np.linalg.norm(dx)
         if norm > max_step:
             dx *= max_step / norm
         x = x + dx
-        if callback is not None:
-            callback(geometry_string(symbols, x.reshape(coords.shape)),
-                     float(energy_fn(geometry_string(
-                         symbols, x.reshape(coords.shape)))), g)
+        g_is_current = False
+
     at = geometry_string(symbols, x.reshape(coords.shape))
     e = float(energy_fn(at))
     nev[0] += 1
-    if H is None:
-        H = hessian(at, energy_fn, step=hessian_step)
-        nev[0] += 1 + 2 * x.size + 2 * x.size * (x.size - 1)
+    if not g_is_current:
+        g = _grad(at)
+    # the certificate Hessian is ALWAYS evaluated at the final geometry
+    H = hessian(at, energy_fn, step=hessian_step)
+    nev[0] += 1 + 6 * natom + 2 * 3 * natom * (3 * natom - 1)
     fr = _frequencies_from_hessian(symbols, x.reshape(coords.shape), H)
     f = fr["frequencies_cm1"][fr["vib_mask"]]
-    n_neg = int(np.sum(f < -50.0))   # projected vibrational negatives
     return {
         "atom": at,
         "coords": x.reshape(coords.shape),
@@ -537,7 +580,8 @@ def optimize_transition_state(atom: str, energy_fn, gtol: float = 3e-4,
         "gradient": g.reshape(coords.shape),
         "converged": bool(np.abs(g).max() < gtol),
         "hessian": H,
-        "n_negative": n_neg,
+        "frequencies": fr,
+        "n_negative": int(np.sum(f < -50.0)),
         "n_evaluations": nev[0],
     }
 

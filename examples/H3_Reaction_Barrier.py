@@ -45,8 +45,9 @@ def main():
     print(f"\nclassical barrier: {barrier * KCAL:.2f} kcal/mol "
           f"(exact surface: 9.6 — the minimal basis overbinds H2)")
 
-    print("\nvibrational analysis at the saddle:")
-    fr_ts = harmonic_frequencies(ts["atom"], e_doublet)
+    print("\nvibrational analysis at the saddle (ships with the TS "
+          "result — no second Hessian pass):")
+    fr_ts = ts["frequencies"]
     vib = fr_ts["frequencies_cm1"][fr_ts["vib_mask"]]
     for nu in sorted(vib):
         tag = "imaginary (reaction coordinate)" if nu < 0 else ""

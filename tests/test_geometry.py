@@ -261,17 +261,23 @@ class TestRamanActivities:
         assert depol[0] == pytest.approx(0.0, abs=1e-12)
 
 
+@pytest.fixture(scope="module")
+def h3_saddle():
+    """The H+H2 exchange TS, searched once for the whole module (its
+    'frequencies' dict makes a second Hessian pass unnecessary)."""
+    from esoo_tpu.chem import optimize_transition_state
+
+    e = casscf_energy_fn(basis="sto-3g", spin=1)
+    return e, optimize_transition_state(
+        "H 0 0 0; H 0 0 0.90; H 0 0 1.85", e)
+
+
 class TestTransitionState:
-    def test_h_plus_h2_exchange_saddle(self):
+    def test_h_plus_h2_exchange_saddle(self, h3_saddle):
         # the classic H + H2 exchange TS: symmetric linear H3, exactly
         # one imaginary mode (the antisymmetric stretch), barrier above
         # the H2 + H asymptote
-        from esoo_tpu.chem import (harmonic_frequencies,
-                                   optimize_transition_state)
-
-        e = casscf_energy_fn(basis="sto-3g", spin=1)
-        ts = optimize_transition_state("H 0 0 0; H 0 0 0.90; H 0 0 1.85",
-                                       e)
+        e, ts = h3_saddle
         assert ts["converged"]
         assert ts["n_negative"] == 1
         c = ts["coords"]
@@ -287,12 +293,29 @@ class TestTransitionState:
         barrier = ts["energy"] - (r0["energy"] + eh)
         assert 0.02 < barrier < 0.05    # 20.6 kcal/mol at FCI/STO-3G
 
-        fr = harmonic_frequencies(ts["atom"], e)
+        # the frequency analysis ships WITH the result (fresh final-
+        # geometry Hessian — no second pass)
+        fr = ts["frequencies"]
         vib = fr["frequencies_cm1"][fr["vib_mask"]]
         assert int(np.sum(vib < -50)) == 1
         # the degenerate bend pair of a linear symmetric TS
         pos = np.sort(vib[vib > 50])
         np.testing.assert_allclose(pos[0], pos[1], rtol=1e-4)
+
+    def test_callback_triple_is_consistent(self, h3_saddle):
+        # callback(atom, energy, gradient) must all refer to the SAME
+        # geometry: re-evaluating at the reported atom reproduces both
+        from esoo_tpu.chem import optimize_transition_state
+
+        e, ts = h3_saddle
+        seen = []
+        optimize_transition_state(ts["atom"], e, maxiter=1,
+                                  callback=lambda a, en, g:
+                                  seen.append((a, en, g.copy())))
+        a, en, g = seen[0]
+        assert en == pytest.approx(float(e(a)), abs=1e-12)
+        np.testing.assert_allclose(
+            g, nuclear_gradient(a, e), atol=1e-10)
 
     def test_eyring_rate_analytic(self):
         from esoo_tpu.chem import eyring_rate
@@ -309,19 +332,15 @@ class TestTransitionState:
 
 
 class TestReactionPath:
-    def test_h3_irc_descends_into_both_valleys(self):
+    def test_h3_irc_descends_into_both_valleys(self, h3_saddle):
         # mass-weighted steepest descent from the exchange TS: both
         # directions descend MONOTONICALLY and end in the two
         # mirror-image H2 + H valleys (short bond -> H2's r_e, long
         # bond growing)
-        from esoo_tpu.chem import (harmonic_frequencies,
-                                   optimize_transition_state,
-                                   reaction_path)
+        from esoo_tpu.chem import reaction_path
 
-        e = casscf_energy_fn(basis="sto-3g", spin=1)
-        ts = optimize_transition_state("H 0 0 0; H 0 0 0.90; H 0 0 1.85",
-                                       e)
-        fr = harmonic_frequencies(ts["atom"], e)
+        e, ts = h3_saddle
+        fr = ts["frequencies"]
         mode = fr["modes"][int(np.argmin(fr["frequencies_cm1"]))]
         ends = []
         for d in (+1, -1):
