@@ -493,3 +493,48 @@ class TestStateSpecificExcited:
                                  problem=p, maxiter=20).compute_energies()
         assert ss.eigenvalues[1] < sa.eigenvalues[1] - 1e-3
         assert ss.eigenvalues[0] > sa.eigenvalues[0] + 1e-3
+
+
+class TestMultipletDegeneracy:
+    def test_triplet_identical_across_sz_sectors(self):
+        # the Sz=1 (2,0)-sector ground state and the S^2=2 member of
+        # the Sz=0 (1,1)-sector ladder are the SAME multiplet: in the
+        # full orbital space (FCI — basis invariant) they must be
+        # exactly degenerate even though the two runs use different
+        # SCF references (ROHF vs RHF) and disjoint determinant bases
+        from esoo_tpu.chem import MoleculeDriver
+        from esoo_tpu.orbital_optimization import (FusedOptOrbCASSCF,
+                                                   FusedOptOrbSACASSCF)
+
+        pt = MoleculeDriver("H 0 0 0; H 0 0 0.735", basis="6-31g",
+                            spin=2).run()
+        rt = FusedOptOrbCASSCF(num_spin_orbitals=8, problem=pt,
+                               maxiter=1).compute_minimum_energy()
+        assert rt.spin_squared == pytest.approx(2.0, abs=1e-10)
+
+        p0 = MoleculeDriver("H 0 0 0; H 0 0 0.735",
+                            basis="6-31g").run()
+        sa = FusedOptOrbSACASSCF(8, k=3, problem=p0,
+                                 maxiter=1).compute_energies()
+        i = int(np.argmin(np.abs(np.asarray(sa.spin_squared) - 2.0)))
+        assert sa.spin_squared[i] == pytest.approx(2.0, abs=1e-10)
+        assert rt.eigenvalue == pytest.approx(sa.eigenvalues[i],
+                                              abs=1e-12)
+
+    def test_state_specific_triplet_below_sa_triplet(self):
+        # in a REDUCED space the Sz=1 run optimizes orbitals FOR the
+        # triplet, so it lands below the SA ladder's triplet member
+        from esoo_tpu.chem import MoleculeDriver
+        from esoo_tpu.orbital_optimization import (FusedOptOrbCASSCF,
+                                                   FusedOptOrbSACASSCF)
+
+        pt = MoleculeDriver("H 0 0 0; H 0 0 0.735", basis="6-31g",
+                            spin=2).run()
+        rt = FusedOptOrbCASSCF(num_spin_orbitals=4, problem=pt,
+                               maxiter=20).compute_minimum_energy()
+        p0 = MoleculeDriver("H 0 0 0; H 0 0 0.735",
+                            basis="6-31g").run()
+        sa = FusedOptOrbSACASSCF(4, k=3, problem=p0,
+                                 maxiter=20).compute_energies()
+        i = int(np.argmin(np.abs(np.asarray(sa.spin_squared) - 2.0)))
+        assert rt.eigenvalue < sa.eigenvalues[i] - 1e-4
