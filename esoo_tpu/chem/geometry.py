@@ -626,3 +626,25 @@ def reaction_path(atom: str, energy_fn, mode, direction: int = +1,
         g_mw = g / np.sqrt(m_amu)
         x = x - step * (g_mw / np.linalg.norm(g_mw)) / np.sqrt(m_amu)
     return {"atoms": atoms, "energies": energies, "converged": converged}
+
+
+def ccsd_energy_fn(basis: str = "sto-3g", charge: int = 0,
+                   n_frozen: int = 0, triples: bool = False,
+                   custom_basis=None, **cc_kwargs):
+    """`atom_string -> total energy` at the CCSD (or CCSD(T)) level —
+    the `casscf_energy_fn` analogue for the coupled-cluster surface,
+    usable with optimize_geometry / harmonic_frequencies / hessian.
+    For two-electron systems this surface is EXACTLY the FCI one
+    (CCSD is exact there), which tests exploit."""
+    from .cc import ccsd
+    from .driver import MoleculeDriver
+
+    def energy(atom: str) -> float:
+        problem = MoleculeDriver(atom, basis=basis, charge=charge,
+                                 custom_basis=custom_basis).run()
+        r = ccsd(problem, n_frozen=n_frozen, triples=triples,
+                 **cc_kwargs)
+        e = r["e_total_ccsd_t"] if triples else r["e_total"]
+        return float(e)
+
+    return energy

@@ -97,3 +97,23 @@ class TestOptionsAndIntegration:
                            basis="sto-3g", spin=1).run()
         with pytest.raises(ValueError, match="closed-shell"):
             ccsd(p)
+
+
+class TestSurface:
+    def test_h2_ccsd_equilibrium_equals_fci(self):
+        # two electrons: the CCSD surface IS the FCI surface, so the
+        # optimized bond length must match casscf_energy_fn's to FD
+        # tolerance
+        from esoo_tpu.chem import (casscf_energy_fn, ccsd_energy_fn,
+                                   optimize_geometry)
+
+        r_cc = optimize_geometry("H 0 0 0; H 0 0 0.80",
+                                 ccsd_energy_fn(basis="sto-3g"))
+        r_fc = optimize_geometry("H 0 0 0; H 0 0 0.80",
+                                 casscf_energy_fn(basis="sto-3g"))
+        assert r_cc["converged"] and r_fc["converged"]
+        d_cc = np.linalg.norm(r_cc["coords"][1] - r_cc["coords"][0])
+        d_fc = np.linalg.norm(r_fc["coords"][1] - r_fc["coords"][0])
+        np.testing.assert_allclose(d_cc, d_fc, atol=2e-4)
+        np.testing.assert_allclose(r_cc["energy"], r_fc["energy"],
+                                   atol=1e-8)

@@ -157,3 +157,14 @@ def test_h3_reaction_barrier_example():
     np.testing.assert_allclose(b, 20.57, atol=0.3)
     assert "1 negative mode" in out
     assert "imaginary (reaction coordinate)" in out
+
+
+def test_h2o_method_ladder_example():
+    out = _run("examples/H2O_Method_Ladder.py")
+    # CCSD recovers ~99.8% of the exact correlation, CCSD(T) more
+    pct = {ln.split()[0]: float(ln.split()[-1])
+           for ln in out.splitlines()
+           if ln.strip().startswith(("HF", "MP2", "CCSD", "CCSD(T)"))}
+    assert pct["MP2"] > 60
+    assert pct["CCSD"] > 99
+    assert pct["CCSD(T)"] > pct["CCSD"]
