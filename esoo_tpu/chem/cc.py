@@ -60,8 +60,8 @@ def _spin_orbital_blocks(problem, n_frozen: int = 0):
 
 
 def ccsd(problem, n_frozen: int = 0, max_iter: int = 100,
-         conv_tol: float = 1e-10, diis_size: int = 8,
-         triples: bool = False) -> dict:
+         conv_tol: float = 1e-10, amp_tol: float = 1e-8,
+         diis_size: int = 8, triples: bool = False) -> dict:
     """Closed-shell CCSD (spin-orbital formulation) with optional
     perturbative triples.
 
@@ -80,13 +80,15 @@ def ccsd(problem, n_frozen: int = 0, max_iter: int = 100,
     oo = np.ix_(o, o)
     ov = np.ix_(o, v)
     OOVV = np.ix_(o, o, v, v)
+    oovv = anti[OOVV]
     t1 = np.zeros((no, nv))
-    t2 = anti[OOVV] / D2                     # MP2 start
+    t2 = oovv / D2                           # MP2 start
 
     def energy(t1, t2):
         e = np.einsum("ia,ia->", f[ov], t1)
-        e += 0.25 * np.einsum("ijab,ijab->", anti[OOVV], t2)
-        e += 0.5 * np.einsum("ijab,ia,jb->", anti[OOVV], t1, t1)
+        e += 0.25 * np.einsum("ijab,ijab->", oovv, t2)
+        e += 0.5 * np.einsum("ijab,ia,jb->", oovv, t1, t1,
+                             optimize=True)
         return float(e)
 
     # slices of the antisymmetrized integrals used by the equations
@@ -97,9 +99,12 @@ def ccsd(problem, n_frozen: int = 0, max_iter: int = 100,
         "oooo": anti[np.ix_(o, o, o, o)],
         "vvvv": anti[np.ix_(v, v, v, v)],
         "ovvo": anti[np.ix_(o, v, v, o)],
-        "ovoo": anti[np.ix_(o, v, o, o)],
-        "vvvo": anti[np.ix_(v, v, v, o)],
     }
+    # <mb||ij> = <ij||mb> and <ab||ej> = -<je||ab> (real integrals):
+    # derived views instead of more (2n)^4-tensor slices
+    W["ovoo"] = W["ooov"].transpose(2, 3, 0, 1)
+    W["vvvo"] = -W["ovvv"].transpose(2, 3, 1, 0)
+    del anti        # the (2n)^4 tensor is no longer needed
     foo = f[oo] - np.diag(fo)
     fvv = f[np.ix_(v, v)] - np.diag(fv)
     fov = f[ov]
@@ -116,36 +121,36 @@ def ccsd(problem, n_frozen: int = 0, max_iter: int = 100,
 
         Fae = (fvv - 0.5 * np.einsum("me,ma->ae", fov, t1)
                + np.einsum("mf,mafe->ae", t1, W["ovvv"])
-               - 0.5 * np.einsum("mnaf,mnef->ae", taut, W["oovv"]))
+               - 0.5 * np.einsum("mnaf,mnef->ae", taut, W["oovv"], optimize=True))
         Fmi = (foo + 0.5 * np.einsum("me,ie->mi", fov, t1)
                + np.einsum("ne,mnie->mi", t1, W["ooov"])
-               + 0.5 * np.einsum("inef,mnef->mi", taut, W["oovv"]))
+               + 0.5 * np.einsum("inef,mnef->mi", taut, W["oovv"], optimize=True))
         Fme = fov + np.einsum("nf,mnef->me", t1, W["oovv"])
 
         Wmnij = (W["oooo"]
                  + np.einsum("je,mnie->mnij", t1, W["ooov"])
                  - np.einsum("ie,mnje->mnij", t1, W["ooov"])
-                 + 0.25 * np.einsum("ijef,mnef->mnij", tau, W["oovv"]))
+                 + 0.25 * np.einsum("ijef,mnef->mnij", tau, W["oovv"], optimize=True))
         Wabef = (W["vvvv"]
                  - np.einsum("mb,amef->abef", t1, -W["ovvv"]
                              .transpose(1, 0, 2, 3))
                  + np.einsum("ma,bmef->abef", t1, -W["ovvv"]
                              .transpose(1, 0, 2, 3))
-                 + 0.25 * np.einsum("mnab,mnef->abef", tau, W["oovv"]))
+                 + 0.25 * np.einsum("mnab,mnef->abef", tau, W["oovv"], optimize=True))
         Wmbej = (W["ovvo"]
                  + np.einsum("jf,mbef->mbej", t1, W["ovvv"])
                  - np.einsum("nb,mnej->mbej", t1,
                              -W["ooov"].transpose(0, 1, 3, 2))
                  - np.einsum("jnfb,mnef->mbej",
                              0.5 * t2 + np.einsum("jf,nb->jnfb", t1, t1),
-                             W["oovv"]))
+                             W["oovv"], optimize=True))
 
         rhs1 = (fov + np.einsum("ie,ae->ia", t1, Fae)
                 - np.einsum("ma,mi->ia", t1, Fmi)
                 + np.einsum("imae,me->ia", t2, Fme)
                 - np.einsum("nf,naif->ia", t1,
                             W["ovvo"].transpose(0, 1, 3, 2) * -1.0)
-                - 0.5 * np.einsum("imef,maef->ia", t2, W["ovvv"])
+                - 0.5 * np.einsum("imef,maef->ia", t2, W["ovvv"], optimize=True)
                 - 0.5 * np.einsum("mnae,nmie->ia", t2,
                                   W["ooov"].transpose(1, 0, 2, 3)))
 
@@ -154,16 +159,17 @@ def ccsd(problem, n_frozen: int = 0, max_iter: int = 100,
                            Fae - 0.5 * np.einsum("mb,me->be", t1, FmeT))
         P_ij_1 = np.einsum("imab,mj->ijab", t2,
                            Fmi + 0.5 * np.einsum("je,me->mj", t1, FmeT))
-        P_ijab = np.einsum("imae,mbej->ijab", t2, Wmbej) \
-            - np.einsum("ie,ma,mbej->ijab", t1, t1, W["ovvo"])
+        P_ijab = np.einsum("imae,mbej->ijab", t2, Wmbej, optimize=True) \
+            - np.einsum("ie,ma,mbej->ijab", t1, t1, W["ovvo"],
+                        optimize=True)
         P_ij_2 = np.einsum("ie,abej->ijab", t1, W["vvvo"])
         P_ab_2 = np.einsum("ma,mbij->ijab", t1, W["ovoo"])
 
         rhs2 = (W["oovv"]
                 + (P_ab_1 - P_ab_1.transpose(0, 1, 3, 2))
                 - (P_ij_1 - P_ij_1.transpose(1, 0, 2, 3))
-                + 0.5 * np.einsum("mnab,mnij->ijab", tau, Wmnij)
-                + 0.5 * np.einsum("ijef,abef->ijab", tau, Wabef)
+                + 0.5 * np.einsum("mnab,mnij->ijab", tau, Wmnij, optimize=True)
+                + 0.5 * np.einsum("ijef,abef->ijab", tau, Wabef, optimize=True)
                 + (P_ijab - P_ijab.transpose(1, 0, 2, 3)
                    - P_ijab.transpose(0, 1, 3, 2)
                    + P_ijab.transpose(1, 0, 3, 2))
@@ -192,15 +198,17 @@ def ccsd(problem, n_frozen: int = 0, max_iter: int = 100,
             rhs = np.zeros(m + 1)
             rhs[m] = -1.0
             try:
-                w = np.linalg.solve(B, rhs)[:m]
-                vec = sum(wi * vi for wi, vi in zip(w, diis_t))
+                w = np.linalg.lstsq(B, rhs, rcond=1e-12)[0][:m]
+                if np.all(np.isfinite(w)) and np.abs(w).max() < 1e6:
+                    vec = sum(wi * vi for wi, vi in zip(w, diis_t))
             except np.linalg.LinAlgError:
                 pass
         t1 = vec[: no * nv].reshape(no, nv)
         t2 = vec[no * nv:].reshape(no, no, nv, nv)
 
         e_new = energy(t1, t2)
-        if abs(e_new - e_old) < conv_tol:
+        if (abs(e_new - e_old) < conv_tol
+                and np.linalg.norm(err) < amp_tol):
             converged = True
             e_old = e_new
             break

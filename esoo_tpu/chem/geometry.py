@@ -644,6 +644,13 @@ def ccsd_energy_fn(basis: str = "sto-3g", charge: int = 0,
                                  custom_basis=custom_basis).run()
         r = ccsd(problem, n_frozen=n_frozen, triples=triples,
                  **cc_kwargs)
+        if not r["converged"]:
+            # a stale energy would silently corrupt FD gradients
+            raise RuntimeError(
+                f"CCSD did not converge at geometry '{atom}' "
+                f"({r['n_iter']} iterations) — stretched-bond regions "
+                f"are a known CC failure mode; use casscf_energy_fn "
+                f"there")
         e = r["e_total_ccsd_t"] if triples else r["e_total"]
         return float(e)
 

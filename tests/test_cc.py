@@ -117,3 +117,10 @@ class TestSurface:
         np.testing.assert_allclose(d_cc, d_fc, atol=2e-4)
         np.testing.assert_allclose(r_cc["energy"], r_fc["energy"],
                                    atol=1e-8)
+
+    def test_energy_fn_refuses_unconverged(self):
+        from esoo_tpu.chem import ccsd_energy_fn
+
+        fn = ccsd_energy_fn(basis="sto-3g", max_iter=2)
+        with pytest.raises(RuntimeError, match="did not converge"):
+            fn("Li 0 0 0; H 0 0 1.60")
