@@ -593,6 +593,21 @@ def cart_to_pure_matrix(l: int, cart_overlap: np.ndarray,
     return np.array(rows)
 
 
+def is_ghost(symbol: str) -> bool:
+    """Ghost-atom marker: '@He' or 'ghost:He' — basis functions at the
+    center, no nucleus and no electrons (counterpoise corrections)."""
+    return symbol.startswith("@") or symbol.lower().startswith("ghost:")
+
+
+def element_symbol(symbol: str) -> str:
+    """The element behind a (possibly ghost-marked) atom symbol."""
+    if symbol.startswith("@"):
+        return symbol[1:]
+    if symbol.lower().startswith("ghost:"):
+        return symbol[6:]
+    return symbol
+
+
 def parse_geometry(atom: str):
     """Parse 'H 0 0 0; H 0 0 0.735' (Angstrom) into (symbols, coords_bohr)."""
     symbols, coords = [], []
@@ -633,12 +648,13 @@ def build_shells(atom: str, basis: str, custom_basis: dict | None = None):
         table = BASIS_SETS[basis.lower()]
     shells = []
     for sym, xyz in zip(symbols, coords):
-        if sym not in table:
+        el = element_symbol(sym)
+        if el not in table:
             raise ValueError(
-                f"No {basis} data for element {sym}; pass custom_basis= with "
+                f"No {basis} data for element {el}; pass custom_basis= with "
                 f"published exponents/coefficients."
             )
-        for sh in table[sym]:
+        for sh in table[el]:
             prims = sh["prims"]
             shells.append(
                 Shell(

@@ -251,7 +251,10 @@ class MoleculeDriver:
     def run(self) -> ElectronicStructureProblem:
         shells, symbols, coords = build_shells(
             self.atom, self.basis, self.custom_basis)
-        charges = np.array([ATOMIC_NUMBERS[s] for s in symbols], dtype=np.float64)
+        from .basis import element_symbol, is_ghost
+        charges = np.array(
+            [0.0 if is_ghost(s) else ATOMIC_NUMBERS[element_symbol(s)]
+             for s in symbols], dtype=np.float64)
         n_electrons = int(charges.sum()) - self.charge
         if (n_electrons - self.spin) % 2:
             raise ValueError(

@@ -655,3 +655,39 @@ def ccsd_energy_fn(basis: str = "sto-3g", charge: int = 0,
         return float(e)
 
     return energy
+
+
+def _ghostify(fragment: str) -> str:
+    from .basis import is_ghost
+
+    parts = []
+    for part in fragment.split(";"):
+        toks = part.split()
+        if not toks:
+            continue
+        sym = toks[0] if is_ghost(toks[0]) else "@" + toks[0]
+        parts.append(" ".join([sym] + toks[1:]))
+    return "; ".join(parts)
+
+
+def counterpoise_interaction(fragment_a: str, fragment_b: str,
+                             energy_fn) -> dict:
+    """Boys–Bernardi counterpoise-corrected interaction energy between
+    two fragments (geometry strings, Angstrom), over any total-energy
+    callable (`casscf_energy_fn`, `ccsd_energy_fn`, ...):
+
+        E_int^CP = E(AB) − E(A·@B) − E(@A·B)
+
+    with @X the ghost version of fragment X (its basis functions, no
+    nuclei/electrons).  Returns {'e_int_cp', 'e_int_raw' (monomer-basis
+    monomers), 'bsse' = e_int_raw − e_int_cp ≤ 0 — the raw interaction
+    is always artificially over-attractive (tested)}."""
+    e_ab = float(energy_fn(fragment_a + "; " + fragment_b))
+    e_a_cp = float(energy_fn(fragment_a + "; " + _ghostify(fragment_b)))
+    e_b_cp = float(energy_fn(_ghostify(fragment_a) + "; " + fragment_b))
+    e_a = float(energy_fn(fragment_a))
+    e_b = float(energy_fn(fragment_b))
+    e_cp = e_ab - e_a_cp - e_b_cp
+    e_raw = e_ab - e_a - e_b
+    return {"e_int_cp": e_cp, "e_int_raw": e_raw,
+            "bsse": e_raw - e_cp}
