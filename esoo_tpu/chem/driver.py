@@ -120,10 +120,11 @@ class ElectronicStructureProblem:
         ``result + problem.core_energy + problem.nuclear_repulsion_energy``.
         """
         if n_frozen is None:
-            from .basis import parse_geometry
+            from .basis import element_symbol, is_ghost, parse_geometry
             symbols, _ = parse_geometry(self.atom)
-            n_frozen = sum(_CORE_ORBITALS[ATOMIC_NUMBERS[s]]
-                           for s in symbols)
+            n_frozen = sum(
+                _CORE_ORBITALS[ATOMIC_NUMBERS[element_symbol(s)]]
+                for s in symbols if not is_ghost(s))
         na, nb = self.num_particles
         if n_frozen > min(na, nb):
             raise ValueError(
