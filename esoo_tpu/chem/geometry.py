@@ -110,6 +110,12 @@ ISOTOPE_MASSES = {
     "Na": 22.9897692809, "Mg": 23.98504170, "Al": 26.98153863,
     "Si": 27.9769265325, "P": 30.97376163, "S": 31.97207100,
     "Cl": 34.96885268, "Ar": 39.9623831225,
+    "K": 38.96370649, "Ca": 39.96259086, "Sc": 44.95590828,
+    "Ti": 47.94794198, "V": 50.94395704, "Cr": 51.94050623,
+    "Mn": 54.93804391, "Fe": 55.93493633, "Co": 58.93319429,
+    "Ni": 57.93534241, "Cu": 62.92959772, "Zn": 63.92914201,
+    "Ga": 68.9255735, "Ge": 73.921177761, "As": 74.92159457,
+    "Se": 79.9165218, "Br": 78.9183376, "Kr": 83.9114977282,
 }
 _AMU_TO_ME = 1822.888486209          # electron masses per amu
 _HARTREE_TO_CM1 = 219474.6313705     # wavenumbers per Hartree

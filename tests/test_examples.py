@@ -168,3 +168,11 @@ def test_h2o_method_ladder_example():
     assert pct["MP2"] > 60
     assert pct["CCSD"] > 99
     assert pct["CCSD(T)"] > pct["CCSD"]
+
+
+def test_h2_dissociation_curve_example():
+    out = _run("examples/H2_Dissociation_Curve.py")
+    # exact atomic limit, RHF catastrophe, MP2 collapse (asserted
+    # inside); spot-check the printed diagnostics
+    assert "FCI reaches the atomic limit to 0.000 mHa" in out
+    assert "ionic-term catastrophe" in out
