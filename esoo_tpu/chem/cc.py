@@ -24,18 +24,22 @@ import numpy as np
 def _spin_orbital_blocks(problem, n_frozen: int = 0):
     """Antisymmetrized spin-orbital integrals ⟨pq||rs⟩ (physicist),
     Fock matrix, and the occupied/virtual split.  Spin-orbital order:
-    (spatial, spin) interleaved as 2p+σ."""
+    (spatial, spin) interleaved as 2p+σ.
+
+    Open shells (n_alpha > n_beta, ROHF orbitals — one spatial set, the
+    form the driver provides) are handled by the NON-canonical CC
+    equations: the ROHF Fock is not diagonal, but its off-diagonal
+    occupied/virtual blocks enter through the Foo/Fvv intermediates and
+    the iteration converges to the same fixed point (H3 doublet lands
+    on FCI to 1e-10, tests/test_cc.py)."""
     n_a, n_b = problem.num_particles
-    if n_a != n_b:
-        raise ValueError("ccsd requires a closed-shell problem "
-                         f"(num_particles={problem.num_particles})")
     h = np.asarray(problem.hcore_mo, dtype=np.float64)
     eri = np.asarray(problem.eri_mo, dtype=np.float64)   # (pq|rs) chem
     n = h.shape[0]
-    nocc_sp = n_a
-    if not 0 <= n_frozen < nocc_sp:
-        raise ValueError(f"n_frozen={n_frozen} out of range")
-    if nocc_sp >= n:
+    if not 0 <= n_frozen <= n_b:
+        raise ValueError(f"n_frozen={n_frozen} out of range for "
+                         f"{n_b} doubly occupied orbitals")
+    if n_a >= n:
         raise ValueError("no virtual orbitals")
 
     N = 2 * n
@@ -48,22 +52,27 @@ def _spin_orbital_blocks(problem, n_frozen: int = 0):
             * (sz[None, :, None, None] == sz[None, None, None, :]))
     anti = phys - phys.transpose(0, 1, 3, 2)
 
-    occ = np.arange(2 * nocc_sp)
+    occ = np.array(sorted([2 * p for p in range(n_a)]
+                          + [2 * p + 1 for p in range(n_b)]))
     f = hso + np.einsum("piqi->pq", anti[:, occ][:, :, :, occ])
     e_hf = float(np.sum(hso[np.ix_(occ, occ)].diagonal())
                  + 0.5 * np.einsum(
                      "ijij->", anti[np.ix_(occ, occ, occ, occ)]))
 
-    o = np.arange(2 * n_frozen, 2 * nocc_sp)
-    v = np.arange(2 * nocc_sp, N)
+    # frozen cores are doubly occupied spatials < n_frozen — exactly
+    # the first 2*n_frozen entries of the sorted occ list
+    o = occ[2 * n_frozen:]
+    v = np.array(sorted(set(range(N)) - set(occ.tolist())))
     return anti, f, o, v, e_hf
 
 
 def ccsd(problem, n_frozen: int = 0, max_iter: int = 100,
          conv_tol: float = 1e-10, amp_tol: float = 1e-8,
          diis_size: int = 8, triples: bool = False) -> dict:
-    """Closed-shell CCSD (spin-orbital formulation) with optional
-    perturbative triples.
+    """CCSD (spin-orbital formulation; closed AND open shells — ROHF
+    references use the non-canonical equations) with optional
+    perturbative triples ((T) on open shells is the non-canonical
+    variant: the f_ov·t2 disconnected term is included).
 
     Returns a dict: e_corr (CCSD correlation), e_hf, e_total (incl.
     nuclear repulsion + core_energy), n_iter, converged, t1/t2

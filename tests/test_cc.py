@@ -92,11 +92,29 @@ class TestOptionsAndIntegration:
         assert r_file["e_corr"] == pytest.approx(r_mem["e_corr"],
                                                  abs=1e-10)
 
-    def test_open_shell_rejected(self):
+    def test_open_shell_h3_doublet(self):
+        # ROHF reference, non-canonical equations: the doublet lands on
+        # FCI to 1e-9 (3 electrons — connected triples are negligible)
         p = MoleculeDriver("H 0 0 0; H 0 0 0.95; H 0 0 1.90",
                            basis="sto-3g", spin=1).run()
-        with pytest.raises(ValueError, match="closed-shell"):
-            ccsd(p)
+        r = ccsd(p)
+        assert r["converged"]
+        assert r["e_hf"] == pytest.approx(p.scf.energy_electronic,
+                                          abs=1e-10)
+        assert r["e_hf"] + r["e_corr"] == pytest.approx(_fci(p),
+                                                        abs=1e-9)
+
+    def test_open_shell_li_ladder_and_frozen_core(self):
+        p = MoleculeDriver("Li 0 0 0", basis="6-31g", spin=1).run()
+        r = ccsd(p, triples=True)
+        e_fci = _fci(p)
+        err_cc = abs(r["e_hf"] + r["e_corr"] - e_fci)
+        err_cct = abs(r["e_hf"] + r["e_corr"] + r["e_triples"] - e_fci)
+        assert err_cc < 1e-6
+        assert err_cct < err_cc          # (T) tightens
+        # freezing the 1s core leaves ONE electron: zero correlation
+        rf = ccsd(p, n_frozen=1)
+        assert abs(rf["e_corr"]) < 1e-10
 
 
 class TestSurface:
