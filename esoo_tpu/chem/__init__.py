@@ -5,6 +5,7 @@ from .cube import (cube_density, density_values, esp_charges,
                    orbital_values, read_cube, write_cube)
 from .fcidump import read_fcidump, write_fcidump
 from .cc import ccsd
+from .cisd import cisd
 from .mp2 import mp2
 from .geometry import (casscf_dipole_fn, casscf_energy_fn,
                        counterpoise_interaction,
@@ -42,6 +43,7 @@ __all__ = [
     "read_cube",
     "write_cube",
     "ccsd",
+    "cisd",
     "mp2",
     "read_fcidump",
     "write_fcidump",
