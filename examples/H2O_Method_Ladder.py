@@ -1,6 +1,6 @@
 """The classical method ladder on one molecule, all in-package.
 
-HF → MP2 → CCSD → CCSD(T) → FCI on water/STO-3G — every rung computed
+HF → MP2 → CISD → CCSD → CCSD(T) → FCI on water/STO-3G — every rung computed
 by this package's own machinery (the reference delegates all classical
 energies to PySCF and has no correlated method of its own).  The
 correlation-energy recovery climbs monotonically toward the exact
@@ -13,7 +13,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-from esoo_tpu.chem import MoleculeDriver, ccsd, mp2  # noqa: E402
+from esoo_tpu.chem import MoleculeDriver, ccsd, cisd, mp2  # noqa: E402
 from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF  # noqa: E402
 
 ATOM = "O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692"
@@ -25,6 +25,7 @@ def main():
 
     e_hf = problem.scf.energy_electronic + nre
     m = mp2(problem)
+    ci = cisd(problem)
     cc = ccsd(problem, triples=True)
     fci = FusedOptOrbCASSCF(
         num_spin_orbitals=2 * problem.num_spatial_orbitals,
@@ -35,6 +36,7 @@ def main():
     rows = [
         ("HF", e_hf),
         ("MP2", m["e_total"]),
+        ("CISD", ci["e_total"]),
         ("CCSD", cc["e_total"]),
         ("CCSD(T)", cc["e_total_ccsd_t"]),
         ("FCI (sector Davidson)", e_fci),
@@ -49,7 +51,7 @@ def main():
             assert e <= prev + 1e-10       # monotone descent
         prev = e
 
-    assert abs(rows[3][1] - e_fci) < 1e-3  # CCSD(T) within 1 mHa of FCI
+    assert abs(rows[4][1] - e_fci) < 1e-3  # CCSD(T) within 1 mHa of FCI
 
 
 if __name__ == "__main__":
