@@ -11,9 +11,9 @@ CISD is variational (E_FCI <= E_CISD <= E_HF) but famously NOT
 size-consistent: E_CISD(A...B at infinity) > E_CISD(A) + E_CISD(B),
 because products of monomer doubles are dimer quadruples the truncated
 space lacks.  The renormalized Davidson correction
-E_Q = (1 - c0^2) E_corr estimates the missing quadruples from the
-ground-state HF-determinant weight c0; the size-consistency test pins
-both the failure and the fix.
+E_Q = (1 - c0^2)/c0^2 * E_corr estimates the missing quadruples from
+the ground-state HF-determinant weight c0; the size-consistency test
+pins both the failure and the fix.
 """
 
 from typing import Tuple
@@ -37,22 +37,24 @@ def cisd(problem, k: int = 1) -> dict:
         e_elec  — ground-state CISD electronic energy
         e_total — e_elec + nuclear repulsion + core_energy
         c0      — |coefficient of the HF determinant| in the ground state
-        davidson_q       — renormalized Davidson correction (1-c0^2)*e_corr
+        davidson_q       — renormalized Davidson correction
+                           (1-c0^2)/c0^2 * e_corr
         e_total_q        — e_total + davidson_q  (CISD+Q)
         energies         — the lowest k CISD electronic eigenvalues
         n_determinants   — size of the CISD space
     """
     from ..initializations.ci import (ci_matrix, enumerate_determinants,
                                       hf_determinant)
-    from ..orbital_optimization.kernels import expand_spin_tensors
 
-    h_sp, g_sp = problem.spatial_integral_tensors()
-    h_so, g_so = (np.asarray(t) for t in expand_spin_tensors(
-        np.asarray(h_sp, dtype=np.float64),
-        np.asarray(g_sp, dtype=np.float64)))
+    # pure-numpy path (like mp2/ccsd): never dispatch through JAX —
+    # under the axon backend that would ride the remote-TPU tunnel
+    h_so, g_so = problem.integral_tensors()
     n_so = h_so.shape[0]
     num_particles: Tuple[int, int] = tuple(problem.num_particles)
     dets = enumerate_determinants(n_so, num_particles, 2)
+    if not 1 <= k <= len(dets):
+        raise ValueError(
+            f"k={k} outside the CISD space of {len(dets)} determinants")
     H = ci_matrix(dets, h_so, g_so)
     w, v = np.linalg.eigh(H)
     hf_idx = dets.index(hf_determinant(n_so, num_particles))
@@ -60,7 +62,7 @@ def cisd(problem, k: int = 1) -> dict:
     e_elec = float(w[0])
     e_corr = e_elec - e_hf
     c0 = float(abs(v[hf_idx, 0]))
-    dq = (1.0 - c0 * c0) * e_corr
+    dq = (1.0 - c0 * c0) / (c0 * c0) * e_corr
     offset = (problem.nuclear_repulsion_energy
               + getattr(problem, "core_energy", 0.0))
     return {

@@ -56,6 +56,39 @@ def test_ladder_bracketing_h4():
     assert r3["energies"][0] == r["e_elec"]
 
 
+def test_open_shell_h3_doublet():
+    """ROHF reference: e_hf equals the SCF electronic energy exactly,
+    CISD brackets between FCI and HF, and with only 3 electrons the
+    truncation misses just the triples (CISD space strictly smaller
+    than FCI's)."""
+    p = chem.MoleculeDriver(atom="H 0 0 0; H 0 0 0.9; H 0 0 1.8",
+                            basis="6-31g", spin=1).run()
+    r = chem.cisd(p)
+    np.testing.assert_allclose(r["e_hf"], p.scf.energy_electronic,
+                               atol=1e-10)
+    e_fci = _fci_elec(p)
+    assert e_fci - 1e-10 <= r["e_elec"] < r["e_hf"] - 1e-4
+    from esoo_tpu.initializations.ci import enumerate_determinants
+    n_fci = len(enumerate_determinants(2 * p.num_spatial_orbitals,
+                                       tuple(p.num_particles), 3))
+    assert r["n_determinants"] < n_fci
+    # minimal basis: one alpha virtual saturates the S+D manifold, so
+    # CISD there IS FCI — a second exactness anchor
+    p0 = chem.MoleculeDriver(atom="H 0 0 0; H 0 0 0.9; H 0 0 1.8",
+                             basis="sto-3g", spin=1).run()
+    r0 = chem.cisd(p0)
+    np.testing.assert_allclose(r0["e_elec"], _fci_elec(p0), atol=1e-10)
+
+
+def test_k_validation():
+    p = chem.MoleculeDriver(atom="H 0 0 0; H 0 0 0.735",
+                            basis="sto-3g").run()
+    with pytest.raises(ValueError):
+        chem.cisd(p, k=0)
+    with pytest.raises(ValueError):
+        chem.cisd(p, k=10**6)
+
+
 def test_size_consistency_failure_and_q():
     """The classic anchor: two H2 molecules 100 A apart.  FCI is size
     consistent to machine precision; CISD is NOT (misses the
