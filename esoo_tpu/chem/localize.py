@@ -54,6 +54,10 @@ def _jacobi_maximize(M: np.ndarray, max_sweeps: int, tol: float):
     for sweep in range(max_sweeps if k >= 2 else 0):
         sweeps = sweep + 1
         gain_total = 0.0
+        # metric-relative stop: the Boys metric scales with the squared
+        # molecular extent, so an absolute threshold would never fire
+        # (or spin on rounding noise) for spatially extended systems
+        thresh = tol * max(1.0, abs(history[-1]))
         for s in range(k - 1):
             for t in range(s + 1, k):
                 mst = M[:, s, t]
@@ -79,7 +83,7 @@ def _jacobi_maximize(M: np.ndarray, max_sweeps: int, tol: float):
                 M[:, t, :] = -sn * Ms + c * Mt
                 gain_total += gain
         history.append(float(np.sum(M.diagonal(axis1=1, axis2=2) ** 2)))
-        if gain_total < tol:
+        if gain_total < thresh:
             converged = True
             break
     return W, M, np.asarray(history), converged, sweeps
@@ -128,12 +132,21 @@ def localize_orbitals(problem,
     if orbitals is None:
         n_docc = min(problem.num_particles)
         orbitals = np.arange(n_docc)
-    orbitals = np.asarray(orbitals, dtype=int)
+    orbitals = np.asarray(orbitals)
+    if orbitals.dtype == bool:                   # accept boolean masks
+        if orbitals.size != C_all.shape[1]:
+            raise ValueError(
+                f"boolean orbital mask has {orbitals.size} entries but "
+                f"the MO window has {C_all.shape[1]} orbitals")
+        orbitals = np.flatnonzero(orbitals)
+    orbitals = orbitals.astype(int)
     if orbitals.size and (orbitals.min() < 0
                           or orbitals.max() >= C_all.shape[1]):
         raise ValueError(
             f"orbital indices {orbitals} outside the problem's MO "
             f"window of {C_all.shape[1]} orbitals")
+    if np.unique(orbitals).size != orbitals.size:
+        raise ValueError(f"duplicate orbital indices in {orbitals}")
     C = np.ascontiguousarray(C_all[:, orbitals])
     k = C.shape[1]
     S = np.asarray(ao.overlap, dtype=np.float64)
@@ -149,22 +162,37 @@ def localize_orbitals(problem,
         Ca, SCa = C[m], SC[m]
         Q[a] = 0.5 * (Ca.T @ SCa + SCa.T @ Ca)
 
+    # dipole matrices over the chosen window (the Boys objective +
+    # centroid diagnostics for both methods): the problem already
+    # carries <p|r_d|q> about origin 0, window-reduced by active_space
+    # in lockstep with mo_coeff_ao — reuse it instead of re-evaluating
+    # AO integrals; fall back to a fresh engine only when absent
+    D_mo = getattr(problem, "dipole_mo", None)
+    if D_mo is not None:
+        D_win = np.asarray(D_mo, dtype=np.float64)[
+            :, orbitals[:, None], orbitals[None, :]]
+    elif ao.shells is not None:
+        from .integrals import IntegralEngine
+        D_ao = IntegralEngine(ao.shells, ao.atomic_numbers,
+                              ao.coords).dipole()      # (3, nbf, nbf)
+        D_win = np.einsum("ui,duv,vj->dij", C, D_ao, C, optimize=True)
+    else:
+        D_win = None
+
     m = method.lower()
+    is_boys = m in ("boys", "foster-boys")
     if m in ("pipek", "pipek-mezey", "pm"):
         M0 = Q
-    elif m in ("boys", "foster-boys"):
-        from .integrals import IntegralEngine
-        if ao.shells is None:
+    elif is_boys:
+        if D_win is None:
             raise ValueError(
-                "Boys localization needs AO shell data (ao_basis.shells "
-                "is None)")
-        engine = IntegralEngine(ao.shells, ao.atomic_numbers, ao.coords)
-        D_ao = engine.dipole()                       # (3, nbf, nbf)
-        M0 = np.einsum("ui,duv,vj->dij", C, D_ao, C, optimize=True)
+                "Boys localization needs dipole integrals (the problem "
+                "carries neither dipole_mo nor AO shell data)")
+        M0 = D_win
     else:
         raise ValueError("method must be 'pipek' or 'boys'")
 
-    W, _, history, converged, sweeps = _jacobi_maximize(
+    W, M_rot, history, converged, sweeps = _jacobi_maximize(
         M0, max_sweeps, tol)
     C_loc = C @ W
     # diagnostics in the LOCALIZED basis (both methods report both)
@@ -173,19 +201,14 @@ def localize_orbitals(problem,
     for a in range(natom):
         mask = atoms == a
         pops[:, a] = np.einsum("ui,ui->i", C_loc[mask], SCl[mask])
-    if m.startswith("b") and k:
-        cents = np.einsum("dii->id", np.einsum(
-            "ui,duv,vj->dij", C_loc, D_ao, C_loc, optimize=True))
+    if is_boys:
+        # the rotated objective matrices' diagonals ARE the centroids
+        cents = np.ascontiguousarray(
+            M_rot.diagonal(axis1=1, axis2=2).T)
+    elif D_win is not None:
+        cents = np.einsum("ji,djk,ki->id", W, D_win, W, optimize=True)
     else:
-        from .integrals import IntegralEngine
-        if ao.shells is not None:
-            engine = IntegralEngine(ao.shells, ao.atomic_numbers,
-                                    ao.coords)
-            D_ao = engine.dipole()
-            cents = np.einsum("ui,duv,vi->id", C_loc, D_ao, C_loc,
-                              optimize=True)
-        else:
-            cents = np.full((k, 3), np.nan)
+        cents = np.full((k, 3), np.nan)
     return {
         "coefficients": C_loc,
         "rotation": W,

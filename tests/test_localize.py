@@ -101,7 +101,18 @@ def test_explicit_window_and_errors(lih):
     with pytest.raises(ValueError):
         chem.localize_orbitals(lih, orbitals=[0, 99])
     with pytest.raises(ValueError):
+        chem.localize_orbitals(lih, orbitals=[0, 0])    # duplicates
+    with pytest.raises(ValueError):
         chem.localize_orbitals(lih, method="nope")
+    # boolean masks are accepted and mean selection, not indices
+    mask = np.zeros(lih.num_spatial_orbitals, dtype=bool)
+    mask[:2] = True
+    rm = chem.localize_orbitals(lih, orbitals=mask, method="boys")
+    rl = chem.localize_orbitals(lih, orbitals=[0, 1], method="boys")
+    np.testing.assert_allclose(rm["coefficients"], rl["coefficients"],
+                               atol=1e-12)
+    with pytest.raises(ValueError):     # wrong-length mask
+        chem.localize_orbitals(lih, orbitals=mask[:-1])
     # bare-tensor problems carry no AO structure
     import dataclasses
     bare = dataclasses.replace(lih, mo_coeff_ao=None)
