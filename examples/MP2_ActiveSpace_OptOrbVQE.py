@@ -16,7 +16,7 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
-from esoo_tpu.chem import MoleculeDriver, mp2  # noqa: E402
+from esoo_tpu.chem import MoleculeDriver, localize_orbitals, mp2  # noqa: E402
 from esoo_tpu.orbital_optimization import FusedOptOrbVQE  # noqa: E402
 from esoo_tpu.sim import UCCSD, HartreeFock  # noqa: E402
 
@@ -29,6 +29,18 @@ def main():
     print("MP2 natural occupations (first 8):")
     for i, o in enumerate(occ[:8]):
         print(f"  NO {i}: {o:10.6f}")
+
+    # the chemically-motivated view of the same question: localize the
+    # occupied window — LiH's two occupied MOs become a pure Li core
+    # and a Li-H bond, naming WHICH orbitals carry the chemistry
+    loc = localize_orbitals(problem, method="pipek")
+    print("\nPipek-Mezey localized occupied orbitals "
+          "(per-atom populations):")
+    for i, row in enumerate(loc["populations"]):
+        kind = "Li core" if row[0] > 0.9 else "Li-H bond"
+        print(f"  LMO {i}: Li {row[0]:.3f}  H {row[1]:.3f}   ({kind})")
+    kinds = sorted(loc["populations"][:, 0])
+    assert kinds[0] < 0.9 < kinds[1]     # one bond + one core
 
     # keep every NO with occupation above the selection threshold
     thresh = 1e-3

@@ -146,6 +146,7 @@ def test_mp2_activespace_example():
                 .split("(")[1].split("%")[0])
     assert pct > 100.0
     assert "selected active space: 6 spatial" in out
+    assert "(Li core)" in out and "(Li-H bond)" in out
 
 
 @pytest.mark.slow
