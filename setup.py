@@ -14,6 +14,7 @@ setup(
                  "OptOrbAdaptVQE) built on JAX"),
     long_description=long_description,
     long_description_content_type="text/markdown",
+    license="Apache-2.0",
     packages=find_packages(include=["esoo_tpu", "esoo_tpu.*"]),
     package_data={"esoo_tpu.native": ["*.cpp"]},
     python_requires=">=3.10",
@@ -26,6 +27,7 @@ setup(
         "dev": ["pytest>=7"],
     },
     classifiers=[
+        "License :: OSI Approved :: Apache Software License",
         "Programming Language :: Python :: 3",
         "Topic :: Scientific/Engineering :: Chemistry",
         "Topic :: Scientific/Engineering :: Physics",
