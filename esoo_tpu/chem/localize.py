@@ -140,6 +140,11 @@ def localize_orbitals(problem,
                 f"the MO window has {C_all.shape[1]} orbitals")
         orbitals = np.flatnonzero(orbitals)
     orbitals = orbitals.astype(int)
+    if orbitals.size == 0:
+        raise ValueError(
+            "empty orbital selection: localization needs at least one "
+            "orbital (orbitals=[] / an all-False mask is almost surely "
+            "a caller error)")
     if orbitals.size and (orbitals.min() < 0
                           or orbitals.max() >= C_all.shape[1]):
         raise ValueError(

@@ -89,6 +89,72 @@ def test_k_validation():
         chem.cisd(p, k=10**6)
 
 
+def test_missing_num_particles_is_clear():
+    """Adapted problems may carry num_particles=None; the error must
+    name the missing attribute instead of an opaque TypeError."""
+    p = chem.MoleculeDriver(atom="H 0 0 0; H 0 0 0.735",
+                            basis="sto-3g").run()
+
+    class _NoParts:
+        num_particles = None
+        nuclear_repulsion_energy = p.nuclear_repulsion_energy
+
+        def integral_tensors(self):
+            return p.integral_tensors()
+
+    with pytest.raises(ValueError, match="num_particles"):
+        chem.cisd(_NoParts())
+
+
+def test_dense_limit_guard():
+    """Past the dense-matrix feasibility ceiling the error is explicit
+    (advisor round 3: O(nd^2) memory arrives before other solvers give
+    out) — exercised with a temporarily lowered limit."""
+    import importlib
+    cisd_mod = importlib.import_module("esoo_tpu.chem.cisd")
+    p = chem.MoleculeDriver(
+        atom="H 0 0 0; H 0 0 0.9; H 0 0 1.8; H 0 0 2.7",
+        basis="sto-3g").run()
+    old = cisd_mod._DENSE_LIMIT
+    try:
+        cisd_mod._DENSE_LIMIT = 10
+        with pytest.raises(ValueError, match="determinants"):
+            chem.cisd(p)
+    finally:
+        cisd_mod._DENSE_LIMIT = old
+
+
+def test_lanczos_path_matches_eigh():
+    """The k<<nd eigsh route (advisor round 3) returns the same roots
+    as full eigh — exercised by lowering the crossover."""
+    import importlib
+    cisd_mod = importlib.import_module("esoo_tpu.chem.cisd")
+    p = chem.MoleculeDriver(
+        atom="H 0 0 0; H 0 0 0.9; H 0 0 1.8; H 0 0 2.7",
+        basis="sto-3g").run()
+    dense = chem.cisd(p, k=2)
+    old = cisd_mod._EIGH_CUTOFF
+    try:
+        cisd_mod._EIGH_CUTOFF = 1       # force the Lanczos branch
+        lanczos = chem.cisd(p, k=2)
+    finally:
+        cisd_mod._EIGH_CUTOFF = old
+    np.testing.assert_allclose(lanczos["energies"], dense["energies"],
+                               atol=1e-9)
+    np.testing.assert_allclose(lanczos["c0"], dense["c0"], atol=1e-7)
+
+
+def test_multireference_q_warning():
+    """Stretched H4 (quasi-degenerate, c0 well under the single-
+    reference regime) triggers the +Q validity warning."""
+    p = chem.MoleculeDriver(
+        atom="H 0 0 0; H 0 0 3.2; H 0 0 6.4; H 0 0 9.6",
+        basis="sto-3g").run()
+    with pytest.warns(UserWarning, match="multireference"):
+        r = chem.cisd(p)
+    assert r["c0"] < 0.8
+
+
 def test_size_consistency_failure_and_q():
     """The classic anchor: two H2 molecules 100 A apart.  FCI is size
     consistent to machine precision; CISD is NOT (misses the

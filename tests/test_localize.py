@@ -113,6 +113,11 @@ def test_explicit_window_and_errors(lih):
                                atol=1e-12)
     with pytest.raises(ValueError):     # wrong-length mask
         chem.localize_orbitals(lih, orbitals=mask[:-1])
+    with pytest.raises(ValueError, match="empty"):   # empty selection
+        chem.localize_orbitals(lih, orbitals=[])
+    with pytest.raises(ValueError, match="empty"):   # all-False mask
+        chem.localize_orbitals(
+            lih, orbitals=np.zeros(lih.num_spatial_orbitals, dtype=bool))
     # bare-tensor problems carry no AO structure
     import dataclasses
     bare = dataclasses.replace(lih, mo_coeff_ao=None)
