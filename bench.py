@@ -19,11 +19,22 @@ runs in the same process; `delta_e_vs_ref` reports our converged energy
 minus the published -1.8712471686505392 Ha (negative = strictly better
 variational optimum).
 
-Prints ONE JSON line.
+Prints ONE JSON line — ALWAYS.  A global wall-clock deadline
+(`BENCH_DEADLINE_S`, default 1200 s) bounds the whole run: phases are
+ordered cheapest/most-important first (H4 headline -> H2 accuracy ->
+transform TFLOP/s -> showcase scale phases), every showcase subprocess
+gets a budget derived from the time remaining (never a fixed 2400 s),
+and a watchdog thread prints the partial JSON line and exits if the
+main path ever wedges (e.g. a down TPU tunnel hanging a dispatch).
+Phases that don't fit the budget are reported as "skipped_budget"
+instead of silently losing the whole artifact (round-3 lesson:
+BENCH_r03.json rc=124, parsed=null — the old unbounded chains allowed
+a >4.5 h worst case with a single all-or-nothing print at the end).
 """
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
@@ -41,6 +52,59 @@ xla_cache.setup(jax)
 REF_H2_ENERGY = -1.8712471686505392
 BASELINE_BUDGET_S = 600.0
 WARM_REPEATS = 5
+
+# ---------------------------------------------------------------------------
+# global wall-clock budget + always-print machinery
+# ---------------------------------------------------------------------------
+
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1200"))
+_T0 = time.monotonic()
+
+
+def remaining() -> float:
+    """Seconds left before the global bench deadline."""
+    return DEADLINE_S - (time.monotonic() - _T0)
+
+
+# The one JSON line, built up incrementally so a watchdog fire mid-run
+# still emits every completed measurement.
+RESULTS = {
+    "metric": "optorb_vqe_h4_ccpvtz_to_8so_time_to_baseline_quality_s",
+    "value": None,
+    "unit": "s",
+    "vs_baseline": 0.0,
+    "deadline_s": DEADLINE_S,
+}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _emit():
+    """Print the single JSON line exactly once (main path or watchdog)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return False
+        _EMITTED = True
+    RESULTS["elapsed_s"] = round(time.monotonic() - _T0, 1)
+    print(json.dumps(RESULTS), flush=True)
+    return True
+
+
+def _watchdog():
+    """Backstop for a wedged main path (a down axon tunnel hangs even
+    trivial dispatches): at deadline + 60 s grace, print whatever has
+    been measured and hard-exit.  Subprocess phases already bound
+    themselves to the remaining budget, so this should only fire on an
+    in-parent hang."""
+    while True:
+        left = remaining()
+        if left <= -60.0:
+            break
+        time.sleep(max(1.0, min(left + 60.0, 30.0)))
+    RESULTS["watchdog_fired"] = True
+    _emit()
+    os._exit(0)
 
 
 def measure_tunnel_rtt_ms(n=7):
@@ -165,15 +229,17 @@ def run_m120_sharded(maxiter=8):
                 warm_s=round(warm, 2), outer_iters=r.outer_iterations)
 
 
-def run_m120_sharded_subprocess():
-    """run_m120_sharded in a child process (worker-crash containment)."""
+def run_m120_sharded_subprocess(budget_s=600.0):
+    """run_m120_sharded in a child process (worker-crash containment),
+    bounded by `budget_s` (derived from the bench's remaining budget)."""
     import subprocess
     import sys
     prog = ("import json; from bench import run_m120_sharded; "
             "print('M120JSON ' + json.dumps(run_m120_sharded()))")
     try:
         r = subprocess.run([sys.executable, "-c", prog],
-                           capture_output=True, text=True, timeout=2400)
+                           capture_output=True, text=True,
+                           timeout=max(60.0, budget_s))
         for line in r.stdout.splitlines():
             if line.startswith("M120JSON "):
                 return json.loads(line[9:])
@@ -238,9 +304,15 @@ def run_h8_scale(n_red_so=12, maxiter=10, simulation="full",
                 n_red_so=n_red_so, vqe_chunk=vqe_chunk)
 
 
-def run_h8_scale_subprocess():
+def run_h8_scale_subprocess(budget_s=600.0):
     """run_h8_scale in a child process (fresh TPU-tunnel connection, so a
     shared-worker crash cannot take down the parent's backend handle).
+
+    `budget_s` is a CUMULATIVE budget for the whole attempt chain (not
+    per attempt — round-3 lesson): each attempt's subprocess timeout is
+    the chain budget still unspent, and attempts whose measured expected
+    cost exceeds it are skipped up front, so a tight budget goes straight
+    to the config that can land inside it.
 
     Attempt order (largest measured-safe scale first — round-3 bisect:
     the shared worker kills any long-running dispatch, so every config
@@ -249,29 +321,33 @@ def run_h8_scale_subprocess():
     (2) N=16 (the round-3 flagship), (3) the round-2 N=12 full-space
     one-dispatch configuration as a last resort.  The returned dict
     records which (n_red_so, simulation, dispatch, vqe_chunk) produced
-    the result."""
+    the result.  Measured costs (scripts/probe_h8_n16.py on the v5e, no
+    worker crash): (20, sector, two, 50) with the string-factorized
+    kernels 208.3 s cold / 137.8 s warm (E=-10.265054, 2026-08-18);
+    (16, ...) 35.6 s cold / 28.1 s warm (E=-10.257938).  The UNCHUNKED
+    two-dispatch run was measured to kill the worker on its first
+    full-length eigensolver dispatch, so it is NOT in the chain."""
     import subprocess
     import sys
     err = "unknown"
-    # Attempt chain, all round-3 MEASURED configs (scripts/probe_h8_n16.py
-    # on the v5e, no worker crash): (20, sector, two, 50) with the
-    # string-factorized kernels ran 208.3 s cold / 137.8 s warm
-    # (E=-10.265054, 2026-08-18); (16, ...) ran 35.6 s cold / 28.1 s warm
-    # (E=-10.257938).  The UNCHUNKED two-dispatch run was measured to
-    # kill the worker on its first full-length eigensolver dispatch (same
-    # program content — a controlled confirmation of the per-dispatch
-    # execution-time kill), so it is NOT in the chain; a chunked failure
-    # falls back to smaller N.
-    for n_red, sim, disp, chunk in ((20, "sector", "two", 50),
-                                    (16, "sector", "two", 50),
-                                    (12, "full", "one", None)):
+    t_chain = time.monotonic()
+    # (config, expected cold+warm cost in s, measured round 3)
+    attempts = (((20, "sector", "two", 50), 420.0),
+                ((16, "sector", "two", 50), 120.0),
+                ((12, "full", "one", None), 300.0))
+    for (n_red, sim, disp, chunk), cost in attempts:
+        left = budget_s - (time.monotonic() - t_chain)
+        if left < cost:
+            err = f"skipped_budget (need ~{cost:.0f}s, have {left:.0f}s)"
+            continue
         prog = ("import json; from bench import run_h8_scale; "
                 "print('H8JSON ' + json.dumps(run_h8_scale("
                 f"n_red_so={n_red}, simulation={sim!r}, "
                 f"dispatch={disp!r}, vqe_chunk={chunk!r})))")
         try:
             r = subprocess.run([sys.executable, "-c", prog],
-                               capture_output=True, text=True, timeout=2400)
+                               capture_output=True, text=True,
+                               timeout=max(60.0, left))
         except subprocess.TimeoutExpired:
             err = "Timeout"
             continue
@@ -329,21 +405,30 @@ def run_h8_casscf(n_red_so=24, maxiter=10):
                 table_storage=solver.table_storage)
 
 
-def run_h8_casscf_subprocess():
+def run_h8_casscf_subprocess(budget_s=600.0):
     """run_h8_casscf isolated like run_h8_scale_subprocess; attempts
     N=32 (3.31M-determinant flagship, compact int8 stacks), then
-    N=28, 24, 20."""
+    N=28, 24, 20 — bounded by a cumulative `budget_s` with expected
+    per-config costs from the round-3 measurements (N=32 compact:
+    158.3 s cold / 82.3 s warm; N=28 dense 113.7/66.7; N=24 compact
+    33.2/1.3; N=20 36.8/0.8)."""
     import subprocess
     import sys
     err = "unknown"
-    for n_red in (32, 28, 24, 20):
+    t_chain = time.monotonic()
+    attempts = ((32, 330.0), (28, 240.0), (24, 90.0), (20, 90.0))
+    for n_red, cost in attempts:
+        left = budget_s - (time.monotonic() - t_chain)
+        if left < cost:
+            err = f"skipped_budget (need ~{cost:.0f}s, have {left:.0f}s)"
+            continue
         prog = ("import json; from bench import run_h8_casscf; "
                 "print('H8JSON ' + json.dumps(run_h8_casscf("
                 f"n_red_so={n_red})))")
         try:
             r = subprocess.run([sys.executable, "-c", prog],
                                capture_output=True, text=True,
-                               timeout=1800)
+                               timeout=max(60.0, left))
         except subprocess.TimeoutExpired:
             err = "Timeout"
             continue
@@ -616,99 +701,143 @@ def run_baseline(problem, n_red_so, time_budget_s=BASELINE_BUDGET_S):
 
 
 def main():
-    # primary: H4 cc-pVTZ -> 8 spin orbitals, time to reach (at least)
-    # the baseline's converged energy.  Measured: the f32 TPU phase alone
-    # lands BELOW the torch-CPU baseline's final energy; the f64 refine is
-    # additional accuracy beyond baseline quality, so it only counts
-    # toward the metric when the quality gate would otherwise fail.
+    threading.Thread(target=_watchdog, daemon=True).start()
+    skipped = []
+
+    # ---- phase 1 (headline numerator): H4 cc-pVTZ -> 8 spin orbitals,
+    # time to reach (at least) the baseline's converged energy.
+    # Measured: the f32 TPU phase alone lands BELOW the torch-CPU
+    # baseline's final energy; the f64 refine is additional accuracy
+    # beyond baseline quality, so it only counts toward the metric when
+    # the quality gate would otherwise fail.
     h4 = build_problem(H4_GEOM)
     ours = run_ours(h4, 8)
-    base = run_baseline(h4, 8)
+    RESULTS.update({
+        "h4_energy_f32": ours["energy_f32"],
+        "h4_energy_refined_f64": ours["energy"],
+        "h4_refine_s": round(ours["refine_s"], 2),
+        "h4_cold_wall_s": round(ours["cold_s"], 2),
+        "h4_warm_median_s": round(ours["warm_median_s"], 3),
+        "h4_warm_repeats": WARM_REPEATS,
+        "ours_warm_policy": f"min_of_{WARM_REPEATS}",
+        "outer_iters_per_sec": round(
+            ours["outer_iters"] / ours["warm_s"], 3),
+    })
+
+    # ---- phase 2 (headline denominator): reference-faithful torch-CPU
+    # baseline.  Budget: never past the global deadline (leave headroom
+    # for the cheap accuracy/transform phases).  If time allows, take
+    # the min of 2 samples to symmetrize with ours' min-of-5 policy
+    # (round-3 verdict weak #7); the repeat count is recorded either way.
+    base_budget = min(BASELINE_BUDGET_S, max(90.0, remaining() - 240.0))
+    base = run_baseline(h4, 8, time_budget_s=base_budget)
+    baseline_repeats = 1
+    if (not base["budget_hit"]
+            and remaining() - 240.0 > base["wall_s"] * 1.3):
+        base2 = run_baseline(h4, 8, time_budget_s=base_budget)
+        if base2["energy"] <= base["energy"] + 1e-9:
+            base["energy"] = base2["energy"]
+        base["wall_s"] = min(base["wall_s"], base2["wall_s"])
+        baseline_repeats = 2
     quality_gate = ours["energy_f32"] <= base["energy"] + 1e-6
     refined_gate = ours["energy"] <= base["energy"] + 1e-6
     quality_achieved = bool(quality_gate or refined_gate)
     ours_wall = ours["warm_s"] if quality_gate \
         else ours["warm_s"] + ours["refine_s"]
-
-    # accuracy cross-check: H2 headline configuration (README.md:94)
-    h2 = build_problem(H2_GEOM)
-    h2_ours = run_ours(h2, 4, maxiter=30, tol=1e-6)
-
-    # BASELINE.md first-class speed metrics: 2e-transform TFLOP/s at the
-    # bench scale (m=56, H4 cc-pVTZ) and at the m=120 roofline point
-    tf56 = measure_transform_tflops(56, 4)
-    tf120 = measure_transform_tflops(120, 8)
-
-    # GSPMD sharded-program path on REAL hardware: the identical fused
-    # program with the g tensor placed through a 1-device named mesh
-    # (collective-free degenerate case of the multi-chip layout)
-    sharded_wall = None
-    sharded_energy = None
-    try:
-        import jax
-        import jax.numpy as jnp
-        from jax.sharding import Mesh
-        from esoo_tpu.sim import UCCSD, HartreeFock
-        from esoo_tpu.orbital_optimization import FusedOptOrbVQE
-        mesh = Mesh(np.array(jax.devices()[:1]), ("orb",))
-        parts = h4.num_particles
-        ansatz = UCCSD(4, parts, initial_state=HartreeFock(4, parts))
-        solver = FusedOptOrbVQE(num_spin_orbitals=8, ansatz=ansatz,
-                                problem=h4, maxiter=20,
-                                stopping_tolerance=1e-5,
-                                dtype=jnp.float32, mesh=mesh,
-                                diagnostics=False)
-        r = solver.compute_minimum_energy()       # compile + warm
-        t0 = time.perf_counter()
-        r = solver.compute_minimum_energy()
-        sharded_wall = round(time.perf_counter() - t0, 3)
-        sharded_energy = r.eigenvalue
-    except Exception as e:  # record, don't fail the bench
-        sharded_wall = f"failed: {type(e).__name__}"
-
-    # production-scale demonstration at the sharded-relevant size
-    # (round-1 verdict item 9): H8 cc-pVTZ m=112 fused on this device.
-    # Runs in a SUBPROCESS with one retry: the shared axon TPU worker
-    # occasionally crashes/restarts mid-session, which kills the client's
-    # backend handle — a fresh process reconnects cleanly.
-    h8 = run_h8_scale_subprocess()
-    h8c = run_h8_casscf_subprocess()
-
-    # sharded-layout anchor at a size where the m^4/D HBM split matters
-    # (round-2 verdict item 8): H4 cc-pVQZ m=120 through the GSPMD mesh.
-    m120 = run_m120_sharded_subprocess()
-
-    rtt_ms = None
-    try:
-        rtt_ms = measure_tunnel_rtt_ms()
-    except Exception:
-        pass
-
-    line = {
-        "metric": "optorb_vqe_h4_ccpvtz_to_8so_time_to_baseline_quality_s",
+    RESULTS.update({
         "value": round(ours_wall, 3),
-        "unit": "s",
         "vs_baseline": round(base["wall_s"] / ours_wall, 2)
         if quality_achieved else 0.0,
         "quality_gate_f32_below_baseline": bool(quality_gate),
         "quality_achieved": quality_achieved,
-        "outer_iters_per_sec": round(ours["outer_iters"] / ours["warm_s"], 3),
+        "h4_baseline_energy": base["energy"],
+        "h4_baseline_wall_s": round(base["wall_s"], 2),
+        "h4_baseline_budget_hit": base["budget_hit"],
+        "baseline_repeats": baseline_repeats,
+        "baseline_budget_s": round(base_budget, 1),
+    })
+
+    # ---- phase 3: H2 accuracy cross-check (README.md:94 headline config)
+    h2 = build_problem(H2_GEOM)
+    h2_ours = run_ours(h2, 4, maxiter=30, tol=1e-6)
+    RESULTS.update({
+        "h2_energy": h2_ours["energy"],
+        "h2_ref_energy": REF_H2_ENERGY,
+        "h2_delta_e_vs_ref": h2_ours["energy"] - REF_H2_ENERGY,
+        # signed quality gate (round-1 verdict weak #4): at or below the
+        # published reference optimum within 1e-6 Ha
+        "h2_quality_gate_signed": bool(
+            h2_ours["energy"] <= REF_H2_ENERGY + 1e-6),
+    })
+
+    # ---- phase 4: BASELINE.md first-class speed metrics — 2e-transform
+    # TFLOP/s at the bench scale (m=56) and the m=120 roofline point
+    tf56 = measure_transform_tflops(56, 4)
+    tf120 = measure_transform_tflops(120, 8)
+    RESULTS.update({
         "transform_ms_m56_n4": tf56["ms"],
         "transform_tflops_m56_n4": tf56["tflops"],
         "transform_ms_m120_n8": tf120["ms"],
         "transform_tflops_m120_n8": tf120["tflops"],
-        "h4_energy_f32": ours["energy_f32"],
-        "h4_energy_refined_f64": ours["energy"],
-        "h4_refine_s": round(ours["refine_s"], 2),
-        "h4_baseline_energy": base["energy"],
-        "h4_baseline_wall_s": round(base["wall_s"], 2),
-        "h4_baseline_budget_hit": base["budget_hit"],
-        "h4_cold_wall_s": round(ours["cold_s"], 2),
+    })
+
+    # ---- phase 5: tunnel-load provenance
+    try:
+        RESULTS["tunnel_rtt_ms"] = measure_tunnel_rtt_ms()
+    except Exception:
+        RESULTS["tunnel_rtt_ms"] = None
+
+    # ---- phase 6: GSPMD sharded-program path on REAL hardware — the
+    # identical fused program with the g tensor placed through a 1-device
+    # named mesh (collective-free degenerate case of the multi-chip
+    # layout).  Cheap (compiled shapes shared with phase 1's program).
+    sharded_wall = None
+    sharded_energy = None
+    if remaining() > 120.0:
+        try:
+            import jax
+            import jax.numpy as jnp
+            from jax.sharding import Mesh
+            from esoo_tpu.sim import UCCSD, HartreeFock
+            from esoo_tpu.orbital_optimization import FusedOptOrbVQE
+            mesh = Mesh(np.array(jax.devices()[:1]), ("orb",))
+            parts = h4.num_particles
+            ansatz = UCCSD(4, parts, initial_state=HartreeFock(4, parts))
+            solver = FusedOptOrbVQE(num_spin_orbitals=8, ansatz=ansatz,
+                                    problem=h4, maxiter=20,
+                                    stopping_tolerance=1e-5,
+                                    dtype=jnp.float32, mesh=mesh,
+                                    diagnostics=False)
+            r = solver.compute_minimum_energy()       # compile + warm
+            t0 = time.perf_counter()
+            r = solver.compute_minimum_energy()
+            sharded_wall = round(time.perf_counter() - t0, 3)
+            sharded_energy = r.eigenvalue
+        except Exception as e:  # record, don't fail the bench
+            sharded_wall = f"failed: {type(e).__name__}"
+    else:
+        sharded_wall = "skipped_budget"
+        skipped.append("h4_sharded_mesh1")
+    RESULTS.update({
         "h4_sharded_mesh1_wall_s": sharded_wall,
         "h4_sharded_mesh1_energy": sharded_energy,
-        "h4_warm_median_s": round(ours["warm_median_s"], 3),
-        "h4_warm_repeats": WARM_REPEATS,
-        "tunnel_rtt_ms": rtt_ms,
+    })
+
+    # ---- showcase phases, each on a budget carved from what remains.
+    # H8 string-UCC first (the provenance fields the scale story rests
+    # on), then exact CASSCF (the N=32 flagship), then the m=120 sharded
+    # anchor.  A skipped phase is reported, never silently absent.
+    reserve = 45.0  # final-emit headroom
+
+    left = remaining() - reserve
+    if left > 120.0:
+        h8 = run_h8_scale_subprocess(budget_s=left * 0.55)
+    else:
+        h8 = dict(energy=None, cold_s=None, warm_s="skipped_budget",
+                  outer_iters=0, simulation=None, dispatch=None,
+                  n_red_so=None)
+        skipped.append("h8_ucc")
+    RESULTS.update({
         "h8_m112_energy_f32": h8["energy"],
         "h8_m112_cold_s": h8["cold_s"],
         "h8_m112_warm_s": h8["warm_s"],
@@ -717,26 +846,77 @@ def main():
         "h8_m112_simulation": h8.get("simulation"),
         "h8_m112_dispatch": h8.get("dispatch"),
         "h8_m112_vqe_chunk": h8.get("vqe_chunk"),
+    })
+
+    left = remaining() - reserve
+    if left > 90.0:
+        h8c = run_h8_casscf_subprocess(budget_s=left * 0.75)
+    else:
+        h8c = dict(energy=None, cold_s=None, warm_s="skipped_budget",
+                   outer_iters=0, n_red_so=None)
+        skipped.append("h8_casscf")
+    RESULTS.update({
         "h8_casscf_energy_f32": h8c["energy"],
         "h8_casscf_cold_s": h8c["cold_s"],
         "h8_casscf_warm_s": h8c["warm_s"],
         "h8_casscf_outer_iters": h8c["outer_iters"],
         "h8_casscf_n_red_so": h8c.get("n_red_so"),
         "h8_casscf_table_storage": h8c.get("table_storage"),
+    })
+
+    left = remaining() - reserve
+    if left > 90.0:
+        m120 = run_m120_sharded_subprocess(budget_s=left)
+    else:
+        m120 = dict(energy=None, cold_s=None, warm_s="skipped_budget",
+                    outer_iters=0)
+        skipped.append("m120_sharded")
+    RESULTS.update({
         "m120_sharded_energy_f32": m120["energy"],
         "m120_sharded_cold_s": m120["cold_s"],
         "m120_sharded_warm_s": m120["warm_s"],
         "m120_sharded_outer_iters": m120["outer_iters"],
-        "h2_energy": h2_ours["energy"],
-        "h2_ref_energy": REF_H2_ENERGY,
-        "h2_delta_e_vs_ref": h2_ours["energy"] - REF_H2_ENERGY,
-        # signed quality gate (round-1 verdict weak #4): at or below the
-        # published reference optimum within 1e-6 Ha
-        "h2_quality_gate_signed": bool(
-            h2_ours["energy"] <= REF_H2_ENERGY + 1e-6),
-    }
-    print(json.dumps(line))
+    })
+
+    RESULTS["phases_skipped"] = skipped
+    _emit()
+
+
+def parent_main():
+    """Crash containment for the whole bench: run main() in a child
+    process and re-emit its JSON line.  If the child dies without
+    printing one — SIGILL from a foreign-host AOT cache entry, an OOM
+    kill, a hard backend fault the in-process watchdog cannot survive —
+    print a fallback JSON line with the error tail instead of nothing
+    (the round-3 failure mode was an artifact with parsed=null)."""
+    import subprocess
+    import sys
+    env = dict(os.environ, BENCH_CHILD="1")
+    tail = ""
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, env=env,
+                           timeout=DEADLINE_S + 180.0)
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                try:
+                    parsed = json.loads(line)
+                except ValueError:
+                    continue
+                if "metric" in parsed:
+                    print(line, flush=True)
+                    return
+        lines = (r.stderr or r.stdout).strip().splitlines()
+        tail = lines[-1][:200] if lines else f"rc={r.returncode}"
+    except subprocess.TimeoutExpired:
+        tail = "parent timeout (child wedged past deadline + grace)"
+    RESULTS["error"] = tail
+    RESULTS["watchdog_fired"] = True
+    _emit()
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+    else:
+        parent_main()
