@@ -312,13 +312,33 @@ def _apply_rev_str_bwd(res, ct):
             pB.shape[0], dtype=pB.dtype)[None, :]).astype(dt)
         M = bD[:, None] * aD[None, :] + bR[:, None] * aR[None, :]
         S = vR[:, None] * uR[None, :] - vD[:, None] * uD[None, :]
+        # The naive step needs THREE permutation sandwiches
+        # perm(X) = EB @ X @ EA^T (for V_k, V_{k-1}, W).  Two exact
+        # identities collapse it to ONE batched pair (the scan at
+        # N>=24 is bound by sequential small-GEMM launches, not FLOPs):
+        #   * perm is an involution that maps dom <-> ran, under which
+        #     the touched mask is even and the sign field odd:
+        #     perm(M (.) X) = M (.) perm(X), perm(S (.) X) = -S (.)
+        #     perm(X), and perm(perm(X)) = X — so perm(V_{k-1}) needs
+        #     no new GEMM:
+        #       perm(V_{k-1}) = perm(V_k + (c-1) M(.)V_k - s S(.)G_k)
+        #                     = G_k + (c-1) M(.)G_k + s S(.)V_k
+        #   * the two remaining sandwiches (V_k and W) share EB/EA and
+        #     batch into one einsum pair of twice the contraction width.
+        nB, nA = Vk.shape
+        X = jnp.concatenate([Vk, W], axis=1)          # (nB, 2 nA)
+        Y = EB @ X                                    # one (nB, 2 nA) GEMM
+        Z = jnp.concatenate([Y[:, :nA], Y[:, nA:]], axis=0)   # (2 nB, nA)
+        GX = Z @ EA.T                                 # one (2 nB, nA) GEMM
+        G_k, GW = GX[:nB], GX[nB:]
         # V_{k-1} = G(-th) V_k (orthogonal inverse)
-        V_prev = Vk + (c - 1.0) * (M * Vk) - s * (S * (EB @ Vk @ EA.T))
+        V_prev = Vk + (c - 1.0) * (M * Vk) - s * (S * G_k)
+        perm_V_prev = G_k + (c - 1.0) * (M * G_k) + s * (S * Vk)
         # dL/dth_k = W . (dG/dth) V_{k-1}
-        dG_V = -s * (M * V_prev) + c * (S * (EB @ V_prev @ EA.T))
+        dG_V = -s * (M * V_prev) + c * (S * perm_V_prev)
         dth = jnp.sum(W * dG_V)
         # W_{k-1} = G^T W = G(-th) W
-        W_prev = W + (c - 1.0) * (M * W) - s * (S * (EB @ W @ EA.T))
+        W_prev = W + (c - 1.0) * (M * W) - s * (S * GW)
         return (W_prev, V_prev), dth
 
     K = int(theta.shape[0])
