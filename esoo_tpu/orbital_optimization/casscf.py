@@ -265,9 +265,11 @@ class FusedOptOrbCASSCF:
             (the ground solver runs the k=1 block machinery when
             chunked).
         table_storage: 'dense' (f32/f64 operator stacks), 'compact'
-            (int8 stacks + operator-chunked kernels — the single-chip
-            HBM path past ~1M determinants), or 'auto' (compact beyond
-            nd > 1.1M, dense below; mesh= always shards dense).
+            (int8 stacks; single-chip: operator-chunked kernels — the
+            HBM path past ~1M determinants; with mesh=: int8 stacks
+            sharded over the operator axis, cast per shard, so the
+            float working set drops as 1/D), or 'auto' (compact
+            beyond nd > 1.1M, dense below — with or without a mesh).
     Result fields follow FusedOptOrbResult; `optimal_point` holds the
     exact sector eigenvector (flat, C(n,na)*C(n,nb) amplitudes).
     """
@@ -300,11 +302,6 @@ class FusedOptOrbCASSCF:
         if table_storage not in ("auto", "dense", "compact"):
             raise ValueError(
                 "table_storage must be 'auto', 'dense', or 'compact'")
-        if mesh is not None and table_storage == "compact":
-            raise ValueError(
-                "table_storage='compact' is the single-device "
-                "large-sector path; with mesh= the dense stacks are "
-                "sharded across chips instead")
 
         if num_particles is None:
             if problem is None or not hasattr(problem, "num_particles"):
@@ -348,9 +345,20 @@ class FusedOptOrbCASSCF:
         self._sector_tables = None
         if mesh is not None:
             from ..parallel import shard_sector_tables
-            self.table_storage = "sharded"
+            storage = table_storage
+            if storage == "auto":
+                storage = ("compact"
+                           if self._sector.dim > _COMPACT_MIN_ND
+                           else "dense")
+            # mesh x compact composition: int8 stacks sharded over the
+            # operator axis under the dense kernel keys — each device
+            # casts only its shard, so the float working set drops as
+            # 1/D on top of the int8 transport (round-3 verdict item 3)
+            self.table_storage = ("sharded" if storage == "dense"
+                                  else "sharded-compact")
             self._sector_tables = shard_sector_tables(mesh, self._sector,
-                                                      dtype)
+                                                      dtype,
+                                                      storage=storage)
         else:
             storage = table_storage
             if storage == "auto":

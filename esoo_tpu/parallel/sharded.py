@@ -197,7 +197,8 @@ class ShardedOrbitalOptimizer:
         return np.asarray(U), float(E)
 
 
-def shard_sector_tables(mesh: Mesh, sector, dtype, axis_name: str = "orb"):
+def shard_sector_tables(mesh: Mesh, sector, dtype, axis_name: str = "orb",
+                        storage: str = "dense"):
     """Mesh placement for a SectorUCC's string-kernel tables: the
     one-body operator stacks MA/MB — the axis every sigma/RDM GEMM
     batches over — are sharded across `axis_name`; everything else
@@ -218,6 +219,16 @@ def shard_sector_tables(mesh: Mesh, sector, dtype, axis_name: str = "orb"):
     stride), and zero operator matrices contribute nothing, so results
     are bit-compatible with the unsharded path (tests/test_parallel.py).
 
+    storage='compact' composes the mesh placement with the int8
+    large-sector storage (round-3 verdict item: the two capacity
+    mechanisms were mutually exclusive): the MA/MB stacks stay raw int8
+    under the dense keys — the dense kernel graph is unchanged, its
+    first op is an on-device cast, and under the operator-axis sharding
+    GSPMD casts only the per-device shard.  Per-device HBM for the
+    float working set is then (stack + T) / D on top of int8 transport
+    (at H8 N=32, f32: 13.6 GB of stacks + 27 GB of T become
+    ~5 GB/device on 8 chips, vs >40 GB for one chip dense).
+
     Returns a device-put tables pytree usable anywhere a
     `sector.device_tables()` pytree is (fused program arguments).
     """
@@ -225,7 +236,10 @@ def shard_sector_tables(mesh: Mesh, sector, dtype, axis_name: str = "orb"):
         raise ValueError(
             "shard_sector_tables requires the string-factorized sector "
             f"kernels (sector.kernel={getattr(sector, 'kernel', None)!r})")
-    tabs = dict(sector.device_tables(dtype))
+    if storage not in ("dense", "compact"):
+        raise ValueError("storage must be 'dense' or 'compact'")
+    tabs = dict(sector.device_tables(
+        dtype, storage="int8" if storage == "compact" else "dense"))
     d = mesh.shape[axis_name]
     q = tabs["MA"].shape[0]
     q_pad = ((q + d - 1) // d) * d

@@ -427,20 +427,30 @@ class SectorUCC:
         return self._sc_cache
 
     # -- program-argument tables ---------------------------------------------
-    def device_tables(self, dtype=None) -> dict:
+    def device_tables(self, dtype=None, storage: str = "dense") -> dict:
         """The large index/sign tables as a host pytree, for passing into
         jitted programs as ARGUMENTS (device buffers) instead of baked
         constants: at the H8 N=20 sector shape (nd=44,100, 16.7M double
         pairs) the constants total ~1 GB and break the remote-compile
         transport (round-3 measurement; cf. the CLAUDE.md m^4-constant
         gotcha).  Float tables are pre-cast to `dtype` so the compiled
-        programs contain no wide converts.  Cached per dtype."""
+        programs contain no wide converts.  Cached per (dtype, storage).
+
+        storage='int8' (string kernels only) keeps the MA/MB operator
+        stacks raw int8 UNDER THE DENSE KEYS: the dense kernel graph
+        runs unchanged (jnp.asarray casts on device), which under a
+        GSPMD operator-axis sharding means each device casts only its
+        own stack shard — the mesh x compact composition
+        (parallel.shard_sector_tables(storage='compact'))."""
         dtype = np.dtype(dtype if dtype is not None else np.float64)
         cache = getattr(self, "_dev_tabs", None)
         if cache is None:
             cache = self._dev_tabs = {}
-        if dtype.name in cache:
-            return cache[dtype.name]
+        key = (dtype.name, storage)
+        if key in cache:
+            return cache[key]
+        if storage not in ("dense", "int8"):
+            raise ValueError("storage must be 'dense' or 'int8'")
         if self.kernel == "strings":
             # the string kernels need ~100x less table data than the
             # pairwise kernels (per-gate (K, nA) vectors instead of
@@ -449,15 +459,21 @@ class SectorUCC:
             # argument transport from ~1 GB to ~50 MB
             s = self._str_tabs
             f = lambda a: np.asarray(a, dtype=dtype)
+            fm = (lambda a: np.asarray(a, dtype=np.int8)) \
+                if storage == "int8" else f
             tabs = dict(
                 PA=s.PA, PB=s.PB,
                 AD=f(s.AD), AR=f(s.AR), UD=f(s.UD), UR=f(s.UR),
                 BD=f(s.BD), BR=f(s.BR), VD=f(s.VD), VR=f(s.VR),
-                MA=f(s.MA), MB=f(s.MB),
+                MA=fm(s.MA), MB=fm(s.MB),
                 LIN_A=s.LIN_A, LIN_B=s.LIN_B, CROSS=f(s.CROSS),
             )
-            cache[dtype.name] = tabs
+            cache[key] = tabs
             return tabs
+        if storage == "int8":
+            raise ValueError(
+                "storage='int8' needs the string-factorized kernels "
+                f"(kernel={self.kernel!r})")
         st = self._sc
         N = self.num_qubits
         VIDX, PTN = self._row_tables()
@@ -496,7 +512,7 @@ class SectorUCC:
             tabs["d_ijab"] = np.zeros(0, np.int32)
             tabs["d_ijba"] = np.zeros(0, np.int32)
             tabs["d_phase"] = np.zeros(0, dtype=dtype)
-        cache[dtype.name] = tabs
+        cache[key] = tabs
         return tabs
 
     # -- simulation ----------------------------------------------------------
@@ -998,7 +1014,13 @@ class SectorCI:
         "MA8"/"MB8", entries are JW signs in {0, +-1}) and routes every
         kernel to the operator-chunked variants (strings.py compact
         section) — the single-chip HBM path past nd ~ 1M (H8 N=32:
-        1.7 GB stacks vs 13.6 GB dense f64, T halves streamed)."""
+        1.7 GB stacks vs 13.6 GB dense f64, T halves streamed).
+
+        storage='int8' keeps the stacks int8 under the DENSE keys
+        ("MA"/"MB"): the dense kernel graph runs unchanged with an
+        on-device cast — the mesh-sharded large-sector placement, where
+        GSPMD casts only the per-device shard (see
+        parallel.shard_sector_tables(storage='compact'))."""
         dtype = np.dtype(dtype if dtype is not None else np.float64)
         key = (dtype.name, storage)
         if key in self._dev_tabs:
@@ -1006,12 +1028,15 @@ class SectorCI:
         s = self._str_tabs
         if storage == "compact":
             tabs = _strings.compact_tables(s, dtype)
-        elif storage == "dense":
+        elif storage in ("dense", "int8"):
             f = lambda a: np.asarray(a, dtype=dtype)
-            tabs = dict(MA=f(s.MA), MB=f(s.MB),
+            fm = (lambda a: np.asarray(a, dtype=np.int8)) \
+                if storage == "int8" else f
+            tabs = dict(MA=fm(s.MA), MB=fm(s.MB),
                         LIN_A=s.LIN_A, LIN_B=s.LIN_B, CROSS=f(s.CROSS))
         else:
-            raise ValueError("storage must be 'dense' or 'compact'")
+            raise ValueError(
+                "storage must be 'dense', 'compact', or 'int8'")
         self._dev_tabs[key] = tabs
         return tabs
 

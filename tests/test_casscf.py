@@ -281,12 +281,30 @@ def test_casscf_compact_two_dispatch_and_sa(h2_631g):
                                np.asarray(sa_d.eigenvalues), atol=1e-9)
 
 
-def test_casscf_compact_mesh_rejected(h2_631g):
+@pytest.mark.skipif(len(jax.devices()) < 4,
+                    reason="needs multiple (virtual) devices")
+def test_casscf_compact_mesh_equality(h2_631g):
+    """mesh= composes with table_storage='compact' (round-3 verdict
+    item 3): int8 stacks sharded over the operator axis under the dense
+    kernel keys reproduce the dense unmeshed energies exactly."""
+    from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
+    from esoo_tpu.parallel import make_orbital_mesh
+
+    r0 = FusedOptOrbCASSCF(4, problem=h2_631g,
+                           maxiter=12).compute_minimum_energy()
+    solver = FusedOptOrbCASSCF(4, problem=h2_631g, maxiter=12,
+                               table_storage="compact",
+                               mesh=make_orbital_mesh(4))
+    assert solver.table_storage == "sharded-compact"
+    tabs = solver._sector_tables
+    assert np.asarray(tabs["MA"]).dtype == np.int8
+    r1 = solver.compute_minimum_energy()
+    np.testing.assert_allclose(r1.eigenvalue, r0.eigenvalue, atol=1e-10)
+
+
+def test_casscf_table_storage_validation(h2_631g):
     from esoo_tpu.orbital_optimization import FusedOptOrbCASSCF
 
-    with pytest.raises(ValueError, match="compact"):
-        FusedOptOrbCASSCF(4, problem=h2_631g, table_storage="compact",
-                          mesh=object())
     with pytest.raises(ValueError, match="table_storage"):
         FusedOptOrbCASSCF(4, problem=h2_631g, table_storage="int8")
 

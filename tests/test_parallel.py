@@ -254,6 +254,23 @@ def test_sector_string_tables_sharded_kernel_equality():
     np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r0[1]),
                                atol=1e-12)
 
+    # mesh x compact composition (round-3 verdict item 3): int8 stacks
+    # sharded over the operator axis under the dense keys — quadform,
+    # gradient, and RDMs equal the unsharded dense path exactly (the
+    # stacks hold JW signs, so the on-device int8 -> f64 cast is exact)
+    tabs8 = shard_sector_tables(mesh, sec, np.float64, storage="compact")
+    assert np.asarray(tabs8["MA"]).dtype == np.int8
+    assert tabs8["MA"].shape[0] % ndev == 0
+    e8 = float(jax.jit(lambda t: energy(t, tabs8))(th))
+    assert abs(e0 - e8) < 1e-12
+    g8 = jax.jit(jax.grad(lambda t: energy(t, tabs8)))(th)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g_plain),
+                               atol=1e-12)
+    r8 = jax.jit(lambda t: sec.rdms(sec.state(t, tables=tabs8),
+                                    tables=tabs8))(th)
+    np.testing.assert_allclose(np.asarray(r8[1]), np.asarray(r0[1]),
+                               atol=1e-12)
+
 
 def test_fused_sector_vqe_sharded_tables_e2e(h2_631g):
     """FusedOptOrbVQE(simulation='sector', mesh=...) threads the sharded
