@@ -211,3 +211,37 @@ def test_ne_ccpvtz_rhf_literature():
     p = MoleculeDriver(atom="Ne 0 0 0", basis="cc-pvtz").run()
     np.testing.assert_allclose(p.scf.energy_electronic, -128.5313,
                                atol=1e-3)
+
+
+def test_post_ar_element_user_gbs_hydrogenic(tmp_path):
+    """Post-Ar ingestion (Z=30) through a user-supplied .gbs file, with
+    an INTERNAL exact oracle: hydrogenic Zn^29+ in an even-tempered s
+    basis.  The one-electron SCF electronic energy must equal the lowest
+    generalized eigenvalue of (T+V, S) in the same basis exactly, and
+    approach the analytic -Z^2/2 = -450 Ha from above (variational).
+    Bundled tables stop at Ar; this pins the documented user-supplied
+    route for heavier elements (docs/CHEMISTRY.md ECP note)."""
+    import scipy.linalg
+
+    Z = 30
+    lines = ["****", "Zn     0"]
+    for k in range(12):
+        a = Z * Z * 0.005 * 3.0 ** k
+        lines.append("S    1   1.00")
+        lines.append(f"      {a:.10E}      1.0000000000")
+    lines.append("****")
+    gbs = tmp_path / "zn_even_tempered.gbs"
+    gbs.write_text("\n".join(lines) + "\n")
+
+    p = MoleculeDriver(atom="Zn 0 0 0", basis=str(gbs),
+                       charge=Z - 1, spin=1).run()
+    assert p.num_particles == (1, 0)
+    e = p.scf.energy_electronic
+
+    from esoo_tpu.chem.integrals import IntegralEngine
+    ao = p.ao_basis
+    S, T, V = IntegralEngine(ao.shells, ao.atomic_numbers,
+                             ao.coords).one_electron()
+    w = scipy.linalg.eigh(T + V, S, eigvals_only=True)
+    np.testing.assert_allclose(e, w[0], atol=1e-9)
+    assert -450.0 - 1e-9 <= e < -449.0   # variational, <0.25% from exact

@@ -137,6 +137,8 @@ def test_h2_spectroscopy_thermo_example():
     np.testing.assert_allclose(s, 130.68, atol=1.5)
 
 
+@pytest.mark.slow   # ~47 s; the MP2/active-space contract is pinned
+# by test_mp2.py + test_active_space.py in the fast tier
 def test_mp2_activespace_example():
     out = _run("examples/MP2_ActiveSpace_OptOrbVQE.py")
     # the MP2-selected compressed space must beat MP2 itself

@@ -112,6 +112,8 @@ def test_fused_vqd_deflation_actually_deflates(h2_sto3g):
     assert r.eigenvalues[1] > r.eigenvalues[0] + 0.05
 
 
+@pytest.mark.slow   # ~24 s; duplicate coverage of
+# test_parallel.py::test_optorbvqe_with_mesh at a bigger shape
 def test_fused_vqe_mesh_matches_single_device(h2_631g):
     """GSPMD-sharded g through the entire fused program == single-device."""
     import jax
@@ -491,6 +493,8 @@ def test_fused_two_dispatch_parity_at_vqe_hit_max(h2_631g):
                                atol=1e-8)
 
 
+@pytest.mark.slow   # ~24 s; hit-max edge parity — the two-dispatch VQD
+# contract is pinned fast by test_fused_vqd_two_dispatch_matches_one
 def test_fused_vqd_two_dispatch_parity_at_vqe_hit_max(h2_631g):
     """Same unconditional-tail parity for the VQD deflation programs."""
     from esoo_tpu.sim import QuantumCircuit

@@ -69,6 +69,8 @@ class TestCounterpoise:
         assert abs(r["e_int_cp"]) < 1e-8
         assert abs(r["bsse"]) < 1e-8
 
+    @pytest.mark.slow   # ~22 s chemistry showcase; the CP machinery
+    # (ghosts, BSSE sign, variational lowering) is pinned fast above
     def test_fci_dispersion_survives_cp(self):
         # correlated He2: the CP-corrected FCI curve keeps genuine
         # dispersion attraction at mid-range where HF is repulsive

@@ -296,6 +296,9 @@ def test_fused_sector_vqe_sharded_tables_e2e(h2_631g):
     np.testing.assert_array_almost_equal(r0.eigenvalue, -1.8661, decimal=3)
 
 
+@pytest.mark.slow   # ~64 s; sharded-tables numerics are pinned fast by
+# test_sector_string_tables_sharded_kernel_equality, and the SSVQE mesh
+# path by test_fused_ssvqe_2d_orbital_state_mesh
 def test_fused_ssvqe_vqd_sharded_sector_tables(h2_631g):
     """The excited-state fused family threads the mesh-sharded sector
     tables too: SSVQE and VQD over a 4-device mesh == unmeshed runs."""
@@ -341,6 +344,8 @@ def test_fused_ssvqe_vqd_sharded_sector_tables(h2_631g):
                                np.asarray(v0.eigenvalues), atol=1e-10)
 
 
+@pytest.mark.slow   # ~67 s; ADAPT itself and the sharded-tables layout
+# each have fast-tier anchors — only their composition moves to slow
 def test_fused_adapt_sharded_sector_tables(h2_631g):
     """FusedOptOrbAdaptVQE threads the mesh-sharded sector tables
     through its growth-loop programs (one- and two-dispatch)."""
