@@ -126,13 +126,19 @@ def measure_tunnel_rtt_ms(n=7):
 
 
 def measure_transform_tflops(m: int, n: int, iters: int = 20):
-    """ms/transform and TFLOP/s of the production two-electron transform
-    at spatial size m -> n (BASELINE.md first-class metric).  Timed with a
-    data-dependent scan chain; materialization via np.asarray (the axon
-    backend does not round-trip block_until_ready)."""
+    """ms/transform and TFLOP/s of the PRODUCTION two-electron transform
+    (rotate_two_body_auto — the dispatch the solvers actually run; the
+    round-3 bench measured the leading-axis staged variant instead,
+    whose stage-1 transpose of the m^4 tensor doubles HBM traffic) at
+    spatial size m -> n (BASELINE.md first-class metric).  TFLOP/s uses
+    the canonical staged FLOP count — an algorithmic-throughput metric —
+    and gbps is the effective bandwidth of the mandatory one m^4 read.
+    Timed with a data-dependent scan chain; materialization via
+    np.asarray (the axon backend does not round-trip
+    block_until_ready)."""
     import jax
     import jax.numpy as jnp
-    from esoo_tpu.orbital_optimization.kernels import rotate_two_body
+    from esoo_tpu.orbital_optimization.kernels import rotate_two_body_auto
 
     rng = np.random.default_rng(0)
     g = jnp.asarray(rng.normal(size=(m, m, m, m)) / m, dtype=jnp.float32)
@@ -142,7 +148,7 @@ def measure_transform_tflops(m: int, n: int, iters: int = 20):
     @jax.jit
     def chain(g, u, s):
         def body(carry, _):
-            out = rotate_two_body(g, u + 1e-9 * carry)
+            out = rotate_two_body_auto(g, u + 1e-9 * carry)
             return jnp.sum(out * out) * 1e-20, None
         s, _ = jax.lax.scan(body, s, None, length=iters)
         return s
@@ -153,7 +159,8 @@ def measure_transform_tflops(m: int, n: int, iters: int = 20):
     np.asarray(chain(g, u, s))
     dt = (time.perf_counter() - t0) / iters
     flops = 2.0 * (m**4 * n + m**3 * n**2 + m**2 * n**3 + m * n**4)
-    return dict(ms=round(dt * 1e3, 3), tflops=round(flops / dt / 1e12, 3))
+    return dict(ms=round(dt * 1e3, 3), tflops=round(flops / dt / 1e12, 3),
+                gbps=round(4.0 * m**4 / dt / 1e9, 1))
 
 
 def build_problem(atoms: str):
@@ -779,6 +786,7 @@ def main():
         "transform_tflops_m56_n4": tf56["tflops"],
         "transform_ms_m120_n8": tf120["ms"],
         "transform_tflops_m120_n8": tf120["tflops"],
+        "transform_gbps_m120_n8": tf120["gbps"],
     })
 
     # ---- phase 5: tunnel-load provenance

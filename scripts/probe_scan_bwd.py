@@ -48,25 +48,38 @@ def run(n, parts=(4, 4), reps=5):
     th = jnp.asarray(rng.normal(size=K) * 0.05, jnp.float32)
     build_s = time.perf_counter() - t0
 
-    @jax.jit
-    def vag(t):
-        return jax.value_and_grad(
-            lambda tt: S.quadform(S.apply_gates(V0, tt, tabs), ops, tabs))(t)
+    # tables/ops/state as ARGUMENTS (device buffers): baked constants of
+    # this size break the remote-compile transport (CLAUDE.md gotcha).
+    # The VAG is CHAINED (data-dependent scan) so per-iterate cost is
+    # isolated from the ~27 ms tunnel RTT of a single dispatch.
+    iters = max(2, min(20, 40_000_000 // (nA * nB * K // 100 + 1)))
 
+    @jax.jit
+    def chain(t, v0, tb, op):
+        def body(carry, _):
+            v, gr = jax.value_and_grad(
+                lambda tt: S.quadform(S.apply_gates(v0, tt, tb),
+                                      op, tb))(carry)
+            return carry + 1e-9 * gr, v
+        tfin, vs = jax.lax.scan(body, t, None, length=iters)
+        return vs[-1]
+
+    tabs = jax.device_put(tabs)
+    ops = jax.device_put(ops)
+    V0 = jax.device_put(V0)
     t0 = time.perf_counter()
-    v, gr = vag(th)
-    v = float(np.asarray(v))
+    v = float(np.asarray(chain(th, V0, tabs, ops)))
     cold = time.perf_counter() - t0
     ts = []
     for i in range(reps):
         t0 = time.perf_counter()
-        v2, gr = vag(th + 1e-6 * i)
+        v2 = chain(th + 1e-6 * i, V0, tabs, ops)
         np.asarray(v2)
         ts.append(time.perf_counter() - t0)
-    warm = min(ts)
-    print(f"n={n} N={2*n} nA={nA} nd={nA*nB} K={K}: "
+    warm = min(ts) / iters
+    print(f"n={n} N={2*n} nA={nA} nd={nA*nB} K={K} chain={iters}: "
           f"build {build_s:.1f}s cold {cold:.2f}s "
-          f"warm(min of {reps}) {warm*1e3:.1f} ms "
+          f"warm/iterate(min of {reps}) {warm*1e3:.1f} ms "
           f"({warm/K*1e6:.1f} us/gate)  value={v:.6f}")
 
 
