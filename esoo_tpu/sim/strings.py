@@ -51,6 +51,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import split_precision as _sp
+
 
 def _bitcount(a: np.ndarray) -> np.ndarray:
     return np.bitwise_count(a.astype(np.uint64)).astype(np.int64)
@@ -237,22 +239,39 @@ def _build_pair_tables(n: int):
 
 # -- gate application ---------------------------------------------------------
 
+def _one_hot(p, dt):
+    return (p[:, None] == jnp.arange(p.shape[0],
+                                     dtype=p.dtype)[None, :]).astype(dt)
+
+
+def _perm_sandwich(V, pA, pB):
+    """G = EB @ V @ EA^T with the partner permutations as on-the-fly
+    one-hot matrices — the gather becomes two MXU matmuls.  One-hot
+    entries are exact in bf16, so at f32 working precision the product
+    runs as TWO 3x-width bf16 GEMMs (ops/split_precision.py: exact to
+    f32 rounding, 6 MXU passes) instead of ``highest``'s 12 — the N>=24
+    gate scan is compute-bound in exactly these sandwiches (measured
+    46.9 us/gate, scripts/probe_scan_bwd.py)."""
+    if _sp.use_split(V.dtype):
+        EA = _one_hot(pA, jnp.bfloat16)
+        EB = _one_hot(pB, jnp.bfloat16)
+        return _sp.exact_mm(EB, _sp.exact_mmT(V, EA))
+    EA = _one_hot(pA, V.dtype)
+    EB = _one_hot(pB, V.dtype)
+    return EB @ V @ EA.T
+
+
 def _gate_step_str(V, pA, pB, aD, aR, uD, uR, bD, bR, vD, vR, th,
                    inverse=False):
     """One factorized Givens-bank gate on the string matrix V (nB, nA):
         V' = V + (cos th - 1) * M (.) V + sin th * S (.) (EB V EA^T)
     with M = bD aD^T + bR aR^T (touched mask), S = vR uR^T - vD uD^T
-    (sign field), and EA/EB the partner permutations as on-the-fly
-    one-hot matrices — the gather becomes two MXU matmuls."""
-    dt = V.dtype
+    (sign field), and the permutation sandwich on the MXU
+    (_perm_sandwich)."""
     c = jnp.cos(th)
     s = jnp.sin(th)
     s = -s if inverse else s
-    EA = (pA[:, None] == jnp.arange(pA.shape[0],
-                                    dtype=pA.dtype)[None, :]).astype(dt)
-    EB = (pB[:, None] == jnp.arange(pB.shape[0],
-                                    dtype=pB.dtype)[None, :]).astype(dt)
-    G = EB @ V @ EA.T
+    G = _perm_sandwich(V, pA, pB)
     M = bD[:, None] * aD[None, :] + bR[:, None] * aR[None, :]
     S = vR[:, None] * uR[None, :] - vD[:, None] * uD[None, :]
     return V + (c - 1.0) * (M * V) + s * (S * G)
@@ -306,10 +325,9 @@ def _apply_rev_str_bwd(res, ct):
         W, Vk = carry
         pA, pB, aD, aR, uD, uR, bD, bR, vD, vR, th = xs
         c, s = jnp.cos(th), jnp.sin(th)
-        EA = (pA[:, None] == jnp.arange(
-            pA.shape[0], dtype=pA.dtype)[None, :]).astype(dt)
-        EB = (pB[:, None] == jnp.arange(
-            pB.shape[0], dtype=pB.dtype)[None, :]).astype(dt)
+        split = _sp.use_split(dt)
+        EA = _one_hot(pA, jnp.bfloat16 if split else dt)
+        EB = _one_hot(pB, jnp.bfloat16 if split else dt)
         M = bD[:, None] * aD[None, :] + bR[:, None] * aR[None, :]
         S = vR[:, None] * uR[None, :] - vD[:, None] * uD[None, :]
         # The naive step needs THREE permutation sandwiches
@@ -327,9 +345,10 @@ def _apply_rev_str_bwd(res, ct):
         #     batch into one einsum pair of twice the contraction width.
         nB, nA = Vk.shape
         X = jnp.concatenate([Vk, W], axis=1)          # (nB, 2 nA)
-        Y = EB @ X                                    # one (nB, 2 nA) GEMM
+        Y = _sp.exact_mm(EB, X) if split else EB @ X  # one (nB, 2 nA) GEMM
         Z = jnp.concatenate([Y[:, :nA], Y[:, nA:]], axis=0)   # (2 nB, nA)
-        GX = Z @ EA.T                                 # one (2 nB, nA) GEMM
+        GX = (_sp.exact_mmT(Z, EA) if split
+              else Z @ EA.T)                          # one (2 nB, nA) GEMM
         G_k, GW = GX[:nB], GX[nB:]
         # V_{k-1} = G(-th) V_k (orthogonal inverse)
         V_prev = Vk + (c - 1.0) * (M * Vk) - s * (S * G_k)
@@ -384,6 +403,23 @@ def apply_gates(V0, theta, tabs):
 
 _OP_CHUNK = 32
 
+# bwd specs for the exact-split operator-stack einsums (the sign stacks
+# are exact in bf16; ops/split_precision.py)
+_EIN_BWD = {
+    "qji,bi->qbj": "qji,qbj->bi",
+    "qji,ia->qja": "qji,qja->ia",
+    "qji,qbi->bj": "qji,bj->qbi",
+    "qji,qia->ja": "qji,ja->qia",
+}
+
+
+def _stack_einsum(ein, M, X, dt):
+    """einsum(ein, M, X) with the sign-structured stack M: exact-split
+    bf16 at f32 working precision, ``highest`` f-cast otherwise."""
+    if _sp.use_split(dt):
+        return _sp.exact_einsum(ein, _EIN_BWD[ein], M, X)
+    return jnp.einsum(ein, M.astype(dt), X)
+
 
 def compact_tables(tabs_or_strtabs, dtype):
     """Compact tables dict from a StringTables or a dense tables dict:
@@ -435,7 +471,7 @@ def _t_half(V, M8, dt, ein):
     c = min(_OP_CHUNK, q_pad)
 
     def step(_, Mc):
-        return None, jnp.einsum(ein, Mc.astype(dt), V)
+        return None, _stack_einsum(ein, Mc, V, dt)
 
     _, T = jax.lax.scan(step, None, M8.reshape(-1, c, ns, ns))
     return T.reshape(q_pad, nB * nA)
@@ -453,8 +489,8 @@ def _back_contract(Tf, G2blk, M8, dt, spin, nB, nA):
     def step(acc, xs):
         Mc, Gc = xs                      # (c, ns, ns) int8, (c, q_pad)
         Uc = Gc @ Tf
-        return acc + jnp.einsum(ein, Mc.astype(dt),
-                                Uc.reshape(c, nB, nA)), None
+        return acc + _stack_einsum(ein, Mc,
+                                   Uc.reshape(c, nB, nA), dt), None
 
     acc, _ = jax.lax.scan(
         step, jnp.zeros((nB, nA), dt),
@@ -509,8 +545,7 @@ def _rdms_compact(V, tabs, maps):
     AA = TAf @ TAf.T
 
     def stepx(_, Mc):
-        Tc = jnp.einsum("qji,ia->qja", Mc.astype(dt), V
-                        ).reshape(c, nB * nA)
+        Tc = _stack_einsum("qji,ia->qja", Mc, V, dt).reshape(c, nB * nA)
         return None, TAf @ Tc.T                      # (q_pad, c)
 
     _, ABcols = jax.lax.scan(stepx, None, MB8.reshape(-1, c, nB, nB))
@@ -650,11 +685,24 @@ def sigma(V, ops, tabs):
     if "MA8" in tabs:
         return _sigma_compact(V, ops, tabs)
     dt = V.dtype
+    nB, nA = V.shape
+    s1 = V @ ops["FA"].T + ops["FB"] @ V
+    if _sp.use_split(dt):
+        # sign stacks are exact in bf16: T builds and back-contractions
+        # run as 3-pass exact-split einsums (G2 @ T stays `highest` —
+        # both operands generic)
+        MA, MB = tabs["MA"], tabs["MB"]
+        P_A = MA.shape[0]
+        TA = _sp.exact_einsum("qji,bi->qbj", "qji,qbj->bi", MA, V)
+        TB = _sp.exact_einsum("qji,ia->qja", "qji,qja->ia", MB, V)
+        T = jnp.concatenate([TA, TB], axis=0).reshape(2 * P_A, nB * nA)
+        U = (ops["G2"] @ T).reshape(2 * P_A, nB, nA)
+        s2A = _sp.exact_einsum("qji,qbi->bj", "qji,bj->qbi", MA, U[:P_A])
+        s2B = _sp.exact_einsum("qji,qia->ja", "qji,ja->qia", MB, U[P_A:])
+        return s1 + s2A + s2B
     MA = jnp.asarray(tabs["MA"], dtype=dt)
     MB = jnp.asarray(tabs["MB"], dtype=dt)
-    nB, nA = V.shape
     P_A = MA.shape[0]
-    s1 = V @ ops["FA"].T + ops["FB"] @ V
     TA = jnp.einsum("qji,bi->qbj", MA, V)
     TB = jnp.einsum("qji,ia->qja", MB, V)
     T = jnp.concatenate([TA, TB], axis=0).reshape(2 * P_A, nB * nA)
@@ -725,15 +773,21 @@ def rdms(V, tabs, maps):
     if "MA8" in tabs:
         return _rdms_compact(V, tabs, maps)
     dt = V.dtype
-    MA = jnp.asarray(tabs["MA"], dtype=dt)
-    MB = jnp.asarray(tabs["MB"], dtype=dt)
     nB, nA = V.shape
     IDX, SGN, CASE_A = maps
     N = CASE_A.shape[0]
     nsp = N // 2
-    q_pad = MA.shape[0]          # operator axis, possibly mesh-padded
-    TA = jnp.einsum("qji,bi->qbj", MA, V)
-    TB = jnp.einsum("qji,ia->qja", MB, V)
+    if _sp.use_split(dt):
+        MA, MB = tabs["MA"], tabs["MB"]
+        q_pad = MA.shape[0]      # operator axis, possibly mesh-padded
+        TA = _sp.exact_einsum("qji,bi->qbj", "qji,qbj->bi", MA, V)
+        TB = _sp.exact_einsum("qji,ia->qja", "qji,qja->ia", MB, V)
+    else:
+        MA = jnp.asarray(tabs["MA"], dtype=dt)
+        MB = jnp.asarray(tabs["MB"], dtype=dt)
+        q_pad = MA.shape[0]      # operator axis, possibly mesh-padded
+        TA = jnp.einsum("qji,bi->qbj", MA, V)
+        TB = jnp.einsum("qji,ia->qja", MB, V)
     T = jnp.concatenate([TA, TB], axis=0).reshape(2 * q_pad, nB * nA)
     v = V.reshape(-1)
     gpairs = T @ v                                   # (2 q_pad,)
