@@ -182,13 +182,19 @@ def force_split(flag):
 
 
 def use_split(dtype) -> bool:
-    """Whether the exact bf16-split kernels should run: float32 working
-    precision on a backend with native bf16 matmul throughput (every
-    non-CPU backend).  f64 is the oracle precision and always takes the
-    ``highest`` path; CPUs multiply f32 natively in one pass, so the
-    3x-width bf16 GEMM would only add work there."""
+    """Whether the exact bf16-split kernels should run.  OFF by default
+    everywhere — measured on the v5e (scripts/probe_split_gates.py,
+    2026-08-19): the production gate scan is SLOWER with the split
+    kernels (N=24 forward 25.8 vs 13.0 us/gate, value_and_grad 85.4 vs
+    47.0), because XLA's `highest` f32 GEMM emitter already runs at the
+    ~3-pass-equivalent rate (~37 TFLOP/s effective at the (495, 495)
+    sandwich shape) — the nominal 6-pass model the split targets does
+    not describe this backend, so the split only adds part/concat
+    overhead.  Kept as a tested opt-in (force_split(True)) for backends
+    where the f32 emulation really is pass-bound; f64 (the oracle
+    precision) never takes it."""
     if jnp.dtype(dtype) != jnp.float32:
         return False
     if _FORCE is not None:
         return bool(_FORCE)
-    return jax.default_backend() != "cpu"
+    return False

@@ -84,6 +84,7 @@ def main():
         t_init = time.perf_counter() - t0
         n_disp = 0
         t_adv = 0.0
+        prev_it, prev_fev = 0, int(np.asarray(state.nfev))
         while not bool(state.done):
             t0 = time.perf_counter()
             state = F._eig_chunk_advance(state_fn, state, cost_args,
@@ -94,6 +95,11 @@ def main():
             float(np.asarray(state.f))
             t_adv += time.perf_counter() - t0
             n_disp += 1
+            ci, cf = int(np.asarray(state.it)), int(np.asarray(state.nfev))
+            log(f"  chunk {n_disp}: +{ci - prev_it} iters "
+                f"+{cf - prev_fev} fevs  f={float(np.asarray(state.f)):.7f} "
+                f"|g|={float(np.asarray(jnp.max(jnp.abs(state.g)))):.2e}")
+            prev_it, prev_fev = ci, cf
         nit = int(np.asarray(state.it))
         nfev = int(np.asarray(state.nfev))
         t0 = time.perf_counter()
