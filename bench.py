@@ -267,10 +267,12 @@ def run_h8_scale(n_red_so=12, maxiter=10, simulation="full",
     Round 2 saw the N=16 variant reproducibly crash the axon TPU worker;
     round 3 bisected the fault to reverse-mode residual memory of the
     2696-gate scan (~0.7 GB per gradient) and fixed it with sqrt-K remat
-    chunking (docs/PERF.md "The N=16 worker fault").  N=16 is now the
-    flagship target; `simulation='sector'` runs the determinant-sector
-    program instead (same energy), and the subprocess wrapper still falls
-    back if the shared worker dies for unrelated reasons."""
+    chunking (docs/PERF.md "The N=16 worker fault").  Round 4's
+    noise-floor L-BFGS stops (solvers/lbfgs.py) made N=24 the flagship
+    target (63.6 s warm); `simulation='sector'` runs the
+    determinant-sector program instead (same energy), and the subprocess
+    wrapper still falls back if the shared worker dies for unrelated
+    reasons."""
     import jax
     import jax.numpy as jnp
     from esoo_tpu.sim import UCCSD, HartreeFock
@@ -324,22 +326,26 @@ def run_h8_scale_subprocess(budget_s=600.0):
     Attempt order (largest measured-safe scale first — round-3 bisect:
     the shared worker kills any long-running dispatch, so every config
     is determinant-sector two-dispatch with host-chunked eigensolver
-    dispatches): (1) N=20 (44,100-determinant sector, string kernels),
-    (2) N=16 (the round-3 flagship), (3) the round-2 N=12 full-space
+    dispatches): (1) N=24 (245,025-determinant sector — in budget since
+    the round-4 L-BFGS noise-floor stops cut it from 1,406 s to 63.6 s
+    warm), (2) N=20, (3) N=16, (4) the round-2 N=12 full-space
     one-dispatch configuration as a last resort.  The returned dict
     records which (n_red_so, simulation, dispatch, vqe_chunk) produced
-    the result.  Measured costs (scripts/probe_h8_n16.py on the v5e, no
-    worker crash): (20, sector, two, 50) with the string-factorized
-    kernels 208.3 s cold / 137.8 s warm (E=-10.265054, 2026-08-18);
-    (16, ...) 35.6 s cold / 28.1 s warm (E=-10.257938).  The UNCHUNKED
-    two-dispatch run was measured to kill the worker on its first
-    full-length eigensolver dispatch, so it is NOT in the chain."""
+    the result.  Measured costs (v5e, no worker crash, 2026-08-19 with
+    the plateau/stall-stopping chunked L-BFGS): (24, sector, two, 50)
+    167.2 s cold / 63.6 s warm (E=-10.272224); (20, ...) 332.9 s cold
+    (tunnel-contended; compile-cache-warm cold is far lower) / 4.96 s
+    warm (E=-10.265151); (16, ...) round-3 measured 35.6 s cold /
+    28.1 s warm.  The UNCHUNKED two-dispatch run was measured to kill
+    the worker on its first full-length eigensolver dispatch, so it is
+    NOT in the chain."""
     import subprocess
     import sys
     err = "unknown"
     t_chain = time.monotonic()
-    # (config, expected cold+warm cost in s, measured round 3)
-    attempts = (((20, "sector", "two", 50), 420.0),
+    # (config, expected cold+warm cost in s, measured round 4)
+    attempts = (((24, "sector", "two", 50), 420.0),
+                ((20, "sector", "two", 50), 300.0),
                 ((16, "sector", "two", 50), 120.0),
                 ((12, "full", "one", None), 300.0))
     for (n_red, sim, disp, chunk), cost in attempts:

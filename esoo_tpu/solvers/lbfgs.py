@@ -10,9 +10,16 @@ nest inside other while_loops (the fused outer loops) and linear-memory
 in P.
 
 Semantics: minimizes fun(x, *args) from x0; terminates on ||grad||_inf <=
-gtol or maxiter iterations; the line search backtracks geometrically and
-accepts the last candidate even if Armijo fails (standard safeguard, keeps
-the loop total).
+gtol, maxiter iterations, an f-plateau (`ftol`, scipy L-BFGS-B-style
+relative decrease test with a consecutive-iteration patience), or a stalled
+line search (Armijo exhausts its backtracks twice in a row — at f32 the
+gradient-noise floor makes gtol unreachable, so without these stops every
+solve burns maxiter; measured H8 N=24: 200/200 iterations with
+nfev/nit ~ 21, scripts/probe_h8_stages.py, round 4).  The line search is
+quadratic-interpolation backtracking (fit f(0), f'(0), f(t) and jump to
+the model minimizer, clamped to [0.1 t, 0.5 t]) — the pure-halving search
+needed ~10-20 evals to walk down from overshooting steps that
+interpolation reaches in 1-2.
 
 The optimizer is RESUMABLE: `lbfgs_init` builds an `LBFGSState`,
 `lbfgs_advance` runs up to `num_steps` further iterations and returns the
@@ -54,6 +61,25 @@ class LBFGSState(NamedTuple):
     rho: jnp.ndarray       # (memory,) 1/s.y
     nfev: jnp.ndarray
     done: jnp.ndarray
+    plateau: jnp.ndarray   # consecutive iterations below the ftol decrease
+    stalls: jnp.ndarray    # consecutive exhausted line searches
+
+
+def default_ftol(dtype) -> float:
+    """Relative per-iteration decrease below which progress counts as
+    noise for the plateau stop: 32 ulps at f32 (~3.8e-6 — the working
+    precision whose gradient-noise floor makes gtol unreachable,
+    measured H8 N>=20), DISABLED (0.0) at f64 — the oracle precision
+    keeps pure gtol/maxiter semantics so reference-parity paths are
+    never stopped early.  The plateau stop needs `_PLATEAU_PATIENCE`
+    consecutive below-threshold iterations, so a momentary slow step
+    does not end the solve."""
+    if jnp.finfo(dtype).bits >= 64:
+        return 0.0
+    return 32.0 * float(jnp.finfo(dtype).eps)
+
+
+_PLATEAU_PATIENCE = 3
 
 
 def lbfgs_init(fun, x0, args=(), gtol: float = 1e-8,
@@ -66,20 +92,26 @@ def lbfgs_init(fun, x0, args=(), gtol: float = 1e-8,
         it=jnp.asarray(0), k=jnp.asarray(0), x=x0, f=f0, g=g0,
         S=jnp.zeros((memory, P), dtype), Y=jnp.zeros((memory, P), dtype),
         rho=jnp.zeros((memory,), dtype), nfev=jnp.asarray(1),
-        done=jnp.max(jnp.abs(g0)) <= gtol)
+        done=jnp.max(jnp.abs(g0)) <= gtol,
+        plateau=jnp.asarray(0), stalls=jnp.asarray(0))
 
 
 def lbfgs_advance(fun, state: LBFGSState, args=(), num_steps: int = 1,
                   maxiter: int = 200, gtol: float = 1e-8,
                   max_backtracks: int = 25,
-                  armijo_c1: float = 1e-4) -> LBFGSState:
+                  armijo_c1: float = 1e-4,
+                  ftol: float = None) -> LBFGSState:
     """Run up to `num_steps` more L-BFGS iterations (or until convergence
     / `maxiter` TOTAL iterations), returning the updated state.  Jittable;
-    repeated calls with the same static config hit the jit cache."""
+    repeated calls with the same static config hit the jit cache.
+    `ftol` is the relative per-iteration decrease below which progress
+    counts toward the plateau stop (None -> default_ftol(dtype))."""
     vag = jax.value_and_grad(fun)
     dtype = jnp.asarray(state.x).dtype
     m = state.S.shape[0]
     eps = jnp.asarray(1e-30, dtype)
+    ftol_v = jnp.asarray(default_ftol(dtype) if ftol is None else ftol,
+                         dtype)
 
     def two_loop(g, S, Y, rho, k):
         """H_k @ g via the standard two-loop recursion over the valid
@@ -117,7 +149,14 @@ def lbfgs_advance(fun, state: LBFGSState, args=(), num_steps: int = 1,
         return r
 
     def line_search(x, f, g, d):
-        """Backtracking Armijo: t = 1, halve while f(x + t d) > f + c1 t g.d."""
+        """Quadratic-interpolation backtracking Armijo: start at t = 1;
+        on failure jump to the minimizer of the quadratic through f(0),
+        f'(0) and f(t) (clamped to [0.1 t, 0.5 t] — the halving search
+        needed ~10-20 evals to walk down from an overshoot that the
+        model reaches in 1-2; measured H8 N=24 nfev/nit ~ 21, round 4).
+        Returns (x_t, f_t, evals, accepted); on a fully exhausted search
+        x/f are UNCHANGED (the caller stops instead of taking a garbage
+        step that pollutes the curvature pairs)."""
         gd = jnp.dot(g, d)
 
         def cond(c):
@@ -129,19 +168,22 @@ def lbfgs_advance(fun, state: LBFGSState, args=(), num_steps: int = 1,
             xt_new = x + t * d
             ft_new = fun(xt_new, *args)
             ok = ft_new <= f + armijo_c1 * t * gd
-            return (jnp.where(ok, t, t * 0.5),
+            # minimizer of the quadratic model q(s): q(0)=f, q'(0)=gd,
+            # q(t)=ft_new  ->  s* = -gd t^2 / (2 (ft_new - f - t gd))
+            denom = 2.0 * (ft_new - f - t * gd)
+            t_q = -gd * t * t / jnp.where(denom > 0, denom, 1.0)
+            t_next = jnp.where(jnp.isfinite(ft_new) & (denom > 0),
+                               jnp.clip(t_q, 0.1 * t, 0.5 * t),
+                               0.1 * t)
+            return (jnp.where(ok, t, t_next),
                     jnp.where(ok, ft_new, ft),
                     jnp.where(ok, xt_new, xt),
                     n + 1, ok)
 
         t0 = jnp.asarray(1.0, dtype)
-        # evaluate the first candidate inside the loop (done=False entry)
         t, ft, xt, n, done = jax.lax.while_loop(
             cond, body, (t0, f, x, jnp.asarray(0), jnp.asarray(False)))
-        # if never accepted, take the smallest step tried anyway
-        xt = jnp.where(done, xt, x + t * d)
-        ft = jnp.where(done, ft, fun(xt, *args))
-        return xt, ft, n + jnp.where(done, 0, 1)
+        return xt, ft, n, done
 
     stop_at = state.it + num_steps
 
@@ -149,12 +191,20 @@ def lbfgs_advance(fun, state: LBFGSState, args=(), num_steps: int = 1,
         return jnp.logical_and(jnp.logical_not(c.done), c.it < stop_at)
 
     def body(c):
-        it, k, x, f, g, S, Y, rho, nfev, done = c
+        (it, k, x, f, g, S, Y, rho, nfev, done, plateau, stalls) = c
         d = -two_loop(g, S, Y, rho, k)
         # fall back to steepest descent if d is not a descent direction
         desc = jnp.dot(g, d) < 0
         d = jnp.where(desc, d, -g)
-        x_new, f_new, ls_evals = line_search(x, f, g, d)
+        # with no curvature pairs the raw gradient step overshoots by
+        # the curvature scale: normalize the first direction to unit
+        # inf-norm (scipy L-BFGS-B's first-step convention)
+        scale = jnp.where(k > 0, jnp.asarray(1.0, dtype),
+                          1.0 / jnp.maximum(
+                              jnp.asarray(1.0, dtype),
+                              jnp.max(jnp.abs(d))))
+        d = d * scale
+        x_new, f_new, ls_evals, accepted = line_search(x, f, g, d)
         _, g_new = vag(x_new, *args)
         s = x_new - x
         y = g_new - g
@@ -165,13 +215,23 @@ def lbfgs_advance(fun, state: LBFGSState, args=(), num_steps: int = 1,
         Y = Y.at[slot].set(jnp.where(good, y, Y[slot]))
         rho = rho.at[slot].set(jnp.where(good, 1.0 / (sy + eps), rho[slot]))
         k = k + jnp.where(good, 1, 0)
+        # plateau: consecutive iterations whose decrease is noise-level
+        small = (f - f_new) <= ftol_v * jnp.maximum(
+            jnp.maximum(jnp.abs(f), jnp.abs(f_new)),
+            jnp.asarray(1.0, dtype))
+        plateau = jnp.where(accepted & jnp.logical_not(small),
+                            0, plateau + 1)
+        stalls = jnp.where(accepted, 0, stalls + 1)
         converged = jnp.max(jnp.abs(g_new)) <= gtol
         diverged = jnp.logical_not(jnp.isfinite(f_new))
+        # an exhausted line search leaves x unchanged: stop (f32 noise
+        # floor) rather than burn max_backtracks evals every iteration
         no_move = jnp.max(jnp.abs(s)) <= 0.0
         hit_max = (it + 1) >= maxiter
-        done = converged | diverged | hit_max | no_move
+        done = (converged | diverged | hit_max | no_move
+                | (plateau >= _PLATEAU_PATIENCE))
         return LBFGSState(it + 1, k, x_new, f_new, g_new, S, Y, rho,
-                          nfev + ls_evals + 1, done)
+                          nfev + ls_evals + 1, done, plateau, stalls)
 
     return jax.lax.while_loop(cond, body, state)
 
@@ -179,13 +239,14 @@ def lbfgs_advance(fun, state: LBFGSState, args=(), num_steps: int = 1,
 def lbfgs_minimize(fun, x0, args=(), maxiter: int = 200,
                    gtol: float = 1e-8, memory: int = 10,
                    max_backtracks: int = 25,
-                   armijo_c1: float = 1e-4) -> LBFGSResult:
+                   armijo_c1: float = 1e-4,
+                   ftol: float = None) -> LBFGSResult:
     """Jittable L-BFGS.  `fun(x, *args)` must be jax-traceable."""
     state = lbfgs_init(fun, x0, args=args, gtol=gtol, memory=memory)
     state = lbfgs_advance(fun, state, args=args, num_steps=maxiter,
                           maxiter=maxiter, gtol=gtol,
                           max_backtracks=max_backtracks,
-                          armijo_c1=armijo_c1)
+                          armijo_c1=armijo_c1, ftol=ftol)
     return LBFGSResult(x=state.x, fun=state.f, nit=state.it,
                        nfev=state.nfev,
                        grad_norm=jnp.max(jnp.abs(state.g)))

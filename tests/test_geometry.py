@@ -127,6 +127,9 @@ class TestOptimize:
             c[1, 2] += d
             assert energy(geometry_string(symbols, c)) > res["energy"]
 
+    @pytest.mark.slow   # ~52 s; the optimize path is anchored fast by
+    # test_h2_fci_equilibrium, live callbacks by
+    # TestTransitionState::test_callback_triple_is_consistent
     def test_lih_active_space_and_callback(self):
         # frozen-core CAS in a reduced window, with the live callback
         energy = casscf_energy_fn(basis="sto-3g", num_spin_orbitals=8)
@@ -154,6 +157,9 @@ class TestExcitedStateSurfaces:
         e_sa = casscf_state_energy_fn("sto-3g", state=0, k=1)(atom)
         assert e_sa == pytest.approx(e_ground, abs=1e-10)
 
+    @pytest.mark.slow   # ~45 s; casscf_state_energy_fn anchored fast by
+    # test_state0_k1_reduces_to_ground_fn; the excited-surface physics by
+    # test_lih_adiabatic_below_vertical (slow tier)
     def test_s1_force_points_outward_at_s0_geometry(self):
         from esoo_tpu.chem import casscf_state_energy_fn
 
@@ -332,6 +338,9 @@ class TestTransitionState:
 
 
 class TestReactionPath:
+    @pytest.mark.slow   # ~56 s; the saddle itself is anchored fast by
+    # TestTransitionState (same h3_saddle fixture), eyring by its
+    # analytic test
     def test_h3_irc_descends_into_both_valleys(self, h3_saddle):
         # mass-weighted steepest descent from the exchange TS: both
         # directions descend MONOTONICALLY and end in the two

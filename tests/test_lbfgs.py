@@ -93,3 +93,60 @@ def test_converges_inside_outer_while_loop():
     want = sum(-0.5 * i * i * np.sum(1.0 / np.arange(1.0, 6.0))
                for i in range(3))
     np.testing.assert_allclose(float(acc), want, atol=1e-8)
+
+
+def test_plateau_stop_on_noise_floor():
+    """An f32 objective whose decreases sink below the noise floor stops
+    via the plateau rule LONG before maxiter instead of burning
+    max_backtracks evals per iteration (the measured H8 N>=20 stall:
+    200/200 iterations at nfev/nit ~ 21, scripts/probe_h8_stages.py)."""
+    A = jnp.diag(jnp.linspace(1.0, 50.0, 40).astype(jnp.float32))
+
+    def f(x):
+        # f32 quadratic: near the minimum the true decrease per step is
+        # below 32 ulp * |f|, so progress is numerically over
+        return 0.5 * x @ A @ x - jnp.sum(x) + 100.0
+
+    x0 = jnp.zeros(40, jnp.float32)
+    res = lbfgs_minimize(f, x0, maxiter=500, gtol=1e-12)
+    # converged in float terms...
+    assert float(res.fun) < 100.0 - 0.5 * float(jnp.sum(1.0 / jnp.diag(A))) \
+        + 1e-3
+    # ...and did NOT spin to maxiter with a saturated line search
+    assert int(res.nit) < 200
+    assert int(res.nfev) < 6 * int(res.nit) + 10
+
+
+def test_stalled_line_search_stops_without_moving():
+    """When no step can decrease f (objective already at its exact
+    minimum and flat to machine precision), the exhausted line search
+    leaves x unchanged and terminates."""
+    def f(x):
+        return jnp.asarray(0.0, jnp.float32) * jnp.sum(x) + 1.0
+
+    x0 = jnp.ones(7, jnp.float32)
+    res = lbfgs_minimize(f, x0, maxiter=100)
+    np.testing.assert_array_equal(np.asarray(res.x), np.ones(7, np.float32))
+    assert int(res.nit) <= 2
+
+
+def test_interpolation_line_search_converges_f64():
+    """The quadratic-interpolation backtracking converges a badly scaled
+    f64 quadratic to the numerical-floor region cheaply (~2 evals per
+    iteration).  Note the no-representable-decrease stop bounds the
+    reachable gradient norm by the f-resolution along the search
+    direction (~sqrt(ulp(f)*curvature)) — tighter than scipy
+    L-BFGS-B's default factr=1e7 stop, but not arbitrarily deep, so the
+    assertion is 1e-5, not ulp-level."""
+    A = jnp.diag(jnp.asarray(np.geomspace(1.0, 100.0, 30)))
+
+    def f(x):
+        return 0.5 * x @ A @ x - jnp.sum(x)
+
+    res = lbfgs_minimize(f, jnp.zeros(30), maxiter=2000, gtol=1e-9)
+    want = jnp.asarray(1.0) / jnp.diag(A)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(want),
+                               atol=1e-5)
+    assert float(res.grad_norm) < 1e-5
+    # interpolation keeps the search cheap: ~1 eval + 1 vag per iteration
+    assert int(res.nfev) < 3 * int(res.nit) + 30
