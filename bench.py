@@ -343,10 +343,11 @@ def run_h8_scale_subprocess(budget_s=600.0):
     import sys
     err = "unknown"
     t_chain = time.monotonic()
-    # (config, expected cold+warm cost in s, measured round 4)
-    attempts = (((24, "sector", "two", 50), 420.0),
-                ((20, "sector", "two", 50), 300.0),
-                ((16, "sector", "two", 50), 120.0),
+    # (config, expected cold+warm cost in s, measured round 4:
+    # N=24 167 s cold + 64 s warm + ~25 s subprocess overhead)
+    attempts = (((24, "sector", "two", 50), 300.0),
+                ((20, "sector", "two", 50), 180.0),
+                ((16, "sector", "two", 50), 100.0),
                 ((12, "full", "one", None), 300.0))
     for (n_red, sim, disp, chunk), cost in attempts:
         left = budget_s - (time.monotonic() - t_chain)
@@ -429,7 +430,9 @@ def run_h8_casscf_subprocess(budget_s=600.0):
     import sys
     err = "unknown"
     t_chain = time.monotonic()
-    attempts = ((32, 330.0), (28, 240.0), (24, 90.0), (20, 90.0))
+    # measured round 3/4: N=32 compact 158 s cold + 82 s warm + ~25 s
+    # subprocess overhead
+    attempts = ((32, 280.0), (28, 200.0), (24, 80.0), (20, 80.0))
     for n_red, cost in attempts:
         left = budget_s - (time.monotonic() - t_chain)
         if left < cost:
@@ -845,7 +848,10 @@ def main():
 
     left = remaining() - reserve
     if left > 120.0:
-        h8 = run_h8_scale_subprocess(budget_s=left * 0.55)
+        # cap the UCC chain so the CASSCF flagship always keeps its
+        # share (round-4 preview: an uncapped 0.55 split starved the
+        # N=32 CASSCF phase to 'have -0s')
+        h8 = run_h8_scale_subprocess(budget_s=min(left * 0.55, 340.0))
     else:
         h8 = dict(energy=None, cold_s=None, warm_s="skipped_budget",
                   outer_iters=0, simulation=None, dispatch=None,
@@ -864,7 +870,7 @@ def main():
 
     left = remaining() - reserve
     if left > 90.0:
-        h8c = run_h8_casscf_subprocess(budget_s=left * 0.75)
+        h8c = run_h8_casscf_subprocess(budget_s=left * 0.85)
     else:
         h8c = dict(energy=None, cold_s=None, warm_s="skipped_budget",
                    outer_iters=0, n_red_so=None)
