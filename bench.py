@@ -20,7 +20,9 @@ minus the published -1.8712471686505392 Ha (negative = strictly better
 variational optimum).
 
 Prints ONE JSON line — ALWAYS.  A global wall-clock deadline
-(`BENCH_DEADLINE_S`, default 1200 s) bounds the whole run: phases are
+(`BENCH_DEADLINE_S`, default 1500 s — measured round-4 full-run
+span is ~1,100-1,260 s with remote-compile variance; the watchdog still
+guarantees a print at deadline + 60 s) bounds the whole run: phases are
 ordered cheapest/most-important first (H4 headline -> H2 accuracy ->
 transform TFLOP/s -> showcase scale phases), every showcase subprocess
 gets a budget derived from the time remaining (never a fixed 2400 s),
@@ -57,7 +59,7 @@ WARM_REPEATS = 5
 # global wall-clock budget + always-print machinery
 # ---------------------------------------------------------------------------
 
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1200"))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
 _T0 = time.monotonic()
 
 
@@ -430,9 +432,10 @@ def run_h8_casscf_subprocess(budget_s=600.0):
     import sys
     err = "unknown"
     t_chain = time.monotonic()
-    # measured round 3/4: N=32 compact 158 s cold + 82 s warm + ~25 s
-    # subprocess overhead
-    attempts = ((32, 280.0), (28, 200.0), (24, 80.0), (20, 80.0))
+    # measured round 4 (2026-08-19, loaded tunnel): N=32 compact 241 s
+    # cold + 141 s warm + ~25 s subprocess overhead (the quiet-tunnel
+    # round-3 measurement was 158 + 82 — budget for the loaded case)
+    attempts = ((32, 420.0), (28, 220.0), (24, 80.0), (20, 80.0))
     for n_red, cost in attempts:
         left = budget_s - (time.monotonic() - t_chain)
         if left < cost:
@@ -846,12 +849,29 @@ def main():
     # anchor.  A skipped phase is reported, never silently absent.
     reserve = 45.0  # final-emit headroom
 
+    # exact-CASSCF flagship (N=32, 3.31M determinants) FIRST — the
+    # round-4b preview showed pre-showcase remote-compile variance can
+    # eat the tail, and this is the most distinctive scale field; capped
+    # so the UCC chain keeps its share
+    left = remaining() - reserve
+    if left > 90.0:
+        h8c = run_h8_casscf_subprocess(budget_s=min(left * 0.6, 450.0))
+    else:
+        h8c = dict(energy=None, cold_s=None, warm_s="skipped_budget",
+                   outer_iters=0, n_red_so=None)
+        skipped.append("h8_casscf")
+    RESULTS.update({
+        "h8_casscf_energy_f32": h8c["energy"],
+        "h8_casscf_cold_s": h8c["cold_s"],
+        "h8_casscf_warm_s": h8c["warm_s"],
+        "h8_casscf_outer_iters": h8c["outer_iters"],
+        "h8_casscf_n_red_so": h8c.get("n_red_so"),
+        "h8_casscf_table_storage": h8c.get("table_storage"),
+    })
+
     left = remaining() - reserve
     if left > 120.0:
-        # cap the UCC chain so the CASSCF flagship always keeps its
-        # share (round-4 preview: an uncapped 0.55 split starved the
-        # N=32 CASSCF phase to 'have -0s')
-        h8 = run_h8_scale_subprocess(budget_s=min(left * 0.55, 340.0))
+        h8 = run_h8_scale_subprocess(budget_s=min(left * 0.8, 340.0))
     else:
         h8 = dict(energy=None, cold_s=None, warm_s="skipped_budget",
                   outer_iters=0, simulation=None, dispatch=None,
@@ -866,22 +886,6 @@ def main():
         "h8_m112_simulation": h8.get("simulation"),
         "h8_m112_dispatch": h8.get("dispatch"),
         "h8_m112_vqe_chunk": h8.get("vqe_chunk"),
-    })
-
-    left = remaining() - reserve
-    if left > 90.0:
-        h8c = run_h8_casscf_subprocess(budget_s=left * 0.85)
-    else:
-        h8c = dict(energy=None, cold_s=None, warm_s="skipped_budget",
-                   outer_iters=0, n_red_so=None)
-        skipped.append("h8_casscf")
-    RESULTS.update({
-        "h8_casscf_energy_f32": h8c["energy"],
-        "h8_casscf_cold_s": h8c["cold_s"],
-        "h8_casscf_warm_s": h8c["warm_s"],
-        "h8_casscf_outer_iters": h8c["outer_iters"],
-        "h8_casscf_n_red_so": h8c.get("n_red_so"),
-        "h8_casscf_table_storage": h8c.get("table_storage"),
     })
 
     left = remaining() - reserve

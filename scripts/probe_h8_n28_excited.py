@@ -87,13 +87,16 @@ def main():
         log(f"N=20 SSVQE k=2: K={ansatz.num_parameters}")
 
         def make():
+            # NOTE: vqe_chunk is a FusedOptOrbVQE-only knob; with the
+            # round-4 plateau stops the SSVQE eigensolver dispatch is
+            # short enough to stay under the worker's dispatch budget
             return FusedOptOrbSSVQE(num_spin_orbitals=n_red, ansatz=ansatz,
                                     initial_states=inits,
                                     weight_vector=[2.0, 1.0],
                                     problem=_P(), maxiter=maxiter,
                                     stopping_tolerance=1e-5,
                                     dtype=jnp.float32, simulation="sector",
-                                    dispatch="two", vqe_chunk=50,
+                                    dispatch="two",
                                     diagnostics=False)
 
         t0 = time.perf_counter()
