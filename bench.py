@@ -849,29 +849,15 @@ def main():
     # anchor.  A skipped phase is reported, never silently absent.
     reserve = 45.0  # final-emit headroom
 
-    # exact-CASSCF flagship (N=32, 3.31M determinants) FIRST — the
-    # round-4b preview showed pre-showcase remote-compile variance can
-    # eat the tail, and this is the most distinctive scale field; capped
-    # so the UCC chain keeps its share
-    left = remaining() - reserve
-    if left > 90.0:
-        h8c = run_h8_casscf_subprocess(budget_s=min(left * 0.6, 450.0))
-    else:
-        h8c = dict(energy=None, cold_s=None, warm_s="skipped_budget",
-                   outer_iters=0, n_red_so=None)
-        skipped.append("h8_casscf")
-    RESULTS.update({
-        "h8_casscf_energy_f32": h8c["energy"],
-        "h8_casscf_cold_s": h8c["cold_s"],
-        "h8_casscf_warm_s": h8c["warm_s"],
-        "h8_casscf_outer_iters": h8c["outer_iters"],
-        "h8_casscf_n_red_so": h8c.get("n_red_so"),
-        "h8_casscf_table_storage": h8c.get("table_storage"),
-    })
-
+    # priority under remote-compile load (measured spread: the SAME H4
+    # cold phase ran 146-506 s across four round-4 validation runs):
+    # the UCC chain first — N=24 is the round-4 verdict target — then
+    # the exact-CASSCF N=32 flagship; each capped so a quiet tunnel
+    # fits both and a loaded one degrades to smaller N instead of
+    # losing the field entirely
     left = remaining() - reserve
     if left > 120.0:
-        h8 = run_h8_scale_subprocess(budget_s=min(left * 0.8, 340.0))
+        h8 = run_h8_scale_subprocess(budget_s=min(left * 0.6, 340.0))
     else:
         h8 = dict(energy=None, cold_s=None, warm_s="skipped_budget",
                   outer_iters=0, simulation=None, dispatch=None,
@@ -886,6 +872,22 @@ def main():
         "h8_m112_simulation": h8.get("simulation"),
         "h8_m112_dispatch": h8.get("dispatch"),
         "h8_m112_vqe_chunk": h8.get("vqe_chunk"),
+    })
+
+    left = remaining() - reserve
+    if left > 90.0:
+        h8c = run_h8_casscf_subprocess(budget_s=min(left * 0.85, 450.0))
+    else:
+        h8c = dict(energy=None, cold_s=None, warm_s="skipped_budget",
+                   outer_iters=0, n_red_so=None)
+        skipped.append("h8_casscf")
+    RESULTS.update({
+        "h8_casscf_energy_f32": h8c["energy"],
+        "h8_casscf_cold_s": h8c["cold_s"],
+        "h8_casscf_warm_s": h8c["warm_s"],
+        "h8_casscf_outer_iters": h8c["outer_iters"],
+        "h8_casscf_n_red_so": h8c.get("n_red_so"),
+        "h8_casscf_table_storage": h8c.get("table_storage"),
     })
 
     left = remaining() - reserve
