@@ -82,11 +82,17 @@ def cisd(problem, k: int = 1) -> dict:
     hf_idx = dets.index(hf_determinant(n_so, num_particles))
     if nd > _EIGH_CUTOFF and k < nd - 1:
         # lowest-k Lanczos on the dense H: O(k nd^2) instead of eigh's
-        # O(nd^3) — the advisor-flagged k=1 common case
-        from scipy.sparse.linalg import eigsh
-        w, v = eigsh(H, k=k, which="SA")
-        order = np.argsort(w)
-        w, v = w[order], v[:, order]
+        # O(nd^3) — the advisor-flagged k=1 common case.  ARPACK can
+        # fail to converge on clustered/degenerate low roots; nd is
+        # capped at _DENSE_LIMIT so the dense eigh is always a feasible
+        # fallback (advisor round 4).
+        from scipy.sparse.linalg import ArpackNoConvergence, eigsh
+        try:
+            w, v = eigsh(H, k=k, which="SA")
+            order = np.argsort(w)
+            w, v = w[order], v[:, order]
+        except ArpackNoConvergence:
+            w, v = np.linalg.eigh(H)
     else:
         w, v = np.linalg.eigh(H)
     e_hf = float(H[hf_idx, hf_idx])

@@ -226,7 +226,7 @@ def _inner_bb(vag_fn, U0, data, stepsize, tol, decay, maxiter):
 
 
 def _vqe_stage_fns(state_fn, n_active, sector, vqe_maxiter, dtype,
-                   tables=None):
+                   tables=None, ftol=None):
     """(run_vqe, extract_rdms) for the eigensolver stage, shared by the
     one-dispatch program and the two-dispatch eigensolver program.
 
@@ -249,7 +249,7 @@ def _vqe_stage_fns(state_fn, n_active, sector, vqe_maxiter, dtype,
             # worker at ~360 params with long-scan costs and densifies a
             # P x P inverse Hessian (docs/PERF.md, round-2 measurement)
             res = lbfgs_minimize(vqe_energy, theta, args=(h_act, g_act),
-                                 maxiter=vqe_maxiter, gtol=gtol)
+                                 maxiter=vqe_maxiter, gtol=gtol, ftol=ftol)
             return res.x, res.fun
 
         def extract_rdms(theta):
@@ -262,11 +262,13 @@ def _vqe_stage_fns(state_fn, n_active, sector, vqe_maxiter, dtype,
             if tables is None:
                 res = lbfgs_minimize(sector.energy_values, theta,
                                      args=(vals,),
-                                     maxiter=vqe_maxiter, gtol=gtol)
+                                     maxiter=vqe_maxiter, gtol=gtol,
+                                     ftol=ftol)
             else:
                 res = lbfgs_minimize(_sector_cost_tabled(sector), theta,
                                      args=(vals, tables),
-                                     maxiter=vqe_maxiter, gtol=gtol)
+                                     maxiter=vqe_maxiter, gtol=gtol,
+                                     ftol=ftol)
             return res.x, res.fun
 
         def extract_rdms(theta):
@@ -278,7 +280,7 @@ def _vqe_stage_fns(state_fn, n_active, sector, vqe_maxiter, dtype,
 
 
 @partial(jax.jit, static_argnames=(
-    "state_fn", "n_active", "vqe_maxiter", "sector"))
+    "state_fn", "n_active", "vqe_maxiter", "vqe_ftol", "sector"))
 def _eig_rdm_program(state_fn: Callable,
                      n_active: int,
                      theta: jnp.ndarray,
@@ -287,7 +289,8 @@ def _eig_rdm_program(state_fn: Callable,
                      g_sp: jnp.ndarray,
                      vqe_maxiter: int = 200,
                      sector=None,
-                     sector_tables=None):
+                     sector_tables=None,
+                     vqe_ftol: float = None):
     """Two-dispatch mode, program A: rotate integrals at U, solve the
     eigensolver subproblem, extract spin-reduced RDMs.
 
@@ -298,7 +301,8 @@ def _eig_rdm_program(state_fn: Callable,
     compiled program at a size the worker handles."""
     run_vqe, extract_rdms = _vqe_stage_fns(state_fn, n_active, sector,
                                            vqe_maxiter, h_sp.dtype,
-                                           tables=sector_tables)
+                                           tables=sector_tables,
+                                           ftol=vqe_ftol)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
     theta, E = run_vqe(theta, h_act, g_act)
@@ -307,7 +311,8 @@ def _eig_rdm_program(state_fn: Callable,
     return theta, E, gamma_s, Gamma_s
 
 
-@partial(jax.jit, static_argnames=("state_fn", "vqe_maxiter", "sector"))
+@partial(jax.jit, static_argnames=("state_fn", "vqe_maxiter", "vqe_ftol",
+                                   "sector"))
 def _eig_only_program(state_fn: Callable,
                       theta: jnp.ndarray,
                       U: jnp.ndarray,
@@ -315,13 +320,15 @@ def _eig_only_program(state_fn: Callable,
                       g_sp: jnp.ndarray,
                       vqe_maxiter: int = 200,
                       sector=None,
-                      sector_tables=None):
+                      sector_tables=None,
+                      vqe_ftol: float = None):
     """Two-dispatch final re-solve: rotate + eigensolver, no RDM work
     (one-dispatch parity tail — _fused_optorb_vqe re-runs run_vqe at the
     final U unconditionally; its RDMs are never consumed there)."""
     run_vqe, _ = _vqe_stage_fns(state_fn, U.shape[1], sector,
                                 vqe_maxiter, h_sp.dtype,
-                                tables=sector_tables)
+                                tables=sector_tables,
+                                ftol=vqe_ftol)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
     return run_vqe(theta, h_act, g_act)
@@ -385,10 +392,10 @@ def _eig_chunk_init(state_fn: Callable, theta: jnp.ndarray, U: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("state_fn", "num_steps", "vqe_maxiter",
-                                   "sector"))
+                                   "vqe_ftol", "sector"))
 def _eig_chunk_advance(state_fn: Callable, state, cost_args,
                        num_steps: int, vqe_maxiter: int, sector=None,
-                       sector_tables=None):
+                       sector_tables=None, vqe_ftol: float = None):
     """Chunked two-dispatch, program A2 (jitted once, re-dispatched until
     state.done): up to `num_steps` more L-BFGS iterations.  Bounding the
     per-dispatch work keeps each compiled execution under the shared
@@ -400,10 +407,10 @@ def _eig_chunk_advance(state_fn: Callable, state, cost_args,
         return lbfgs_advance(_sector_cost_tabled(sector), state,
                              args=tuple(cost_args) + (sector_tables,),
                              num_steps=num_steps, maxiter=vqe_maxiter,
-                             gtol=gtol)
+                             gtol=gtol, ftol=vqe_ftol)
     cost, _ = _vqe_cost_for(state_fn, sector, dtype)
     return lbfgs_advance(cost, state, args=cost_args, num_steps=num_steps,
-                         maxiter=vqe_maxiter, gtol=gtol)
+                         maxiter=vqe_maxiter, gtol=gtol, ftol=vqe_ftol)
 
 
 @partial(jax.jit, static_argnames=("state_fn", "n_active", "sector"))
@@ -488,7 +495,7 @@ def _orb_program(U: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=(
     "state_fn", "n_active", "outer_maxiter", "inner_maxiter",
-    "vqe_maxiter", "sector", "callback"))
+    "vqe_maxiter", "vqe_ftol", "sector", "callback"))
 def _fused_optorb_vqe(state_fn: Callable,
                       n_active: int,
                       theta0: jnp.ndarray,
@@ -504,7 +511,8 @@ def _fused_optorb_vqe(state_fn: Callable,
                       vqe_maxiter: int = 200,
                       sector=None,
                       callback=None,
-                      sector_tables=None):
+                      sector_tables=None,
+                      vqe_ftol: float = None):
     """Returns (E, theta, U, n_outer, energy_trace).
 
     With `sector` (a sim.sector.SectorUCC), the eigensolver runs in the
@@ -520,7 +528,8 @@ def _fused_optorb_vqe(state_fn: Callable,
 
     run_vqe, extract_rdms = _vqe_stage_fns(state_fn, n_active, sector,
                                            vqe_maxiter, h_sp.dtype,
-                                           tables=sector_tables)
+                                           tables=sector_tables,
+                                           ftol=vqe_ftol)
     vag = _ORBITAL_VAG
 
     def outer_cond(c):
@@ -597,7 +606,8 @@ class FusedOptOrbEigensolverResult:
 
 
 def _ssvqe_stage_fns(apply_fn, n_active, init_mat, weights, sector,
-                     sector_init, vqe_maxiter, dtype, tables=None):
+                     sector_init, vqe_maxiter, dtype, tables=None,
+                     ftol=None):
     """(run_ssvqe, state_energies, batch_rdms) for the SSVQE eigensolver
     stage, shared by the one-dispatch program and the two-dispatch
     variant.  `tables` threads the sector tables in as program arguments
@@ -616,7 +626,7 @@ def _ssvqe_stage_fns(apply_fn, n_active, init_mat, weights, sector,
 
         def run_ssvqe(theta, h_act, g_act):
             res = lbfgs_minimize(weighted_cost, theta, args=(h_act, g_act),
-                                 maxiter=vqe_maxiter, gtol=gtol)
+                                 maxiter=vqe_maxiter, gtol=gtol, ftol=ftol)
             return res.x, res.fun
 
         def batch_rdms(theta):
@@ -647,7 +657,7 @@ def _ssvqe_stage_fns(apply_fn, n_active, init_mat, weights, sector,
                 return jnp.dot(weights, es)
 
             res = lbfgs_minimize(cost, theta, maxiter=vqe_maxiter,
-                                 gtol=gtol)
+                                 gtol=gtol, ftol=ftol)
             return res.x, res.fun
 
         def batch_rdms(theta):
@@ -659,7 +669,7 @@ def _ssvqe_stage_fns(apply_fn, n_active, init_mat, weights, sector,
 
 
 @partial(jax.jit, static_argnames=(
-    "apply_fn", "n_active", "vqe_maxiter", "sector"))
+    "apply_fn", "n_active", "vqe_maxiter", "vqe_ftol", "sector"))
 def _ssvqe_eig_rdm_program(apply_fn: Callable,
                            n_active: int,
                            init_mat: jnp.ndarray,
@@ -671,12 +681,13 @@ def _ssvqe_eig_rdm_program(apply_fn: Callable,
                            vqe_maxiter: int = 300,
                            sector=None,
                            sector_init: jnp.ndarray = None,
-                           sector_tables=None):
+                           sector_tables=None,
+                           vqe_ftol: float = None):
     """Two-dispatch mode, SSVQE program A: rotate, optimize the weighted
     sum, per-state energies, weight-combined spin-reduced RDMs."""
     run_ssvqe, state_energies, batch_rdms = _ssvqe_stage_fns(
         apply_fn, n_active, init_mat, weights, sector, sector_init,
-        vqe_maxiter, h_sp.dtype, tables=sector_tables)
+        vqe_maxiter, h_sp.dtype, tables=sector_tables, ftol=vqe_ftol)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
     theta, Ew = run_ssvqe(theta, h_act, g_act)
@@ -689,7 +700,7 @@ def _ssvqe_eig_rdm_program(apply_fn: Callable,
 
 
 @partial(jax.jit, static_argnames=(
-    "apply_fn", "n_active", "vqe_maxiter", "sector"))
+    "apply_fn", "n_active", "vqe_maxiter", "vqe_ftol", "sector"))
 def _ssvqe_energies_program(apply_fn: Callable,
                             n_active: int,
                             init_mat: jnp.ndarray,
@@ -701,13 +712,14 @@ def _ssvqe_energies_program(apply_fn: Callable,
                             vqe_maxiter: int = 300,
                             sector=None,
                             sector_init: jnp.ndarray = None,
-                            sector_tables=None):
+                            sector_tables=None,
+                            vqe_ftol: float = None):
     """Per-state energies at (theta, U) only — the hit-max tail of the
     two-dispatch SSVQE loop (one-dispatch parity: energies of the last
     theta under the freshly rotated Hamiltonian)."""
     _, state_energies, _ = _ssvqe_stage_fns(
         apply_fn, n_active, init_mat, weights, sector, sector_init,
-        vqe_maxiter, h_sp.dtype, tables=sector_tables)
+        vqe_maxiter, h_sp.dtype, tables=sector_tables, ftol=vqe_ftol)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
     return state_energies(theta, h_act, g_act)
@@ -715,7 +727,7 @@ def _ssvqe_energies_program(apply_fn: Callable,
 
 @partial(jax.jit, static_argnames=(
     "apply_fn", "n_active", "outer_maxiter", "inner_maxiter", "vqe_maxiter",
-    "sector", "callback"))
+    "vqe_ftol", "sector", "callback"))
 def _fused_optorb_ssvqe(apply_fn: Callable,
                         n_active: int,
                         init_mat: jnp.ndarray,          # (k, 2^N)
@@ -734,7 +746,8 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
                         sector=None,
                         sector_init: jnp.ndarray = None,   # (k, nd + 1)
                         callback=None,
-                        sector_tables=None):
+                        sector_tables=None,
+                        vqe_ftol: float = None):
     """Fused SSVQE outer loop: (energies, theta, U, n_outer, trace).
 
     With `sector` (sim.sector.SectorUCC) + `sector_init`, the k state
@@ -743,7 +756,7 @@ def _fused_optorb_ssvqe(apply_fn: Callable,
     2^N space is never touched."""
     run_ssvqe, state_energies, batch_rdms = _ssvqe_stage_fns(
         apply_fn, n_active, init_mat, weights, sector, sector_init,
-        vqe_maxiter, h_sp.dtype, tables=sector_tables)
+        vqe_maxiter, h_sp.dtype, tables=sector_tables, ftol=vqe_ftol)
     vag = _ORBITAL_VAG
 
     def outer_cond(c):
@@ -813,6 +826,7 @@ class FusedOptOrbSSVQE:
                  initial_BBstepsize: float = 1e-3,
                  decay_factor: float = 0.8,
                  vqe_maxiter: int = 300,
+                 vqe_ftol: float = None,
                  dtype=None,
                  mesh=None,
                  simulation: str = "auto",
@@ -983,6 +997,10 @@ class FusedOptOrbSSVQE:
         self.initial_BBstepsize = initial_BBstepsize
         self.decay_factor = decay_factor
         self.vqe_maxiter = vqe_maxiter
+        # eigensolver plateau-stop override (solvers/lbfgs.py `ftol`):
+        # None = auto (32 ulp at f32, disabled at f64); 0.0 = pure
+        # gtol/maxiter/no-move semantics (the advisor's round-4 ask)
+        self.vqe_ftol = vqe_ftol
         if dispatch not in ("one", "two"):
             raise ValueError("dispatch must be 'one' or 'two'")
         self.dispatch = dispatch
@@ -1000,7 +1018,9 @@ class FusedOptOrbSSVQE:
         bb = jnp.asarray(self.initial_BBstepsize, dtype)
         inner_tol = jnp.asarray(self.inner_stopping_tolerance, dtype)
         decay = jnp.asarray(self.decay_factor, dtype)
-        common = dict(vqe_maxiter=self.vqe_maxiter, sector=self._sector,
+        common = dict(vqe_maxiter=self.vqe_maxiter,
+                      vqe_ftol=getattr(self, "vqe_ftol", None),
+                      sector=self._sector,
                       sector_init=self._sector_init,
                       sector_tables=getattr(self, "_sector_tables", None))
 
@@ -1068,6 +1088,7 @@ class FusedOptOrbSSVQE:
                 outer_maxiter=self.maxiter,
                 inner_maxiter=self.inner_maxiter,
                 vqe_maxiter=self.vqe_maxiter,
+                vqe_ftol=getattr(self, "vqe_ftol", None),
                 sector=self._sector,
                 sector_init=self._sector_init,
                 callback=live_cb,
@@ -1334,7 +1355,8 @@ def _mcvqe_batched_energies(apply_raw, stack, theta, h_so, g_so):
 
 
 def _vqd_stage_fns(apply_fn, n_active, k, init_mat, betas, weights,
-                   sector, sector_init, vqe_maxiter, dtype, tables=None):
+                   sector, sector_init, vqe_maxiter, dtype, tables=None,
+                   ftol=None):
     """(run_vqd, batch_rdms) for the sequential-deflation eigensolver
     stage, shared by the one-dispatch program and the two-dispatch
     variant.  `tables` threads the sector tables in as program arguments
@@ -1377,7 +1399,7 @@ def _vqd_stage_fns(apply_fn, n_active, k, init_mat, betas, weights,
                 res = lbfgs_minimize(
                     deflated_cost, thetas[j],
                     args=(j, prev_states, h_so, g_so),
-                    maxiter=vqe_maxiter, gtol=gtol)
+                    maxiter=vqe_maxiter, gtol=gtol, ftol=ftol)
                 s = apply_state(j, init_mat[j], res.x)
                 e = rdm_energy(s, h_so, g_so)   # deflation-free eigenvalue
                 return (thetas.at[j].set(res.x),
@@ -1410,7 +1432,7 @@ def _vqd_stage_fns(apply_fn, n_active, k, init_mat, betas, weights,
                 thetas, prev_vs, energies = carry
                 res = lbfgs_minimize(
                     deflated_cost_s, thetas[j], args=(j, prev_vs),
-                    maxiter=vqe_maxiter, gtol=gtol)
+                    maxiter=vqe_maxiter, gtol=gtol, ftol=ftol)
                 v = sector.apply(sector_init[j], res.x, tables=tables)
                 e = sector.quadform_values(v, vals, tables=tables)
                 return (thetas.at[j].set(res.x),
@@ -1431,16 +1453,17 @@ def _vqd_stage_fns(apply_fn, n_active, k, init_mat, betas, weights,
 
 
 @partial(jax.jit, static_argnames=(
-    "apply_fn", "n_active", "k", "vqe_maxiter", "sector"))
+    "apply_fn", "n_active", "k", "vqe_maxiter", "vqe_ftol", "sector"))
 def _vqd_eig_rdm_program(apply_fn, n_active, k, init_mat, betas, weights,
                          thetas, U, h_sp, g_sp, vqe_maxiter=300,
                          sector=None, sector_init=None,
-                         sector_tables=None):
+                         sector_tables=None, vqe_ftol=None):
     """Two-dispatch mode, VQD program A: rotate, sequential deflation
     over the k states, weight-combined spin-reduced RDMs."""
     run_vqd, batch_rdms = _vqd_stage_fns(
         apply_fn, n_active, k, init_mat, betas, weights, sector,
-        sector_init, vqe_maxiter, h_sp.dtype, tables=sector_tables)
+        sector_init, vqe_maxiter, h_sp.dtype, tables=sector_tables,
+        ftol=vqe_ftol)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
     thetas, states, energies = run_vqd(thetas, h_act, g_act)
@@ -1452,17 +1475,18 @@ def _vqd_eig_rdm_program(apply_fn, n_active, k, init_mat, betas, weights,
 
 
 @partial(jax.jit, static_argnames=(
-    "apply_fn", "n_active", "k", "vqe_maxiter", "sector"))
+    "apply_fn", "n_active", "k", "vqe_maxiter", "vqe_ftol", "sector"))
 def _vqd_eig_only_program(apply_fn, n_active, k, init_mat, betas, weights,
                           thetas, U, h_sp, g_sp, vqe_maxiter=300,
                           sector=None, sector_init=None,
-                          sector_tables=None):
+                          sector_tables=None, vqe_ftol=None):
     """Two-dispatch final re-solve: deflation only, no RDM work
     (one-dispatch parity tail — _fused_optorb_vqd re-runs run_vqd at the
     final U unconditionally; its RDMs are never consumed there)."""
     run_vqd, _ = _vqd_stage_fns(
         apply_fn, n_active, k, init_mat, betas, weights, sector,
-        sector_init, vqe_maxiter, h_sp.dtype, tables=sector_tables)
+        sector_init, vqe_maxiter, h_sp.dtype, tables=sector_tables,
+        ftol=vqe_ftol)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
     thetas, _, energies = run_vqd(thetas, h_act, g_act)
@@ -1471,7 +1495,7 @@ def _vqd_eig_only_program(apply_fn, n_active, k, init_mat, betas, weights,
 
 @partial(jax.jit, static_argnames=(
     "apply_fn", "n_active", "k", "outer_maxiter", "inner_maxiter",
-    "vqe_maxiter", "sector", "callback"))
+    "vqe_maxiter", "vqe_ftol", "sector", "callback"))
 def _fused_optorb_vqd(apply_fn: Callable,
                       n_active: int,
                       k: int,
@@ -1492,7 +1516,8 @@ def _fused_optorb_vqd(apply_fn: Callable,
                       sector=None,
                       sector_init: jnp.ndarray = None,   # (k, nd + 1)
                       callback=None,
-                      sector_tables=None):
+                      sector_tables=None,
+                      vqe_ftol: float = None):
     """Fused VQD OptOrb loop.  Deflation is sequential over the k states
     (mandatory: state j's penalty references states < j), but each state's
     BFGS, the overlap penalties, the RDMs and the BB descent all live in
@@ -1504,7 +1529,8 @@ def _fused_optorb_vqd(apply_fn: Callable,
     """
     run_vqd, batch_rdms = _vqd_stage_fns(
         apply_fn, n_active, k, init_mat, betas, weights, sector,
-        sector_init, vqe_maxiter, h_sp.dtype, tables=sector_tables)
+        sector_init, vqe_maxiter, h_sp.dtype, tables=sector_tables,
+        ftol=vqe_ftol)
     vag = _ORBITAL_VAG
 
     def outer_cond(c):
@@ -1652,7 +1678,9 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
             return _vqd_eig_rdm_program(
                 self._apply_raw, n_active, self.k, self._init_mat,
                 self._betas, self._weights, thetas, U, h_sp, g_sp,
-                vqe_maxiter=self.vqe_maxiter, sector=self._sector,
+                vqe_maxiter=self.vqe_maxiter,
+                vqe_ftol=getattr(self, "vqe_ftol", None),
+                sector=self._sector,
                 sector_init=self._sector_init,
                 sector_tables=getattr(self, "_sector_tables", None))
 
@@ -1690,7 +1718,9 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
         thetas, energies = _vqd_eig_only_program(
             self._apply_raw, n_active, self.k, self._init_mat,
             self._betas, self._weights, thetas, U, h_sp, g_sp,
-            vqe_maxiter=self.vqe_maxiter, sector=self._sector,
+            vqe_maxiter=self.vqe_maxiter,
+            vqe_ftol=getattr(self, "vqe_ftol", None),
+            sector=self._sector,
             sector_init=self._sector_init,
             sector_tables=getattr(self, "_sector_tables", None))
         t1 = _eigensolver_transition_rdm1s(self, thetas,
@@ -1731,6 +1761,7 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
                 outer_maxiter=self.maxiter,
                 inner_maxiter=self.inner_maxiter,
                 vqe_maxiter=self.vqe_maxiter,
+                vqe_ftol=getattr(self, "vqe_ftol", None),
                 sector=self._sector,
                 sector_init=self._sector_init,
                 callback=live_cb,
@@ -1755,7 +1786,7 @@ class FusedOptOrbVQD(FusedOptOrbSSVQE):
 
 
 def _adapt_stage_fns(state_fn, n_active, R, P, sector, vqe_maxiter, dtype,
-                     grad_tol, eig_tol, tables=None):
+                     grad_tol, eig_tol, tables=None, ftol=None):
     """(run_adapt, extract_rdms) for the ADAPT eigensolver stage, shared
     by the one-dispatch program and the two-dispatch variant.  `tables`
     threads the sector tables in as program arguments (mesh-sharded
@@ -1815,7 +1846,7 @@ def _adapt_stage_fns(state_fn, n_active, R, P, sector, vqe_maxiter, dtype,
                                      jnp.asarray(1.0, dtype)),
                                  mask)
             res = lbfgs_minimize(masked_cost, theta, args=(mask_new,),
-                                 maxiter=vqe_maxiter, gtol=gtol)
+                                 maxiter=vqe_maxiter, gtol=gtol, ftol=ftol)
             theta_new = jnp.where(grow, res.x * mask_new, theta)
             E_new = jnp.where(grow, res.fun, E_g)
             small_gain = jnp.logical_and(
@@ -1837,7 +1868,7 @@ def _adapt_stage_fns(state_fn, n_active, R, P, sector, vqe_maxiter, dtype,
 
 
 @partial(jax.jit, static_argnames=(
-    "state_fn", "n_active", "R", "P", "vqe_maxiter", "sector"))
+    "state_fn", "n_active", "R", "P", "vqe_maxiter", "vqe_ftol", "sector"))
 def _adapt_eig_rdm_program(state_fn: Callable,
                            n_active: int,
                            R: int,
@@ -1849,12 +1880,13 @@ def _adapt_eig_rdm_program(state_fn: Callable,
                            eig_tol: jnp.ndarray,
                            vqe_maxiter: int = 200,
                            sector=None,
-                           sector_tables=None):
+                           sector_tables=None,
+                           vqe_ftol: float = None):
     """Two-dispatch mode, ADAPT program A: rotate integrals, run the
     on-device growth loop from scratch, extract spin-reduced RDMs."""
     run_adapt, extract_rdms = _adapt_stage_fns(
         state_fn, n_active, R, P, sector, vqe_maxiter, h_sp.dtype,
-        grad_tol, eig_tol, tables=sector_tables)
+        grad_tol, eig_tol, tables=sector_tables, ftol=vqe_ftol)
     h_act = rotate_one_body(h_sp, U)
     g_act = rotate_two_body(g_sp, U)
     theta, mask, E = run_adapt(h_act, g_act)
@@ -1865,7 +1897,7 @@ def _adapt_eig_rdm_program(state_fn: Callable,
 
 @partial(jax.jit, static_argnames=(
     "state_fn", "n_active", "R", "P", "outer_maxiter", "inner_maxiter",
-    "vqe_maxiter", "sector", "callback"))
+    "vqe_maxiter", "vqe_ftol", "sector", "callback"))
 def _fused_optorb_adapt_vqe(state_fn: Callable,
                             n_active: int,
                             R: int,                 # growth slots
@@ -1884,7 +1916,8 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
                             vqe_maxiter: int = 200,
                             sector=None,
                             callback=None,
-                            sector_tables=None):
+                            sector_tables=None,
+                            vqe_ftol: float = None):
     """Fused ADAPT-VQE OptOrb loop: (E, theta, mask, U, n_outer, trace).
 
     ADAPT growth runs entirely on device as masking over a fixed padded
@@ -1908,7 +1941,7 @@ def _fused_optorb_adapt_vqe(state_fn: Callable,
     dtype = h_sp.dtype
     run_adapt, extract_rdms = _adapt_stage_fns(
         state_fn, n_active, R, P, sector, vqe_maxiter, dtype,
-        grad_tol, eig_tol, tables=sector_tables)
+        grad_tol, eig_tol, tables=sector_tables, ftol=vqe_ftol)
     vag = _ORBITAL_VAG
 
     def outer_cond(c):
@@ -1968,6 +2001,7 @@ class FusedOptOrbVQE:
                  initial_BBstepsize: float = 1e-3,
                  decay_factor: float = 0.8,
                  vqe_maxiter: int = 200,
+                 vqe_ftol: float = None,
                  dtype=None,
                  mesh=None,
                  simulation: str = "auto",
@@ -2085,6 +2119,10 @@ class FusedOptOrbVQE:
         self.initial_BBstepsize = initial_BBstepsize
         self.decay_factor = decay_factor
         self.vqe_maxiter = vqe_maxiter
+        # eigensolver plateau-stop override (solvers/lbfgs.py `ftol`):
+        # None = auto (32 ulp at f32, disabled at f64); 0.0 = pure
+        # gtol/maxiter/no-move semantics (the advisor's round-4 ask)
+        self.vqe_ftol = vqe_ftol
         if dispatch not in ("one", "two"):
             raise ValueError("dispatch must be 'one' or 'two'")
         self.dispatch = dispatch
@@ -2148,6 +2186,8 @@ class FusedOptOrbVQE:
                 state = _eig_chunk_advance(state_fn, state, cost_args,
                                            num_steps=int(chunk),
                                            vqe_maxiter=self.vqe_maxiter,
+                                           vqe_ftol=getattr(self, "vqe_ftol",
+                                                            None),
                                            sector=self._sector,
                                            sector_tables=T)
             return state
@@ -2160,7 +2200,9 @@ class FusedOptOrbVQE:
             if chunk is None:
                 return _eig_rdm_program(
                     state_fn, n_active, theta, U, h_sp, g_sp,
-                    vqe_maxiter=self.vqe_maxiter, sector=self._sector,
+                    vqe_maxiter=self.vqe_maxiter,
+                    vqe_ftol=getattr(self, "vqe_ftol", None),
+                    sector=self._sector,
                     sector_tables=T)
             state = run_chunked(theta, U)
             gamma_s, Gamma_s = _rdm_only_program(state_fn, n_active,
@@ -2174,6 +2216,8 @@ class FusedOptOrbVQE:
             if chunk is None:
                 return _eig_only_program(state_fn, theta, U, h_sp, g_sp,
                                          vqe_maxiter=self.vqe_maxiter,
+                                         vqe_ftol=getattr(self, "vqe_ftol",
+                                                          None),
                                          sector=self._sector,
                                          sector_tables=T)
             state = run_chunked(theta, U)
@@ -2235,6 +2279,7 @@ class FusedOptOrbVQE:
             outer_maxiter=self.maxiter,
             inner_maxiter=self.inner_maxiter,
             vqe_maxiter=self.vqe_maxiter,
+            vqe_ftol=getattr(self, "vqe_ftol", None),
             sector=self._sector,
             callback=live_cb,
             sector_tables=getattr(self, "_sector_tables", None),
@@ -2322,6 +2367,7 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
             return _adapt_eig_rdm_program(
                 state_fn, n_active, self._R, self._P, U, h_sp, g_sp,
                 grad_tol, eig_tol, vqe_maxiter=self.vqe_maxiter,
+                vqe_ftol=getattr(self, "vqe_ftol", None),
                 sector=self._sector,
                 sector_tables=getattr(self, "_sector_tables", None))
 
@@ -2379,6 +2425,7 @@ class FusedOptOrbAdaptVQE(FusedOptOrbVQE):
             outer_maxiter=self.maxiter,
             inner_maxiter=self.inner_maxiter,
             vqe_maxiter=self.vqe_maxiter,
+            vqe_ftol=getattr(self, "vqe_ftol", None),
             sector=self._sector,
             callback=live_cb,
             sector_tables=getattr(self, "_sector_tables", None),

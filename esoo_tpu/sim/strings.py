@@ -246,12 +246,16 @@ def _one_hot(p, dt):
 
 def _perm_sandwich(V, pA, pB):
     """G = EB @ V @ EA^T with the partner permutations as on-the-fly
-    one-hot matrices — the gather becomes two MXU matmuls.  One-hot
-    entries are exact in bf16, so at f32 working precision the product
-    runs as TWO 3x-width bf16 GEMMs (ops/split_precision.py: exact to
-    f32 rounding, 6 MXU passes) instead of ``highest``'s 12 — the N>=24
-    gate scan is compute-bound in exactly these sandwiches (measured
-    46.9 us/gate, scripts/probe_scan_bwd.py)."""
+    one-hot matrices — the gather becomes two MXU matmuls.  By DEFAULT
+    this runs on the ``highest``-precision f32 path (12 MXU passes per
+    GEMM).  One-hot entries are exact in bf16, so the sandwich CAN run
+    as two 3x-width bf16-split GEMMs (ops/split_precision.py: exact to
+    f32 rounding, 6 MXU passes) — but that route measured SLOWER on the
+    v5e (round 4, tests/test_split_precision.py provenance) and is
+    opt-in via ops.split_precision.force_split(True) for genuinely
+    pass-bound backends.  The N>=24 gate scan is compute-bound in
+    exactly these sandwiches (measured 46.9 us/gate,
+    scripts/probe_scan_bwd.py)."""
     if _sp.use_split(V.dtype):
         EA = _one_hot(pA, jnp.bfloat16)
         EB = _one_hot(pB, jnp.bfloat16)

@@ -11,15 +11,28 @@ in P.
 
 Semantics: minimizes fun(x, *args) from x0; terminates on ||grad||_inf <=
 gtol, maxiter iterations, an f-plateau (`ftol`, scipy L-BFGS-B-style
-relative decrease test with a consecutive-iteration patience), or a stalled
-line search (Armijo exhausts its backtracks twice in a row — at f32 the
-gradient-noise floor makes gtol unreachable, so without these stops every
-solve burns maxiter; measured H8 N=24: 200/200 iterations with
-nfev/nit ~ 21, scripts/probe_h8_stages.py, round 4).  The line search is
+relative decrease test with a consecutive-iteration patience), or a
+stalled line search (one fully exhausted Armijo search leaves x unchanged
+and the no-move test stops the solve — at f32 the gradient-noise floor
+makes gtol unreachable, so without these stops every solve burns maxiter;
+measured H8 N=24: 200/200 iterations with nfev/nit ~ 21,
+scripts/probe_h8_stages.py, round 4).  The line search is
 quadratic-interpolation backtracking (fit f(0), f'(0), f(t) and jump to
 the model minimizer, clamped to [0.1 t, 0.5 t]) — the pure-halving search
 needed ~10-20 evals to walk down from overshooting steps that
 interpolation reaches in 1-2.
+
+Every line-search trial evaluates value_and_grad, not just the value
+(round 5): with interpolation the search accepts at t = 1 almost always,
+so the old fun(x_trial)-then-vag(x_accepted) split recomputed the
+accepted point's forward pass every iteration — measured ~20 % of
+inner-loop time at H8 N>=24 (fun ~ 25 ms vs vag ~ 67 ms; the break-even
+is ~0.6 REJECTED trials per iteration, and the plateau/no-move stops
+bound rejection-heavy stretches).  The accepted gradient now falls out
+of the search, matching the reference PUPO's one-autograd-call-per-
+iterate economy (partial_unitary_projection_optimizer.py:331); nfev
+counts value_and_grad evaluations, so nfev ~ nit + 1 on an
+accept-at-t=1 run.
 
 The optimizer is RESUMABLE: `lbfgs_init` builds an `LBFGSState`,
 `lbfgs_advance` runs up to `num_steps` further iterations and returns the
@@ -62,7 +75,6 @@ class LBFGSState(NamedTuple):
     nfev: jnp.ndarray
     done: jnp.ndarray
     plateau: jnp.ndarray   # consecutive iterations below the ftol decrease
-    stalls: jnp.ndarray    # consecutive exhausted line searches
 
 
 def default_ftol(dtype) -> float:
@@ -71,7 +83,7 @@ def default_ftol(dtype) -> float:
     precision whose gradient-noise floor makes gtol unreachable,
     measured H8 N>=20), DISABLED (0.0) at f64 — the oracle precision
     keeps pure gtol/maxiter semantics so reference-parity paths are
-    never stopped early.  The plateau stop needs `_PLATEAU_PATIENCE`
+    never stopped early.  The plateau stop needs `plateau_patience`
     consecutive below-threshold iterations, so a momentary slow step
     does not end the solve."""
     if jnp.finfo(dtype).bits >= 64:
@@ -93,19 +105,23 @@ def lbfgs_init(fun, x0, args=(), gtol: float = 1e-8,
         S=jnp.zeros((memory, P), dtype), Y=jnp.zeros((memory, P), dtype),
         rho=jnp.zeros((memory,), dtype), nfev=jnp.asarray(1),
         done=jnp.max(jnp.abs(g0)) <= gtol,
-        plateau=jnp.asarray(0), stalls=jnp.asarray(0))
+        plateau=jnp.asarray(0))
 
 
 def lbfgs_advance(fun, state: LBFGSState, args=(), num_steps: int = 1,
                   maxiter: int = 200, gtol: float = 1e-8,
                   max_backtracks: int = 25,
                   armijo_c1: float = 1e-4,
-                  ftol: float = None) -> LBFGSState:
+                  ftol: float = None,
+                  plateau_patience: int = _PLATEAU_PATIENCE) -> LBFGSState:
     """Run up to `num_steps` more L-BFGS iterations (or until convergence
     / `maxiter` TOTAL iterations), returning the updated state.  Jittable;
     repeated calls with the same static config hit the jit cache.
     `ftol` is the relative per-iteration decrease below which progress
-    counts toward the plateau stop (None -> default_ftol(dtype))."""
+    counts toward the plateau stop (None -> default_ftol(dtype));
+    `plateau_patience` is how many consecutive below-ftol iterations end
+    the solve.  Set ftol=0.0 to disable the plateau stop entirely
+    (pure gtol/maxiter/no-move semantics)."""
     vag = jax.value_and_grad(fun)
     dtype = jnp.asarray(state.x).dtype
     m = state.S.shape[0]
@@ -154,19 +170,22 @@ def lbfgs_advance(fun, state: LBFGSState, args=(), num_steps: int = 1,
         f'(0) and f(t) (clamped to [0.1 t, 0.5 t] — the halving search
         needed ~10-20 evals to walk down from an overshoot that the
         model reaches in 1-2; measured H8 N=24 nfev/nit ~ 21, round 4).
-        Returns (x_t, f_t, evals, accepted); on a fully exhausted search
-        x/f are UNCHANGED (the caller stops instead of taking a garbage
-        step that pollutes the curvature pairs)."""
+        Each trial evaluates value_and_grad so the accepted point's
+        gradient is produced by the search itself (see module
+        docstring).  Returns (x_t, f_t, g_t, evals, accepted); on a
+        fully exhausted search x/f/g are UNCHANGED (the caller stops
+        instead of taking a garbage step that pollutes the curvature
+        pairs)."""
         gd = jnp.dot(g, d)
 
         def cond(c):
-            t, ft, xt, n, done = c
+            t, ft, xt, gt, n, done = c
             return jnp.logical_and(jnp.logical_not(done), n < max_backtracks)
 
         def body(c):
-            t, ft, xt, n, done = c
+            t, ft, xt, gt, n, done = c
             xt_new = x + t * d
-            ft_new = fun(xt_new, *args)
+            ft_new, gt_new = vag(xt_new, *args)
             ok = ft_new <= f + armijo_c1 * t * gd
             # minimizer of the quadratic model q(s): q(0)=f, q'(0)=gd,
             # q(t)=ft_new  ->  s* = -gd t^2 / (2 (ft_new - f - t gd))
@@ -178,12 +197,13 @@ def lbfgs_advance(fun, state: LBFGSState, args=(), num_steps: int = 1,
             return (jnp.where(ok, t, t_next),
                     jnp.where(ok, ft_new, ft),
                     jnp.where(ok, xt_new, xt),
+                    jnp.where(ok, gt_new, gt),
                     n + 1, ok)
 
         t0 = jnp.asarray(1.0, dtype)
-        t, ft, xt, n, done = jax.lax.while_loop(
-            cond, body, (t0, f, x, jnp.asarray(0), jnp.asarray(False)))
-        return xt, ft, n, done
+        t, ft, xt, gt, n, done = jax.lax.while_loop(
+            cond, body, (t0, f, x, g, jnp.asarray(0), jnp.asarray(False)))
+        return xt, ft, gt, n, done
 
     stop_at = state.it + num_steps
 
@@ -191,7 +211,7 @@ def lbfgs_advance(fun, state: LBFGSState, args=(), num_steps: int = 1,
         return jnp.logical_and(jnp.logical_not(c.done), c.it < stop_at)
 
     def body(c):
-        (it, k, x, f, g, S, Y, rho, nfev, done, plateau, stalls) = c
+        (it, k, x, f, g, S, Y, rho, nfev, done, plateau) = c
         d = -two_loop(g, S, Y, rho, k)
         # fall back to steepest descent if d is not a descent direction
         desc = jnp.dot(g, d) < 0
@@ -204,8 +224,7 @@ def lbfgs_advance(fun, state: LBFGSState, args=(), num_steps: int = 1,
                               jnp.asarray(1.0, dtype),
                               jnp.max(jnp.abs(d))))
         d = d * scale
-        x_new, f_new, ls_evals, accepted = line_search(x, f, g, d)
-        _, g_new = vag(x_new, *args)
+        x_new, f_new, g_new, ls_evals, accepted = line_search(x, f, g, d)
         s = x_new - x
         y = g_new - g
         sy = jnp.dot(s, y)
@@ -221,7 +240,6 @@ def lbfgs_advance(fun, state: LBFGSState, args=(), num_steps: int = 1,
             jnp.asarray(1.0, dtype))
         plateau = jnp.where(accepted & jnp.logical_not(small),
                             0, plateau + 1)
-        stalls = jnp.where(accepted, 0, stalls + 1)
         converged = jnp.max(jnp.abs(g_new)) <= gtol
         diverged = jnp.logical_not(jnp.isfinite(f_new))
         # an exhausted line search leaves x unchanged: stop (f32 noise
@@ -229,9 +247,9 @@ def lbfgs_advance(fun, state: LBFGSState, args=(), num_steps: int = 1,
         no_move = jnp.max(jnp.abs(s)) <= 0.0
         hit_max = (it + 1) >= maxiter
         done = (converged | diverged | hit_max | no_move
-                | (plateau >= _PLATEAU_PATIENCE))
+                | (plateau >= plateau_patience))
         return LBFGSState(it + 1, k, x_new, f_new, g_new, S, Y, rho,
-                          nfev + ls_evals + 1, done, plateau, stalls)
+                          nfev + ls_evals, done, plateau)
 
     return jax.lax.while_loop(cond, body, state)
 
@@ -240,13 +258,15 @@ def lbfgs_minimize(fun, x0, args=(), maxiter: int = 200,
                    gtol: float = 1e-8, memory: int = 10,
                    max_backtracks: int = 25,
                    armijo_c1: float = 1e-4,
-                   ftol: float = None) -> LBFGSResult:
+                   ftol: float = None,
+                   plateau_patience: int = _PLATEAU_PATIENCE) -> LBFGSResult:
     """Jittable L-BFGS.  `fun(x, *args)` must be jax-traceable."""
     state = lbfgs_init(fun, x0, args=args, gtol=gtol, memory=memory)
     state = lbfgs_advance(fun, state, args=args, num_steps=maxiter,
                           maxiter=maxiter, gtol=gtol,
                           max_backtracks=max_backtracks,
-                          armijo_c1=armijo_c1, ftol=ftol)
+                          armijo_c1=armijo_c1, ftol=ftol,
+                          plateau_patience=plateau_patience)
     return LBFGSResult(x=state.x, fun=state.f, nit=state.it,
                        nfev=state.nfev,
                        grad_norm=jnp.max(jnp.abs(state.g)))

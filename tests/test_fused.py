@@ -592,3 +592,40 @@ def test_fused_vqd_initial_point_count_mismatch(h2_631g):
                        initial_states=[init0, init1], betas=[2.0],
                        problem=h2_631g,
                        initial_point=[np.zeros(a.num_parameters)])
+
+
+def test_fused_vqe_ftol_kwarg_plumbs_through(h2_631g):
+    """`vqe_ftol` reaches the inner L-BFGS (advisor round-4 ask): an
+    absurdly loose ftol makes EVERY iteration count toward the plateau
+    stop, so the eigensolver halts at the plateau patience; ftol=0.0
+    restores pure gtol/maxiter semantics and runs strictly longer.
+    Pinned at the chunked-program level where the iteration count is
+    observable, plus an e2e smoke that vqe_ftol=0.0 still lands on the
+    reference optimum."""
+    from esoo_tpu.orbital_optimization.fused import (_eig_chunk_advance,
+                                                     _eig_chunk_init, orth)
+    ansatz = UCCSD(2, (1, 1), initial_state=HartreeFock(2, (1, 1)))
+    sol = FusedOptOrbVQE(num_spin_orbitals=4, ansatz=ansatz,
+                         problem=h2_631g, maxiter=20, vqe_ftol=0.0)
+    assert sol.vqe_ftol == 0.0
+    state_fn = sol._compiled.state_fn
+    U = orth(sol._U0)
+    st0, cost_args = _eig_chunk_init(state_fn, sol._theta0, U,
+                                     sol._h_sp, sol._g_sp,
+                                     sector=sol._sector)
+    loose = _eig_chunk_advance(state_fn, st0, cost_args, num_steps=50,
+                               vqe_maxiter=50, sector=sol._sector,
+                               vqe_ftol=1.0)
+    exact = _eig_chunk_advance(state_fn, st0, cost_args, num_steps=50,
+                               vqe_maxiter=50, sector=sol._sector,
+                               vqe_ftol=0.0)
+    assert int(loose.it) <= 3          # plateau patience fires immediately
+    # the plateau counter is the direct plumbing observable: with
+    # ftol=1.0 every iteration counts (stopped BY the plateau rule, so
+    # the counter sits at the patience); with ftol=0.0 accepted
+    # decreasing steps reset it to zero (stopped by gtol/no-move)
+    assert int(loose.plateau) == 3
+    assert int(exact.plateau) == 0
+    r = sol.compute_minimum_energy()
+    np.testing.assert_allclose(r.eigenvalue, -1.8661038079694765,
+                               atol=1e-3)
