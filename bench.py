@@ -20,18 +20,35 @@ minus the published -1.8712471686505392 Ha (negative = strictly better
 variational optimum).
 
 Prints ONE JSON line — ALWAYS.  A global wall-clock deadline
-(`BENCH_DEADLINE_S`, default 1500 s — measured round-4 full-run
-span is ~1,100-1,260 s with remote-compile variance; the watchdog still
-guarantees a print at deadline + 60 s) bounds the whole run: phases are
-ordered cheapest/most-important first (H4 headline -> H2 accuracy ->
-transform TFLOP/s -> showcase scale phases), every showcase subprocess
-gets a budget derived from the time remaining (never a fixed 2400 s),
-and a watchdog thread prints the partial JSON line and exits if the
-main path ever wedges (e.g. a down TPU tunnel hanging a dispatch).
-Phases that don't fit the budget are reported as "skipped_budget"
-instead of silently losing the whole artifact (round-3 lesson:
-BENCH_r03.json rc=124, parsed=null — the old unbounded chains allowed
-a >4.5 h worst case with a single all-or-nothing print at the end).
+(`BENCH_DEADLINE_S`, default 1500 s) bounds the whole run and a
+watchdog thread prints the partial JSON line and exits if the main
+path ever wedges (e.g. a down TPU tunnel hanging a dispatch).
+
+Phase order (round-5 restructure — the round-4 driver run spent all
+1,455 s before the showcase chains started, leaving every flagship
+field null for the second round running, VERDICT r4 item 1):
+  1. H4 headline numerator (ours)           — required
+  2. torch-CPU baseline denominator         — required
+  3. H8 string-UCC showcase chain           — the flagship; runs THIRD,
+  4. H8 exact-CASSCF showcase chain           not last, so compile-load
+                                              variance in the accessory
+                                              phases can no longer
+                                              starve it
+  5. H2 cc-pVTZ accuracy cross-check        — gated tail phase
+  6. transform TFLOP/s (m=56, m=120)        — gated tail phase
+  7. tunnel RTT provenance                  — trivial
+  8. H4 GSPMD 1-device mesh anchor          — gated tail phase
+Diagnosability (VERDICT r4 weak #1): `per_phase_s` records each
+phase's wall time (updated incrementally, so a watchdog emission still
+carries it); the showcase chains record EVERY attempt as
+{config, outcome, elapsed_s} in `h8_attempts`/`casscf_attempts`
+instead of keeping only the last error; `phases_skipped` includes
+chains whose internal attempts all skipped.  The m=120 sharded anchor
+was a permanently-null JSON field in two consecutive driver artifacts
+(always last in phase order, always starved) — per VERDICT r4 item 6
+it is now a PERF.md-only number (scripts/probe via run_m120_sharded;
+round-4 capture: 67.5 s cold / 0.48 s warm on the v5e) and the JSON
+field is gone.
 """
 
 import json
@@ -76,9 +93,30 @@ RESULTS = {
     "unit": "s",
     "vs_baseline": 0.0,
     "deadline_s": DEADLINE_S,
+    # per-phase wall times, updated incrementally (VERDICT r4 weak #1:
+    # the round-4 artifact spent 1,455 s with no way to tell where)
+    "per_phase_s": {},
 }
 _EMIT_LOCK = threading.Lock()
 _EMITTED = False
+
+
+class _phase:
+    """Context manager: record this phase's wall time into
+    RESULTS['per_phase_s'] (written on exit, exception or not, so a
+    watchdog emission mid-run carries every completed/failed phase)."""
+
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.monotonic()
+        return self
+
+    def __exit__(self, *exc):
+        RESULTS["per_phase_s"][self.name] = round(
+            time.monotonic() - self.t0, 1)
+        return False
 
 
 def _emit():
@@ -315,15 +353,57 @@ def run_h8_scale(n_red_so=12, maxiter=10, simulation="full",
                 n_red_so=n_red_so, vqe_chunk=vqe_chunk)
 
 
-def run_h8_scale_subprocess(budget_s=600.0):
+def _run_attempt_chain(attempts, make_prog, budget_s, log):
+    """Shared driver for the showcase subprocess chains.
+
+    `attempts` is ((config, expected_cost_s), ...); `make_prog(config)`
+    returns the child-process -c program printing 'H8JSON <json>';
+    `budget_s` is CUMULATIVE for the whole chain (each attempt's
+    subprocess timeout is the budget still unspent, and attempts whose
+    measured expected cost exceeds it are skipped up front).  EVERY
+    attempt — run, skipped, timed out, crashed — is appended to `log`
+    as {config, outcome, elapsed_s} (VERDICT r4 item 1: the round-4
+    artifact kept only the LAST attempt's error, so whether the N=24
+    attempt ran 340 s and timed out or died instantly was
+    unrecoverable).  Returns the first attempt's parsed result dict, or
+    None if the whole chain came up dry."""
+    import subprocess
+    import sys
+    t_chain = time.monotonic()
+    for config, cost in attempts:
+        left = budget_s - (time.monotonic() - t_chain)
+        tag = "/".join(str(c) for c in config) if isinstance(
+            config, tuple) else str(config)
+        if left < cost:
+            log.append(dict(config=tag, elapsed_s=0.0,
+                            outcome=f"skipped_budget (need ~{cost:.0f}s, "
+                                    f"have {left:.0f}s)"))
+            continue
+        t0 = time.monotonic()
+        try:
+            r = subprocess.run([sys.executable, "-c", make_prog(config)],
+                               capture_output=True, text=True,
+                               timeout=max(60.0, left))
+        except subprocess.TimeoutExpired:
+            log.append(dict(config=tag, outcome="Timeout",
+                            elapsed_s=round(time.monotonic() - t0, 1)))
+            continue
+        elapsed = round(time.monotonic() - t0, 1)
+        for line in r.stdout.splitlines():
+            if line.startswith("H8JSON "):
+                log.append(dict(config=tag, outcome="ok",
+                                elapsed_s=elapsed))
+                return json.loads(line[7:])
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        log.append(dict(
+            config=tag, elapsed_s=elapsed,
+            outcome=tail[-1][:120] if tail else f"rc={r.returncode}"))
+    return None
+
+
+def run_h8_scale_subprocess(budget_s=600.0, log=None):
     """run_h8_scale in a child process (fresh TPU-tunnel connection, so a
     shared-worker crash cannot take down the parent's backend handle).
-
-    `budget_s` is a CUMULATIVE budget for the whole attempt chain (not
-    per attempt — round-3 lesson): each attempt's subprocess timeout is
-    the chain budget still unspent, and attempts whose measured expected
-    cost exceeds it are skipped up front, so a tight budget goes straight
-    to the config that can land inside it.
 
     Attempt order (largest measured-safe scale first — round-3 bisect:
     the shared worker kills any long-running dispatch, so every config
@@ -341,37 +421,25 @@ def run_h8_scale_subprocess(budget_s=600.0):
     28.1 s warm.  The UNCHUNKED two-dispatch run was measured to kill
     the worker on its first full-length eigensolver dispatch, so it is
     NOT in the chain."""
-    import subprocess
-    import sys
-    err = "unknown"
-    t_chain = time.monotonic()
+    log = [] if log is None else log
     # (config, expected cold+warm cost in s, measured round 4:
     # N=24 167 s cold + 64 s warm + ~25 s subprocess overhead)
     attempts = (((24, "sector", "two", 50), 300.0),
                 ((20, "sector", "two", 50), 180.0),
                 ((16, "sector", "two", 50), 100.0),
                 ((12, "full", "one", None), 300.0))
-    for (n_red, sim, disp, chunk), cost in attempts:
-        left = budget_s - (time.monotonic() - t_chain)
-        if left < cost:
-            err = f"skipped_budget (need ~{cost:.0f}s, have {left:.0f}s)"
-            continue
-        prog = ("import json; from bench import run_h8_scale; "
+
+    def make_prog(config):
+        n_red, sim, disp, chunk = config
+        return ("import json; from bench import run_h8_scale; "
                 "print('H8JSON ' + json.dumps(run_h8_scale("
                 f"n_red_so={n_red}, simulation={sim!r}, "
                 f"dispatch={disp!r}, vqe_chunk={chunk!r})))")
-        try:
-            r = subprocess.run([sys.executable, "-c", prog],
-                               capture_output=True, text=True,
-                               timeout=max(60.0, left))
-        except subprocess.TimeoutExpired:
-            err = "Timeout"
-            continue
-        for line in r.stdout.splitlines():
-            if line.startswith("H8JSON "):
-                return json.loads(line[7:])
-        tail = (r.stderr or r.stdout).strip().splitlines()
-        err = tail[-1][:120] if tail else f"rc={r.returncode}"
+
+    out = _run_attempt_chain(attempts, make_prog, budget_s, log)
+    if out is not None:
+        return out
+    err = log[-1]["outcome"] if log else "unknown"
     return dict(energy=None, cold_s=None, warm_s=f"failed: {err}",
                 outer_iters=0, simulation=None, dispatch=None,
                 n_red_so=None)
@@ -421,41 +489,28 @@ def run_h8_casscf(n_red_so=24, maxiter=10):
                 table_storage=solver.table_storage)
 
 
-def run_h8_casscf_subprocess(budget_s=600.0):
+def run_h8_casscf_subprocess(budget_s=600.0, log=None):
     """run_h8_casscf isolated like run_h8_scale_subprocess; attempts
     N=32 (3.31M-determinant flagship, compact int8 stacks), then
     N=28, 24, 20 — bounded by a cumulative `budget_s` with expected
     per-config costs from the round-3 measurements (N=32 compact:
     158.3 s cold / 82.3 s warm; N=28 dense 113.7/66.7; N=24 compact
     33.2/1.3; N=20 36.8/0.8)."""
-    import subprocess
-    import sys
-    err = "unknown"
-    t_chain = time.monotonic()
+    log = [] if log is None else log
     # measured round 4 (2026-08-19, loaded tunnel): N=32 compact 241 s
     # cold + 141 s warm + ~25 s subprocess overhead (the quiet-tunnel
     # round-3 measurement was 158 + 82 — budget for the loaded case)
     attempts = ((32, 420.0), (28, 220.0), (24, 80.0), (20, 80.0))
-    for n_red, cost in attempts:
-        left = budget_s - (time.monotonic() - t_chain)
-        if left < cost:
-            err = f"skipped_budget (need ~{cost:.0f}s, have {left:.0f}s)"
-            continue
-        prog = ("import json; from bench import run_h8_casscf; "
+
+    def make_prog(n_red):
+        return ("import json; from bench import run_h8_casscf; "
                 "print('H8JSON ' + json.dumps(run_h8_casscf("
                 f"n_red_so={n_red})))")
-        try:
-            r = subprocess.run([sys.executable, "-c", prog],
-                               capture_output=True, text=True,
-                               timeout=max(60.0, left))
-        except subprocess.TimeoutExpired:
-            err = "Timeout"
-            continue
-        for line in r.stdout.splitlines():
-            if line.startswith("H8JSON "):
-                return json.loads(line[7:])
-        tail = (r.stderr or r.stdout).strip().splitlines()
-        err = tail[-1][:120] if tail else f"rc={r.returncode}"
+
+    out = _run_attempt_chain(attempts, make_prog, budget_s, log)
+    if out is not None:
+        return out
+    err = log[-1]["outcome"] if log else "unknown"
     return dict(energy=None, cold_s=None, warm_s=f"failed: {err}",
                 outer_iters=0, n_red_so=None)
 
@@ -721,7 +776,8 @@ def run_baseline(problem, n_red_so, time_budget_s=BASELINE_BUDGET_S):
 
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
-    skipped = []
+    skipped = RESULTS.setdefault("phases_skipped", [])
+    reserve = 45.0  # final-emit headroom
 
     # ---- phase 1 (headline numerator): H4 cc-pVTZ -> 8 spin orbitals,
     # time to reach (at least) the baseline's converged energy.
@@ -729,8 +785,9 @@ def main():
     # baseline's final energy; the f64 refine is additional accuracy
     # beyond baseline quality, so it only counts toward the metric when
     # the quality gate would otherwise fail.
-    h4 = build_problem(H4_GEOM)
-    ours = run_ours(h4, 8)
+    with _phase("h4_headline"):
+        h4 = build_problem(H4_GEOM)
+        ours = run_ours(h4, 8)
     RESULTS.update({
         "h4_energy_f32": ours["energy_f32"],
         "h4_energy_refined_f64": ours["energy"],
@@ -744,20 +801,23 @@ def main():
     })
 
     # ---- phase 2 (headline denominator): reference-faithful torch-CPU
-    # baseline.  Budget: never past the global deadline (leave headroom
-    # for the cheap accuracy/transform phases).  If time allows, take
-    # the min of 2 samples to symmetrize with ours' min-of-5 policy
+    # baseline.  Budget: never past the global deadline, and always
+    # leave the flagship showcase chains their floor (round-5
+    # restructure — they run NEXT, not last).  If time allows, take the
+    # min of 2 samples to symmetrize with ours' min-of-5 policy
     # (round-3 verdict weak #7); the repeat count is recorded either way.
-    base_budget = min(BASELINE_BUDGET_S, max(90.0, remaining() - 240.0))
-    base = run_baseline(h4, 8, time_budget_s=base_budget)
-    baseline_repeats = 1
-    if (not base["budget_hit"]
-            and remaining() - 240.0 > base["wall_s"] * 1.3):
-        base2 = run_baseline(h4, 8, time_budget_s=base_budget)
-        if base2["energy"] <= base["energy"] + 1e-9:
-            base["energy"] = base2["energy"]
-        base["wall_s"] = min(base["wall_s"], base2["wall_s"])
-        baseline_repeats = 2
+    with _phase("baseline"):
+        base_budget = min(BASELINE_BUDGET_S,
+                          max(90.0, remaining() - 700.0))
+        base = run_baseline(h4, 8, time_budget_s=base_budget)
+        baseline_repeats = 1
+        if (not base["budget_hit"]
+                and remaining() - 700.0 > base["wall_s"] * 1.3):
+            base2 = run_baseline(h4, 8, time_budget_s=base_budget)
+            if base2["energy"] <= base["energy"] + 1e-9:
+                base["energy"] = base2["energy"]
+            base["wall_s"] = min(base["wall_s"], base2["wall_s"])
+            baseline_repeats = 2
     quality_gate = ours["energy_f32"] <= base["energy"] + 1e-6
     refined_gate = ours["energy"] <= base["energy"] + 1e-6
     quality_achieved = bool(quality_gate or refined_gate)
@@ -776,93 +836,23 @@ def main():
         "baseline_budget_s": round(base_budget, 1),
     })
 
-    # ---- phase 3: H2 accuracy cross-check (README.md:94 headline config)
-    h2 = build_problem(H2_GEOM)
-    h2_ours = run_ours(h2, 4, maxiter=30, tol=1e-6)
-    RESULTS.update({
-        "h2_energy": h2_ours["energy"],
-        "h2_ref_energy": REF_H2_ENERGY,
-        "h2_delta_e_vs_ref": h2_ours["energy"] - REF_H2_ENERGY,
-        # signed quality gate (round-1 verdict weak #4): at or below the
-        # published reference optimum within 1e-6 Ha
-        "h2_quality_gate_signed": bool(
-            h2_ours["energy"] <= REF_H2_ENERGY + 1e-6),
-    })
-
-    # ---- phase 4: BASELINE.md first-class speed metrics — 2e-transform
-    # TFLOP/s at the bench scale (m=56) and the m=120 roofline point
-    tf56 = measure_transform_tflops(56, 4)
-    tf120 = measure_transform_tflops(120, 8)
-    RESULTS.update({
-        "transform_ms_m56_n4": tf56["ms"],
-        "transform_tflops_m56_n4": tf56["tflops"],
-        "transform_ms_m120_n8": tf120["ms"],
-        "transform_tflops_m120_n8": tf120["tflops"],
-        "transform_gbps_m120_n8": tf120["gbps"],
-    })
-
-    # ---- phase 5: tunnel-load provenance
-    try:
-        RESULTS["tunnel_rtt_ms"] = measure_tunnel_rtt_ms()
-    except Exception:
-        RESULTS["tunnel_rtt_ms"] = None
-
-    # ---- phase 6: GSPMD sharded-program path on REAL hardware — the
-    # identical fused program with the g tensor placed through a 1-device
-    # named mesh (collective-free degenerate case of the multi-chip
-    # layout).  Cheap (compiled shapes shared with phase 1's program).
-    sharded_wall = None
-    sharded_energy = None
-    if remaining() > 120.0:
-        try:
-            import jax
-            import jax.numpy as jnp
-            from jax.sharding import Mesh
-            from esoo_tpu.sim import UCCSD, HartreeFock
-            from esoo_tpu.orbital_optimization import FusedOptOrbVQE
-            mesh = Mesh(np.array(jax.devices()[:1]), ("orb",))
-            parts = h4.num_particles
-            ansatz = UCCSD(4, parts, initial_state=HartreeFock(4, parts))
-            solver = FusedOptOrbVQE(num_spin_orbitals=8, ansatz=ansatz,
-                                    problem=h4, maxiter=20,
-                                    stopping_tolerance=1e-5,
-                                    dtype=jnp.float32, mesh=mesh,
-                                    diagnostics=False)
-            r = solver.compute_minimum_energy()       # compile + warm
-            t0 = time.perf_counter()
-            r = solver.compute_minimum_energy()
-            sharded_wall = round(time.perf_counter() - t0, 3)
-            sharded_energy = r.eigenvalue
-        except Exception as e:  # record, don't fail the bench
-            sharded_wall = f"failed: {type(e).__name__}"
-    else:
-        sharded_wall = "skipped_budget"
-        skipped.append("h4_sharded_mesh1")
-    RESULTS.update({
-        "h4_sharded_mesh1_wall_s": sharded_wall,
-        "h4_sharded_mesh1_energy": sharded_energy,
-    })
-
-    # ---- showcase phases, each on a budget carved from what remains.
-    # H8 string-UCC first (the provenance fields the scale story rests
-    # on), then exact CASSCF (the N=32 flagship), then the m=120 sharded
-    # anchor.  A skipped phase is reported, never silently absent.
-    reserve = 45.0  # final-emit headroom
-
-    # priority under remote-compile load (measured spread: the SAME H4
-    # cold phase ran 146-506 s across four round-4 validation runs):
-    # the UCC chain first — N=24 is the round-4 verdict target — then
-    # the exact-CASSCF N=32 flagship; each capped so a quiet tunnel
-    # fits both and a loaded one degrades to smaller N instead of
-    # losing the field entirely
-    left = remaining() - reserve
-    if left > 120.0:
-        h8 = run_h8_scale_subprocess(budget_s=min(left * 0.6, 340.0))
-    else:
-        h8 = dict(energy=None, cold_s=None, warm_s="skipped_budget",
-                  outer_iters=0, simulation=None, dispatch=None,
-                  n_red_so=None)
-        skipped.append("h8_ucc")
+    # ---- phase 3 (FLAGSHIP): H8 m=112 string-UCC showcase chain.
+    # Runs immediately after the headline phases — the round-4 artifact
+    # proved that putting it after the accessory phases starves it
+    # whenever the remote compile server is loaded (VERDICT r4 item 1).
+    # The attempt log lands in the JSON even when every attempt fails.
+    h8_log = RESULTS.setdefault("h8_attempts", [])
+    with _phase("h8_ucc_chain"):
+        left = remaining() - reserve
+        if left > 120.0:
+            h8 = run_h8_scale_subprocess(budget_s=min(left * 0.55, 420.0),
+                                         log=h8_log)
+        else:
+            h8 = dict(energy=None, cold_s=None, warm_s="skipped_budget",
+                      outer_iters=0, simulation=None, dispatch=None,
+                      n_red_so=None)
+        if h8["energy"] is None:
+            skipped.append("h8_ucc")
     RESULTS.update({
         "h8_m112_energy_f32": h8["energy"],
         "h8_m112_cold_s": h8["cold_s"],
@@ -874,13 +864,18 @@ def main():
         "h8_m112_vqe_chunk": h8.get("vqe_chunk"),
     })
 
-    left = remaining() - reserve
-    if left > 90.0:
-        h8c = run_h8_casscf_subprocess(budget_s=min(left * 0.85, 450.0))
-    else:
-        h8c = dict(energy=None, cold_s=None, warm_s="skipped_budget",
-                   outer_iters=0, n_red_so=None)
-        skipped.append("h8_casscf")
+    # ---- phase 4 (FLAGSHIP): H8 exact-CASSCF chain (N=32 compact first)
+    casscf_log = RESULTS.setdefault("casscf_attempts", [])
+    with _phase("h8_casscf_chain"):
+        left = remaining() - reserve
+        if left > 90.0:
+            h8c = run_h8_casscf_subprocess(budget_s=min(left * 0.7, 460.0),
+                                           log=casscf_log)
+        else:
+            h8c = dict(energy=None, cold_s=None, warm_s="skipped_budget",
+                       outer_iters=0, n_red_so=None)
+        if h8c["energy"] is None:
+            skipped.append("h8_casscf")
     RESULTS.update({
         "h8_casscf_energy_f32": h8c["energy"],
         "h8_casscf_cold_s": h8c["cold_s"],
@@ -890,21 +885,93 @@ def main():
         "h8_casscf_table_storage": h8c.get("table_storage"),
     })
 
-    left = remaining() - reserve
-    if left > 90.0:
-        m120 = run_m120_sharded_subprocess(budget_s=left)
-    else:
-        m120 = dict(energy=None, cold_s=None, warm_s="skipped_budget",
-                    outer_iters=0)
-        skipped.append("m120_sharded")
+    # ---- phase 5: H2 accuracy cross-check (README.md:94 headline
+    # config).  Now a gated tail phase: its compiles are a different
+    # program shape (m=28), measured able to eat hundreds of seconds on
+    # a loaded compile server.
+    with _phase("h2_accuracy"):
+        if remaining() - reserve > 150.0:
+            h2 = build_problem(H2_GEOM)
+            h2_ours = run_ours(h2, 4, maxiter=30, tol=1e-6)
+            RESULTS.update({
+                "h2_energy": h2_ours["energy"],
+                "h2_ref_energy": REF_H2_ENERGY,
+                "h2_delta_e_vs_ref": h2_ours["energy"] - REF_H2_ENERGY,
+                # signed quality gate (round-1 verdict weak #4): at or
+                # below the published reference optimum within 1e-6 Ha
+                "h2_quality_gate_signed": bool(
+                    h2_ours["energy"] <= REF_H2_ENERGY + 1e-6),
+            })
+        else:
+            RESULTS.update({"h2_energy": None,
+                            "h2_ref_energy": REF_H2_ENERGY,
+                            "h2_delta_e_vs_ref": None,
+                            "h2_quality_gate_signed": None})
+            skipped.append("h2_accuracy")
+
+    # ---- phase 6: BASELINE.md first-class speed metrics — 2e-transform
+    # TFLOP/s at the bench scale (m=56) and the m=120 roofline point
+    with _phase("transforms"):
+        if remaining() - reserve > 90.0:
+            tf56 = measure_transform_tflops(56, 4)
+            tf120 = measure_transform_tflops(120, 8)
+            RESULTS.update({
+                "transform_ms_m56_n4": tf56["ms"],
+                "transform_tflops_m56_n4": tf56["tflops"],
+                "transform_ms_m120_n8": tf120["ms"],
+                "transform_tflops_m120_n8": tf120["tflops"],
+                "transform_gbps_m120_n8": tf120["gbps"],
+            })
+        else:
+            skipped.append("transforms")
+
+    # ---- phase 7: tunnel-load provenance
+    with _phase("tunnel_rtt"):
+        try:
+            RESULTS["tunnel_rtt_ms"] = measure_tunnel_rtt_ms()
+        except Exception:
+            RESULTS["tunnel_rtt_ms"] = None
+
+    # ---- phase 8: GSPMD sharded-program path on REAL hardware — the
+    # identical fused program with the g tensor placed through a
+    # 1-device named mesh (collective-free degenerate case of the
+    # multi-chip layout).  The m=120 variant of this anchor was dropped
+    # from the JSON per VERDICT r4 item 6 (two rounds permanently null;
+    # it lives in PERF.md via run_m120_sharded).
+    with _phase("h4_sharded_mesh1"):
+        sharded_wall = None
+        sharded_energy = None
+        if remaining() - reserve > 100.0:
+            try:
+                import jax
+                import jax.numpy as jnp
+                from jax.sharding import Mesh
+                from esoo_tpu.sim import UCCSD, HartreeFock
+                from esoo_tpu.orbital_optimization import FusedOptOrbVQE
+                mesh = Mesh(np.array(jax.devices()[:1]), ("orb",))
+                parts = h4.num_particles
+                ansatz = UCCSD(4, parts,
+                               initial_state=HartreeFock(4, parts))
+                solver = FusedOptOrbVQE(num_spin_orbitals=8, ansatz=ansatz,
+                                        problem=h4, maxiter=20,
+                                        stopping_tolerance=1e-5,
+                                        dtype=jnp.float32, mesh=mesh,
+                                        diagnostics=False)
+                r = solver.compute_minimum_energy()       # compile + warm
+                t0 = time.perf_counter()
+                r = solver.compute_minimum_energy()
+                sharded_wall = round(time.perf_counter() - t0, 3)
+                sharded_energy = r.eigenvalue
+            except Exception as e:  # record, don't fail the bench
+                sharded_wall = f"failed: {type(e).__name__}"
+        else:
+            sharded_wall = "skipped_budget"
+            skipped.append("h4_sharded_mesh1")
     RESULTS.update({
-        "m120_sharded_energy_f32": m120["energy"],
-        "m120_sharded_cold_s": m120["cold_s"],
-        "m120_sharded_warm_s": m120["warm_s"],
-        "m120_sharded_outer_iters": m120["outer_iters"],
+        "h4_sharded_mesh1_wall_s": sharded_wall,
+        "h4_sharded_mesh1_energy": sharded_energy,
     })
 
-    RESULTS["phases_skipped"] = skipped
     _emit()
 
 
