@@ -111,6 +111,12 @@ class _phase:
 
     def __enter__(self):
         self.t0 = time.monotonic()
+        # live marker: a watchdog emission mid-phase shows WHICH phase
+        # was running and since when (the round-5 first driver-style
+        # run died inside phase 1 with an empty per_phase_s — the
+        # exit-only recording hid the hang location)
+        RESULTS["per_phase_s"][self.name] = (
+            f"running since t+{self.t0 - _T0:.0f}s")
         return self
 
     def __exit__(self, *exc):

