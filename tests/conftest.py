@@ -41,12 +41,30 @@ def _map_ceiling() -> int:
         return 65_530        # Linux default
 
 
+def _try_raise_map_ceiling():
+    """Best-effort: lift vm.max_map_count so the suite never hits the
+    XLA:CPU jit map-leak cliff (round-4 profile: the cache drops the
+    default ceiling forces, plus the recompiles after each drop, were a
+    top-10 suite cost — measured 63.5 s in-suite vs 15.7 s isolated for
+    the worst test).  Root-only; silently a no-op elsewhere (the
+    _bound_jit_memory_maps fixture still protects stock kernels)."""
+    try:
+        if _map_ceiling() < 1_048_576:
+            with open("/proc/sys/vm/max_map_count", "w") as f:
+                f.write("1048576")
+    except OSError:
+        pass
+
+
+_try_raise_map_ceiling()
+
 # clear caches at 80% of the ACTUAL kernel ceiling: on a stock kernel
 # (65,530) this is ~52k — the round-3 behavior — but with the ceiling
-# raised (sysctl vm.max_map_count=1048576; the CI workflow sets it) the
-# suite never clears, which removes the ~17-20 s teardown cache drops
-# AND the recompilations of shared programs they forced (round-4 tier
-# profile: the drops were a top-10 cost with the default trigger)
+# raised (above, or sysctl vm.max_map_count=1048576; the CI workflow
+# sets it) the suite never clears, which removes the ~17-20 s teardown
+# cache drops AND the recompilations of shared programs they forced
+# (round-4 tier profile: the drops were a top-10 cost with the default
+# trigger)
 _CLEAR_MAPS_AT = max(50_000, int(_map_ceiling() * 0.8))
 
 
