@@ -590,13 +590,16 @@ def run_ours(problem, n_red_so, maxiter=20, tol=1e-5):
     except RuntimeError:
         cpu = jax.devices()[0]
     with jax.default_device(cpu):
+        t0 = time.perf_counter()
         refine_run()                       # compile warm-up
+        refine_warmup = time.perf_counter() - t0
         t0 = time.perf_counter()
         r64 = refine_run()
         refine = time.perf_counter() - t0
     return dict(energy=r64.eigenvalue, energy_f32=r32.eigenvalue,
                 cold_s=cold, warm_s=warm, warm_median_s=warm_median,
-                refine_s=refine, outer_iters=r32.outer_iterations)
+                refine_s=refine, refine_warmup_s=refine_warmup,
+                outer_iters=r32.outer_iterations)
 
 
 # --------------------------------------------------------------------------
@@ -798,6 +801,7 @@ def main():
         "h4_energy_f32": ours["energy_f32"],
         "h4_energy_refined_f64": ours["energy"],
         "h4_refine_s": round(ours["refine_s"], 2),
+        "h4_refine_warmup_s": round(ours["refine_warmup_s"], 2),
         "h4_cold_wall_s": round(ours["cold_s"], 2),
         "h4_warm_median_s": round(ours["warm_median_s"], 3),
         "h4_warm_repeats": WARM_REPEATS,

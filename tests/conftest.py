@@ -68,6 +68,15 @@ _try_raise_map_ceiling()
 _CLEAR_MAPS_AT = max(50_000, int(_map_ceiling() * 0.8))
 
 
+def pytest_collection_modifyitems(config, items):
+    """Run test_parallel LAST: its module fixture must drop every live
+    executable (jax.clear_caches — an XLA:CPU GSPMD-compile crash
+    workaround, see test_parallel._fresh_compile_state), which forces
+    every module that runs AFTER it to recompile/reload shared programs.
+    At the end of the suite the wipe costs nothing."""
+    items.sort(key=lambda it: it.fspath.basename == "test_parallel.py")
+
+
 @pytest.fixture(autouse=True)
 def _bound_jit_memory_maps():
     """Every XLA:CPU jit compile leaks ~6+ virtual-memory mappings into
