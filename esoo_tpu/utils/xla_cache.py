@@ -16,7 +16,11 @@ from __future__ import annotations
 import hashlib
 import os
 
-BASE = os.path.expanduser("~/.cache/esoo_jax")
+# $ESOO_CACHE_DIR relocates every esoo cache (same convention as the
+# Slater-Condon structure cache, sim/sector.py) — lets a test run use a
+# cloned cache while another process writes the primary one.
+BASE = os.environ.get("ESOO_CACHE_DIR",
+                      os.path.expanduser("~/.cache/esoo_jax"))
 
 
 def _cpu_fingerprint() -> str:

@@ -69,12 +69,17 @@ _CLEAR_MAPS_AT = max(50_000, int(_map_ceiling() * 0.8))
 
 
 def pytest_collection_modifyitems(config, items):
-    """Run test_parallel LAST: its module fixture must drop every live
-    executable (jax.clear_caches — an XLA:CPU GSPMD-compile crash
-    workaround, see test_parallel._fresh_compile_state), which forces
-    every module that runs AFTER it to recompile/reload shared programs.
-    At the end of the suite the wipe costs nothing."""
-    items.sort(key=lambda it: it.fspath.basename == "test_parallel.py")
+    """Run the two cache-wiping modules LAST: test_parallel's module
+    fixture drops every live executable (jax.clear_caches — an XLA:CPU
+    GSPMD-compile crash workaround, see
+    test_parallel._fresh_compile_state) and test_split_precision's
+    force_split toggles do the same on every flip (the split policy is
+    read at trace time, so toggling must invalidate jit caches).  Run
+    mid-suite, either wipe forces every module collected after it to
+    recompile shared programs; at the tail they cost only themselves.
+    test_parallel goes dead last — it re-wipes at module start anyway."""
+    _TAIL = {"test_split_precision.py": 1, "test_parallel.py": 2}
+    items.sort(key=lambda it: _TAIL.get(it.fspath.basename, 0))
 
 
 @pytest.fixture(autouse=True)
