@@ -31,6 +31,7 @@ capability that exists because the sector kernels made H·v cheap.
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import Optional, Tuple
 
@@ -905,6 +906,14 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
         compact = _sa_sequential(self._sector, self.k, tabs)
         dav_tol = 1e-9 if jnp.finfo(dtype).bits >= 64 else 1e-6
         chunk = self.davidson_chunk
+        # stage-resolved profile of the SA ladder (VERDICT r4 item 5):
+        # per-outer block-Davidson iteration counts and wall seconds for
+        # the eigensolver advance vs the RDM finish vs the orbital
+        # program.  Pure observability — read by scripts/probe_h8_casscf
+        # and tests; stays empty on the monolithic (chunk=None) path.
+        stats = {"davidson_iters": [], "solve_s": [], "finish_s": [],
+                 "orb_s": []}
+        self.stage_stats = stats
 
         def solve(V, U):
             if chunk is None:
@@ -916,6 +925,7 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
             # chunked eigensolver: bounded advance dispatches so no
             # single compiled dispatch exceeds the shared worker's
             # execution budget (cf. vqe_chunk, CLAUDE.md)
+            t0 = time.perf_counter()
             state, vals, diag = _sa_davidson_init_program(
                 self._sector, self.k, V, U, h_sp, g_sp,
                 max_subspace=self.max_subspace, tol=dav_tol,
@@ -926,9 +936,15 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
                     self._sector, state, vals, diag, iters=chunk,
                     tol=dav_tol, sequential_mv=compact,
                     sector_tables=tabs)
-            return _sa_finish_rdm_program(
+            stats["davidson_iters"].append(int(np.asarray(state[3])))
+            t1 = time.perf_counter()
+            stats["solve_s"].append(t1 - t0)
+            out = _sa_finish_rdm_program(
                 self._sector, self._weights, state, vals, diag,
                 tol=dav_tol, sequential_mv=compact, sector_tables=tabs)
+            np.asarray(out[1])      # materialize: axon block_until_ready
+            stats["finish_s"].append(time.perf_counter() - t1)
+            return out
 
         V = self._V0
         U = orth(self._U0)
@@ -948,9 +964,12 @@ class FusedOptOrbSACASSCF(FusedOptOrbCASSCF):
             it += 1
             if converged or it >= self.maxiter:
                 break
+            t0 = time.perf_counter()
             U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,
                              bb, inner_tol, decay,
                              inner_maxiter=self.inner_maxiter)
+            np.asarray(U[0, 0])
+            stats["orb_s"].append(time.perf_counter() - t0)
             E_prev = Ew_f
         if not converged:
             U = _orb_program(U, gamma_s, Gamma_s, h_sp, g_sp,

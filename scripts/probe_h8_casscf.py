@@ -89,23 +89,6 @@ def main():
         log(f"outer iteration {it}: E = "
             f"{np.array2string(np.asarray(e), precision=6)}")
 
-    def run(callback=None):
-        if k > 1:
-            return FusedOptOrbSACASSCF(
-                num_spin_orbitals=n_red_so, k=k, problem=_P(),
-                maxiter=maxiter, stopping_tolerance=tol,
-                dtype=jnp.float32, dispatch="two",
-                table_storage=storage,
-                # bounded eigensolver dispatches: the monolithic k=3
-                # N=32 solve is a multi-minute dispatch -> worker kill
-                davidson_chunk=8,
-                outer_loop_callback=callback).compute_energies()
-        return FusedOptOrbCASSCF(
-            num_spin_orbitals=n_red_so, problem=_P(), maxiter=maxiter,
-            stopping_tolerance=tol, dtype=jnp.float32, dispatch="two",
-            table_storage=storage,
-            outer_loop_callback=callback).compute_minimum_energy()
-
     log(f"solver config: CASSCF two-dispatch N={n_red_so} "
         f"storage={storage} k={k}; cold run")
 
@@ -114,11 +97,46 @@ def main():
             return [float(e) for e in np.asarray(res.eigenvalues)]
         return res.eigenvalue
 
+    solver_holder = {}
+
+    def run(callback=None):
+        if k > 1:
+            s = FusedOptOrbSACASSCF(
+                num_spin_orbitals=n_red_so, k=k, problem=_P(),
+                maxiter=maxiter, stopping_tolerance=tol,
+                dtype=jnp.float32, dispatch="two",
+                table_storage=storage,
+                # bounded eigensolver dispatches: the monolithic k=3
+                # N=32 solve is a multi-minute dispatch -> worker kill
+                davidson_chunk=8,
+                outer_loop_callback=callback)
+            solver_holder["s"] = s
+            return s.compute_energies()
+        s = FusedOptOrbCASSCF(
+            num_spin_orbitals=n_red_so, problem=_P(), maxiter=maxiter,
+            stopping_tolerance=tol, dtype=jnp.float32, dispatch="two",
+            table_storage=storage,
+            outer_loop_callback=callback)
+        solver_holder["s"] = s
+        return s.compute_minimum_energy()
+
+    def stage_report(tag):
+        st = getattr(solver_holder.get("s"), "stage_stats", None)
+        if not st or not st["davidson_iters"]:
+            return None
+        log(f"{tag} stage profile: davidson_iters={st['davidson_iters']} "
+            f"solve_s={[round(x, 1) for x in st['solve_s']]} "
+            f"finish_s={[round(x, 1) for x in st['finish_s']]} "
+            f"orb_s={[round(x, 1) for x in st['orb_s']]}")
+        return {kk: ([round(x, 2) for x in vv] if kk != "davidson_iters"
+                     else vv) for kk, vv in st.items()}
+
     t0 = time.perf_counter()
     r = run(callback=cb)
     cold = time.perf_counter() - t0
     log(f"COLD DONE E={energy_of(r)} iters={r.outer_iterations} "
         f"cold_s={cold:.1f}")
+    stage_report("cold")
 
     t0 = time.perf_counter()
     r2 = run()
@@ -128,6 +146,9 @@ def main():
                e_nn=e_nn, solver="casscf" if k == 1 else f"sa-casscf-k{k}",
                dispatch="two", n_red_so=n_red_so, table_storage=storage,
                stopping_tolerance=tol)
+    stages = stage_report("warm")
+    if stages is not None:
+        out["stage_stats"] = stages
     print("H8JSON " + json.dumps(out), flush=True)
 
 
