@@ -36,7 +36,7 @@ def _cpu_fingerprint() -> str:
     return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
 
 
-def setup(jax) -> str:
+def setup(jax, min_compile_secs: float = 5.0) -> str:
     """Point jax's persistent compile cache at the host-local dir.
 
     Two hardening choices, both from an observed in-process SEGV inside
@@ -46,14 +46,19 @@ def setup(jax) -> str:
         (`jax_persistent_cache_enable_xla_caches='none'`) — the jax
         executable cache alone is what saves the minutes-long fused
         recompiles;
-      * only compiles >= 5 s are persisted, so the many small per-test
-        programs (whose recompiles are cheap anyway) never exercise the
-        serializer.
+      * by default only compiles >= 5 s are persisted, so the many
+        small programs (whose recompiles are cheap anyway) never
+        exercise the serializer.  The test conftest lowers the bar to
+        1 s: the GSPMD crash sites now compile at the HEAD of the suite
+        (near-empty JIT state — the trigger was accumulated state), and
+        persisting the hundreds of 1-5 s test programs makes repeat
+        tier runs disk loads instead of recompiles.
     """
     path = os.path.join(BASE, f"xla-{_cpu_fingerprint()}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
     try:
         jax.config.update("jax_persistent_cache_enable_xla_caches",
                           "none")

@@ -10,7 +10,7 @@ in a fraction of that, at strictly LOWER (exact) active-space energies.
 dispatch='two' keeps every compiled dispatch short (the shared worker's
 documented kill is dispatch-length-bound) and logs live progress.
 
-Usage: python scripts/probe_h8_casscf.py [maxiter] [n_red_so] [storage] [k]
+Usage: python scripts/probe_h8_casscf.py [maxiter] [n_red_so] [storage] [k] [tol] [ladder]
 
 storage: 'auto' (default; compact int8-chunked stacks past nd=1.1M —
 i.e. N>=32), 'dense', or 'compact' — the N=32 3.31M-determinant sector
@@ -51,6 +51,7 @@ def main():
     storage = sys.argv[3] if len(sys.argv) > 3 else "auto"
     k = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     tol = float(sys.argv[5]) if len(sys.argv) > 5 else 1e-5
+    ladder = bool(int(sys.argv[6])) if len(sys.argv) > 6 else False
 
     for attempt in range(30):
         if worker_alive():
@@ -109,6 +110,7 @@ def main():
                 # bounded eigensolver dispatches: the monolithic k=3
                 # N=32 solve is a multi-minute dispatch -> worker kill
                 davidson_chunk=8,
+                davidson_tol_ladder=ladder,
                 outer_loop_callback=callback)
             solver_holder["s"] = s
             return s.compute_energies()
@@ -145,7 +147,8 @@ def main():
                warm_s=round(warm, 2), outer_iters=r2.outer_iterations,
                e_nn=e_nn, solver="casscf" if k == 1 else f"sa-casscf-k{k}",
                dispatch="two", n_red_so=n_red_so, table_storage=storage,
-               stopping_tolerance=tol)
+               stopping_tolerance=tol,
+               davidson_tol_ladder=ladder)
     stages = stage_report("warm")
     if stages is not None:
         out["stage_stats"] = stages

@@ -19,7 +19,7 @@ jax.config.update("jax_platforms", "cpu")
 # esoo_tpu/utils/xla_cache.py)
 from esoo_tpu.utils import xla_cache  # noqa: E402
 
-xla_cache.setup(jax)
+xla_cache.setup(jax, min_compile_secs=1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -69,17 +69,43 @@ _CLEAR_MAPS_AT = max(50_000, int(_map_ceiling() * 0.8))
 
 
 def pytest_collection_modifyitems(config, items):
-    """Run the two cache-wiping modules LAST: test_parallel's module
-    fixture drops every live executable (jax.clear_caches — an XLA:CPU
-    GSPMD-compile crash workaround, see
-    test_parallel._fresh_compile_state) and test_split_precision's
-    force_split toggles do the same on every flip (the split policy is
-    read at trace time, so toggling must invalidate jit caches).  Run
-    mid-suite, either wipe forces every module collected after it to
-    recompile shared programs; at the tail they cost only themselves.
-    test_parallel goes dead last — it re-wipes at module start anyway."""
-    _TAIL = {"test_split_precision.py": 1, "test_parallel.py": 2}
-    items.sort(key=lambda it: _TAIL.get(it.fspath.basename, 0))
+    """Run the two cache-wiping modules FIRST: test_split_precision's
+    force_split toggles drop every live executable on each flip (the
+    split policy is read at trace time, so toggling must invalidate jit
+    caches) and test_parallel's module fixture does the same once (an
+    XLA:CPU GSPMD-compile crash workaround, see
+    test_parallel._fresh_compile_state).  jax.clear_caches() costs time
+    proportional to what is cached (measured: ~3 s after one module,
+    78.8 s at the tail of the full tier — the single most expensive
+    "test" of round-5's profile), while process-exit teardown is ~free;
+    so the wipes must run while the cache is still empty.  Head order
+    also beats the round-4 tail order on sharing: test_parallel's
+    unsharded twin programs stay cached for every later module instead
+    of dying with the suite, and the GSPMD compiles run in the
+    near-fresh compile state the crash workaround wants.
+    test_split_precision goes absolutely first — its LAST flip restore
+    still wipes, so it must precede test_parallel's compiles.
+
+    After the two wipe modules, compile-HEAVY modules run before light
+    ones: XLA:CPU compile latency grows with accumulated live JIT state
+    (measured round 5: the sector energy/gradient oracles cost 28 s as
+    the first module vs 73 s late in the tier, same box, warm disk
+    cache, RAM free), so the suite minimizes sum(compile x
+    state-at-compile-time) by front-loading the big compiles while the
+    process is young.  Ranks follow the round-5 in-suite duration
+    profile; unlisted modules keep collection order (stable sort)."""
+    _ORDER = {
+        "test_split_precision.py": -20, "test_parallel.py": -19,
+        "test_sector.py": -18, "test_optorb_e2e.py": -17,
+        "test_fused.py": -16, "test_casscf.py": -15,
+        "test_properties.py": -14, "test_strings.py": -13,
+        "test_eigensolvers.py": -12, "test_eigensolvers_matrix.py": -11,
+        "test_geometry.py": -10, "test_sim.py": -9,
+        "test_fused_diagnostics.py": -8, "test_cube.py": -7,
+        "test_mappers.py": -6, "test_n2_showcase.py": -5,
+        "test_fcidump.py": -4,
+    }
+    items.sort(key=lambda it: _ORDER.get(it.fspath.basename, 0))
 
 
 @pytest.fixture(autouse=True)

@@ -427,6 +427,42 @@ def test_sa_casscf_davidson_chunk_equality(h2_631g):
                             dispatch="one")
 
 
+def test_davidson_tol_ladder_semantics(h2_631g):
+    """davidson_tol_ladder (opt-in): loop solves run loose, the final
+    re-solve runs tight, so returned energies match the unladdered
+    chunked run within the looser-trajectory tolerance; the kwarg
+    requires davidson_chunk.  Flagship rationale: the SA k=3 N=32 loop
+    spends ~91% of wall in Davidson advances (stage_stats profile)."""
+    from esoo_tpu.orbital_optimization import (FusedOptOrbCASSCF,
+                                               FusedOptOrbSACASSCF)
+
+    base = FusedOptOrbSACASSCF(4, problem=h2_631g, k=2, maxiter=8,
+                               dispatch="two", davidson_chunk=3
+                               ).compute_energies()
+    lad_solver = FusedOptOrbSACASSCF(4, problem=h2_631g, k=2, maxiter=8,
+                                     dispatch="two", davidson_chunk=3,
+                                     davidson_tol_ladder=True)
+    lad = lad_solver.compute_energies()
+    np.testing.assert_allclose(np.asarray(lad.eigenvalues),
+                               np.asarray(base.eigenvalues), atol=2e-5)
+    # stage stats (observability for the flagship probes) populate
+    assert lad_solver.stage_stats["davidson_iters"]
+    assert (len(lad_solver.stage_stats["solve_s"])
+            == len(lad_solver.stage_stats["davidson_iters"]))
+
+    g_base = FusedOptOrbCASSCF(4, problem=h2_631g, maxiter=8,
+                               dispatch="two", davidson_chunk=3
+                               ).compute_minimum_energy()
+    g_lad = FusedOptOrbCASSCF(4, problem=h2_631g, maxiter=8,
+                              dispatch="two", davidson_chunk=3,
+                              davidson_tol_ladder=True
+                              ).compute_minimum_energy()
+    np.testing.assert_allclose(g_lad.eigenvalue, g_base.eigenvalue,
+                               atol=2e-5)
+    with pytest.raises(ValueError, match="davidson_tol_ladder"):
+        FusedOptOrbCASSCF(4, problem=h2_631g, davidson_tol_ladder=True)
+
+
 def test_ground_casscf_davidson_chunk_equality(h2_631g):
     """Ground-path davidson_chunk (k=1 block machinery, bounded
     dispatches) matches the unchunked davidson_ground two-dispatch run,

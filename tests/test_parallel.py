@@ -31,8 +31,10 @@ def _fresh_compile_state():
     below); with it, the post-clear_caches recompiles of this module's
     GSPMD programs are disk loads instead of fresh XLA compiles — a
     top-5 fast-tier cost before (round-5 tier work, VERDICT r4 item 3).
-    conftest orders this module LAST so the wipe costs later modules
-    nothing."""
+    conftest orders this module at the HEAD of the suite (right after
+    test_split_precision) so the wipe runs on a near-empty cache (~free
+    — a full-suite clear measured 78.8 s) and this module's unsharded
+    twin programs stay cached for every later module."""
     jax.clear_caches()
     yield
 
