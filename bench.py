@@ -364,9 +364,14 @@ def _run_attempt_chain(attempts, make_prog, budget_s, log):
 
     `attempts` is ((config, expected_cost_s), ...); `make_prog(config)`
     returns the child-process -c program printing 'H8JSON <json>';
-    `budget_s` is CUMULATIVE for the whole chain (each attempt's
-    subprocess timeout is the budget still unspent, and attempts whose
-    measured expected cost exceeds it are skipped up front).  EVERY
+    `budget_s` is CUMULATIVE for the whole chain (attempts whose
+    measured expected cost exceeds the unspent budget are skipped up
+    front).  Each attempt's subprocess timeout RESERVES the cheapest
+    remaining attempt's expected cost: on a cold-cache box the first
+    (biggest) config's compile can exceed its estimate, and giving it
+    the whole unspent budget starves every fallback — the round-5
+    validation run showed exactly that (N=32 Timeout at 460 s, then
+    three `skipped_budget ... have -0s` rows and a null field).  EVERY
     attempt — run, skipped, timed out, crashed — is appended to `log`
     as {config, outcome, elapsed_s} (VERDICT r4 item 1: the round-4
     artifact kept only the LAST attempt's error, so whether the N=24
@@ -376,7 +381,8 @@ def _run_attempt_chain(attempts, make_prog, budget_s, log):
     import subprocess
     import sys
     t_chain = time.monotonic()
-    for config, cost in attempts:
+    attempts = tuple(attempts)
+    for i, (config, cost) in enumerate(attempts):
         left = budget_s - (time.monotonic() - t_chain)
         tag = "/".join(str(c) for c in config) if isinstance(
             config, tuple) else str(config)
@@ -385,11 +391,16 @@ def _run_attempt_chain(attempts, make_prog, budget_s, log):
                             outcome=f"skipped_budget (need ~{cost:.0f}s, "
                                     f"have {left:.0f}s)"))
             continue
+        # keep the cheapest remaining fallback runnable even if this
+        # attempt overruns its estimate (cold-cache compiles do); a
+        # timed-out attempt still leaves its compile progress in the
+        # persistent XLA cache, so the next run resumes further along
+        reserve = min((c for _, c in attempts[i + 1:]), default=0.0)
         t0 = time.monotonic()
         try:
             r = subprocess.run([sys.executable, "-c", make_prog(config)],
                                capture_output=True, text=True,
-                               timeout=max(60.0, left))
+                               timeout=max(60.0, left - reserve))
         except subprocess.TimeoutExpired:
             log.append(dict(config=tag, outcome="Timeout",
                             elapsed_s=round(time.monotonic() - t0, 1)))

@@ -47,6 +47,38 @@ def test_attempt_chain_dry_returns_none_with_full_log():
     assert all(e["outcome"].startswith("skipped_budget") for e in log)
 
 
+def test_attempt_chain_reserves_fallback_budget(monkeypatch):
+    """A big first attempt's subprocess timeout must leave the cheapest
+    remaining fallback runnable: the round-5 validation run showed the
+    N=32 attempt consuming the whole chain budget mid-compile and every
+    fallback skipping with `have -0s` (null artifact field).  The chain
+    now caps each attempt at (budget left − min remaining cost)."""
+    import subprocess
+    seen = []
+
+    def fake_run(cmd, capture_output, text, timeout):
+        seen.append(timeout)
+        if len(seen) == 1:        # the flagship overruns its estimate
+            raise subprocess.TimeoutExpired(cmd, timeout)
+        class R:
+            returncode = 0
+            stderr = ""
+            stdout = "H8JSON " + json.dumps({"energy": -2.0})
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    log = []
+    out = bench._run_attempt_chain(
+        (("32", 420.0), ("28", 220.0), ("24", 80.0), ("20", 80.0)),
+        lambda c: "unused", budget_s=460.0, log=log)
+    # flagship got budget − min(220, 80, 80) = 380, not the full 460
+    assert 379.0 < seen[0] <= 380.0
+    assert log[0]["outcome"] == "Timeout"
+    # a fallback still ran and landed the number
+    assert out == {"energy": -2.0}
+    assert log[-1]["outcome"] == "ok"
+
+
 def test_phase_timer_records_on_exception():
     bench.RESULTS["per_phase_s"].pop("boom", None)
     try:
